@@ -1,0 +1,593 @@
+"""Core relational queries: scans, filters, projections, joins, aggregates,
+windows, set ops (SURVEY.md sections 2.1-2.7).
+
+These re-express the reference's four-job query surface on the driver's
+TPC-H-ish tables: G3's year/month/group rollup (updateToGold.py:39-40), G4's
+single-key avg (updateToGold.py:52), G1/G2 watermark scalars
+(ingestToBronze.py:61, transformToSilver.py:102), G5 distinct
+(loadToWarehouse.py:27,53,66), J1's incremental anti-join
+(loadToWarehouse.py:31-32), P13's dim_date attribute suite
+(loadToWarehouse.py:34-40, with defect D5 fixed), plus the window/sort/topk/
+set-op surface Spark adds for free (SURVEY.md section 2.6).
+
+Scale notes (100 TB): every aggregate here is a partial+final hash agg
+(map-side combine); joins against region/nation/customer-sized dims are
+broadcast; the only wide shuffles are keyed by high-cardinality columns
+(orderkey/custkey) which partition evenly. No driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flights_etl_pipeline_spark.functions.scalar import davg, dsum
+from flights_etl_pipeline_spark.plans.registry import load, register
+
+
+def _sql_dsum(expr: str, scale: int = 2) -> str:
+    """SQL mirror of functions.scalar.dsum (exact decimal sum -> double)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def _sql_davg(expr: str, scale: int = 4) -> str:
+    """SQL mirror of functions.scalar.davg."""
+    return (
+        f"(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (P4 filter + G3 multi-measure agg)
+# ---------------------------------------------------------------------------
+
+PRICING_SUMMARY_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {_sql_dsum('l_quantity')} AS sum_qty,
+  {_sql_dsum('l_extendedprice')} AS sum_base_price,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+  {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  ROUND({_sql_davg('l_quantity')}, 2) AS avg_qty,
+  ROUND({_sql_davg('l_extendedprice')}, 2) AS avg_price,
+  ROUND({_sql_davg('l_discount')}, 2) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    oracle=PRICING_SUMMARY_SQL,
+    survey=["P4", "P14", "G3", "S3"],
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem (flagship; scan->filter->hash-agg).
+
+    The filter pushes down to the parquet scan; the aggregate is
+    partial+final over 6 measures, shuffling only (flag, status) groups.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            # scale 6 = the true decimal scale of price*(1-disc)*(1+tax);
+            # rounding at a coarser scale hits exact .5 ties where engines'
+            # double->decimal rounding can legitimately disagree
+            dsum(charge, 6).alias("sum_charge"),
+            F.round(davg("l_quantity"), 2).alias("avg_qty"),
+            F.round(davg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(davg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join (the schema the reference's warehouse is designed for)
+# ---------------------------------------------------------------------------
+
+REVENUE_BY_NATION_SQL = f"""
+SELECT
+  r.r_name AS region_name,
+  n.n_name AS nation_name,
+  {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+  COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register(
+    "revenue_by_nation",
+    oracle=REVENUE_BY_NATION_SQL,
+    survey=["J1-family", "G3", "S3"],
+    bench=True,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region x nation x customer x orders x lineitem revenue rollup.
+
+    Dim sides are broadcast (region/nation/customer are tiny relative to
+    the fact); only the orders-lineitem join shuffles, keyed by orderkey
+    which is uniform -- the plan that survives 1000 executors.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            dsum(revenue, 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3: the gold revenue_n_seat_remain_ym shape (updateToGold.py:39-40)
+# ---------------------------------------------------------------------------
+
+REVENUE_BY_MONTH_SQL = f"""
+SELECT
+  YEAR(o.o_orderdate) AS order_year,
+  MONTH(o.o_orderdate) AS order_month,
+  {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+  ROUND({_sql_davg('o.o_totalprice')}, 2) AS avg_order_price,
+  COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY YEAR(o.o_orderdate), MONTH(o.o_orderdate)
+"""
+
+
+@register(
+    "revenue_by_month",
+    oracle=REVENUE_BY_MONTH_SQL,
+    survey=["G3", "P1", "P14"],
+    bench=True,
+)
+def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month revenue rollup -- the reference's gold table 1 shape
+    (groupBy(year, month, ...).agg(sum, round(avg, 2)), updateToGold.py:39-40).
+    """
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            dsum(revenue, 4).alias("revenue"),
+            F.round(davg("o_totalprice"), 2).alias("avg_order_price"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4: single-key aggregate (fbc_travel_duration_relation, updateToGold.py:52)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_avg_price",
+    oracle=f"""
+SELECT o_orderpriority,
+       ROUND({_sql_davg('o_totalprice')}, 2) AS avg_totalprice,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    survey=["G4", "P14"],
+)
+def priority_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key avg with round(.,2) -- gold table 2 shape."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(davg("o_totalprice"), 2).alias("avg_totalprice"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1/G2/S2: watermark scalars (ingestToBronze.py:61; transformToSilver.py:102)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "high_watermark",
+    oracle="""
+SELECT MAX(o_orderkey) AS wm_orderkey,
+       MIN(o_orderkey) AS min_orderkey,
+       MAX(CAST(o_orderdate AS DATE)) AS wm_orderdate
+FROM orders
+""",
+    survey=["G1", "G2", "S2"],
+)
+def high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global max/min -- the incremental-resume watermark read (defect D2
+    fixed: F.min, not the Python builtin)."""
+    return load(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("wm_orderkey"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max(F.to_date("o_orderdate")).alias("wm_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5: distinct  (loadToWarehouse.py:27,53,66)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    survey=["G5"],
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-distinct over two columns (dim-build dedup shape)."""
+    return (
+        load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: left-anti incremental load (loadToWarehouse.py:31-32, D5 fixed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_without_lineitems",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+    survey=["J1"],
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: the reference's right-join + isNull incremental-dim
+    idiom (loadToWarehouse.py:31-32) expressed the idiomatic way -- 'rows
+    not yet present on the other side', the incremental-load primitive."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    survey=["J1-family"],
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# P13/A3/A9: dim_date with the full attribute suite (defect D5 fixed:
+# keyed `date`, day-of-month not day-of-year, real left-anti incremental)
+# ---------------------------------------------------------------------------
+
+DIM_DATE_SQL = """
+SELECT
+  date,
+  YEAR(date) AS year,
+  MONTH(date) AS month,
+  DAYOFMONTH(date) AS day,
+  QUARTER(date) AS quarter,
+  DAYNAME(date) AS day_name,
+  MONTHNAME(date) AS month_name,
+  (ISODOW(date) - 1) AS weekday,
+  (ISODOW(date) >= 6) AS is_weekend
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders)
+"""
+
+
+@register("dim_date", oracle=DIM_DATE_SQL, survey=["P13", "G5", "P2"])
+def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_date build: distinct dates -> year/month/day/quarter/names.
+
+    Fixes reference defects D5 (loadToWarehouse.py:27-40): consistent `date`
+    key, `dayofmonth` instead of day-of-year "DD", weekday 0=Monday.
+    """
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(F.to_date("o_orderdate").alias("date")).distinct()
+    return d.select(
+        "date",
+        F.year("date").alias("year"),
+        F.month("date").alias("month"),
+        F.dayofmonth("date").alias("day"),
+        F.quarter("date").alias("quarter"),
+        F.date_format("date", "EEEE").alias("day_name"),
+        F.date_format("date", "MMMM").alias("month_name"),
+        F.weekday("date").alias("weekday"),
+        (F.weekday("date") >= F.lit(5)).alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/P6: conjunctive filter + global agg (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_revenue",
+    oracle=f"""
+SELECT {_sql_dsum('l_extendedprice * l_discount', 4)} AS promo_revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    survey=["P4", "P6"],
+)
+def filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate (the silver data-quality filter shape,
+    transformToSilver.py:53) + global sum; all four predicates push to the
+    parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "promo_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / windows (SURVEY.md section 2.6 -- absent in reference,
+# surfaced here because the star schema is designed for them)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    survey=["sort", "limit"],
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, no full sort at scale."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rank_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    survey=["window"],
+)
+def rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number window (rank-per-group)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_total
+FROM orders
+""",
+    survey=["window-frame"],
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer (running-total frame window); exact
+    decimal accumulation keeps it order-of-shuffle independent."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (union / intersect / except)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_set_ops",
+    oracle="""
+SELECT 'customer_only' AS op, k FROM (
+  SELECT c_nationkey AS k FROM customer
+  EXCEPT
+  SELECT s_nationkey AS k FROM supplier)
+UNION ALL
+SELECT 'both' AS op, k FROM (
+  SELECT c_nationkey AS k FROM customer
+  INTERSECT
+  SELECT s_nationkey AS k FROM supplier)
+UNION ALL
+SELECT 'either' AS op, k FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION
+  SELECT s_nationkey AS k FROM supplier)
+""",
+    survey=["set-ops"],
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """except / intersect / union-distinct in one labeled result."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        cust.subtract(supp).select(F.lit("customer_only").alias("op"), "k")
+        .unionAll(cust.intersect(supp).select(F.lit("both").alias("op"), "k"))
+        .unionAll(
+            cust.union(supp).distinct().select(F.lit("either").alias("op"), "k")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot and rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_returnflag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_O,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""",
+    survey=["pivot"],
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list -> single pass,
+    no extra distinct job at scale)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    survey=["rollup"],
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate (subtotals + grand total)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1-style SQL-surface entry (temp view + spark.sql; SURVEY section 2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_between_slice",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 100 AND 500
+""",
+    survey=["Q1", "S10"],
+)
+def sql_between_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's temp-view + `spark.sql` BETWEEN slice
+    (transformToSilver.py:105-112, with defect D1's stale-bounds loop fixed
+    by construction -- bounds are interpolated per call)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_view")
+    lo, hi = 100, 500
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_view
+        WHERE o_orderkey BETWEEN {lo} AND {hi}
+        """
+    )
