@@ -46,6 +46,20 @@ def davg(col: Column | str, scale: int = 4) -> Column:
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
 
 
+def dround(col: Column | str, scale: int = 2) -> Column:
+    """Engine-portable rounding of a positive double: floor(x*10^s + 0.5).
+
+    Spark's ``round()`` routes doubles through their shortest *decimal
+    string* (so 4.7249999...964, printed "4.725", rounds UP to 4.73) while
+    DuckDB rounds the binary value (4.72). This helper is the identical
+    IEEE op sequence in both engines -- use it, with its SQL twin
+    ``sqlfrag.sql_dround``, for every rounded double the oracle compares.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10**scale
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
 # --- U1: ISO-8601 duration (PT#H#M) -> total minutes -----------------------
 
 _DURATION_RE = re.compile(r"^PT(?:(\d+)H)?(?:(\d+)M)?$")

@@ -1,0 +1,93 @@
+"""Text-analysis column functions for the training-data pipeline extras:
+tokenization, normalization, fingerprinting, stopword scoring, language-ID
+heuristic, shingling, minhash.
+
+All pure column expressions (JVM-side); at 100 TB the text path is the hot
+path, so nothing here drops to Python. The shingle/minhash pipeline is
+higher-order functions over arrays -- per-row work, no shuffle until the
+LSH band join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal stopword sets for the language-ID heuristic (public common words).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+}
+
+# Shared CASE expression (valid in both Spark SQL and DuckDB) that turns the
+# four score_* columns into a predicted language; ties break by the fixed
+# en > es > fr > de preference order.
+LANG_CASE_SQL = """
+CASE
+  WHEN score_en = 0 AND score_es = 0 AND score_fr = 0 AND score_de = 0
+    THEN 'unknown'
+  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de
+    THEN 'en'
+  WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+  WHEN score_fr >= score_de THEN 'fr'
+  ELSE 'de'
+END
+"""
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(_c(col), r"\s+")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.lower(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (md5 hex is identical across engines, unlike engine-native hash().)"""
+    return F.md5(normalize_text(col))
+
+
+def stopword_score(tokens: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the given stopword set."""
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-gram shingles of the normalized text -> array<string>.
+
+    ``substr`` past the end yields a short tail shingle; texts shorter than
+    k produce a single shingle. Distinct is applied so shingle multiplicity
+    does not bias minhash/jaccard.
+    """
+    norm = normalize_text(col)
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))
+        )
+    )
+
+
+def minhash(shingles: Column, seed: int) -> Column:
+    """One minhash value: lexicographic min of seeded md5 over shingles.
+
+    Seeded md5-hex is a public, engine-portable stand-in for a hash-
+    permutation family: min(md5(seed || shingle)) behaves as an independent
+    permutation per seed and reproduces bit-identically in any engine.
+    """
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+        )
+    )

@@ -22,21 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flights_etl_pipeline_spark.functions.scalar import davg, dsum
+from flights_etl_pipeline_spark.functions.scalar import davg, dround, dsum
 from flights_etl_pipeline_spark.plans.registry import load, register
-
-
-def _sql_dsum(expr: str, scale: int = 2) -> str:
-    """SQL mirror of functions.scalar.dsum (exact decimal sum -> double)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-
-
-def _sql_davg(expr: str, scale: int = 4) -> str:
-    """SQL mirror of functions.scalar.davg."""
-    return (
-        f"(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}))"
-    )
+from flights_etl_pipeline_spark.plans.sqlfrag import sql_davg as _sql_davg
+from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround as _sql_dround
+from flights_etl_pipeline_spark.plans.sqlfrag import sql_dsum as _sql_dsum
 
 
 # ---------------------------------------------------------------------------
@@ -51,9 +41,9 @@ SELECT
   {_sql_dsum('l_extendedprice')} AS sum_base_price,
   {_sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
   {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-  ROUND({_sql_davg('l_quantity')}, 2) AS avg_qty,
-  ROUND({_sql_davg('l_extendedprice')}, 2) AS avg_price,
-  ROUND({_sql_davg('l_discount')}, 2) AS avg_disc,
+  {_sql_dround(_sql_davg('l_quantity'), 2)} AS avg_qty,
+  {_sql_dround(_sql_davg('l_extendedprice'), 2)} AS avg_price,
+  {_sql_dround(_sql_davg('l_discount'), 2)} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -87,9 +77,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rounding at a coarser scale hits exact .5 ties where engines'
             # double->decimal rounding can legitimately disagree
             dsum(charge, 6).alias("sum_charge"),
-            F.round(davg("l_quantity"), 2).alias("avg_qty"),
-            F.round(davg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(davg("l_discount"), 2).alias("avg_disc"),
+            dround(davg("l_quantity"), 2).alias("avg_qty"),
+            dround(davg("l_extendedprice"), 2).alias("avg_price"),
+            dround(davg("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -160,7 +150,7 @@ SELECT
   YEAR(o.o_orderdate) AS order_year,
   MONTH(o.o_orderdate) AS order_month,
   {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
-  ROUND({_sql_davg('o.o_totalprice')}, 2) AS avg_order_price,
+  {_sql_dround(_sql_davg('o.o_totalprice'), 2)} AS avg_order_price,
   COUNT(DISTINCT o.o_orderkey) AS n_orders
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -189,7 +179,7 @@ def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             dsum(revenue, 4).alias("revenue"),
-            F.round(davg("o_totalprice"), 2).alias("avg_order_price"),
+            dround(davg("o_totalprice"), 2).alias("avg_order_price"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -204,7 +194,7 @@ def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_avg_price",
     oracle=f"""
 SELECT o_orderpriority,
-       ROUND({_sql_davg('o_totalprice')}, 2) AS avg_totalprice,
+       {_sql_dround(_sql_davg('o_totalprice'), 2)} AS avg_totalprice,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """,
@@ -216,7 +206,7 @@ def priority_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(davg("o_totalprice"), 2).alias("avg_totalprice"),
+            dround(davg("o_totalprice"), 2).alias("avg_totalprice"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

@@ -1,0 +1,234 @@
+"""Event-table queries: batch event-time windows, sessionization, JSON
+extraction, first-event dedup (SURVEY.md section 2.9 mapping).
+
+The reference has no streaming; its incremental substitute is batch
+chunking + high-watermark resume (ingestToBronze.py:59-66). These queries
+express the same event-time semantics Structured Streaming would use --
+tumbling windows, watermark-style max-ts, gap sessionization -- in batch
+mode over the ``events`` table, per SURVEY.md section 2.9. The streaming/
+package runs the same logic with readStream + withWatermark.
+
+Scale: every query here shuffles by (user_id) or (window, type) -- both
+high-cardinality and uniform. Sessionization uses one window function pass,
+not per-user collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flights_etl_pipeline_spark.functions.scalar import dround, dsum
+from flights_etl_pipeline_spark.plans.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (batch groupBy(F.window(...)))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+    survey=["streaming-batch", "G3"],
+    bench=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window x event_type rollup -- the batch expression
+    of a streaming windowed aggregation (window.start == date_trunc)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (lag + cumulative-flag; one shuffle by user)
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", oracle=SESSIONIZE_SQL, survey=["window", "streaming-batch"])
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: lag -> boundary flag -> running sum.
+
+    The batch equivalent of a stateful session window
+    (applyInPandasWithState / session_window in streaming); integer
+    microsecond arithmetic keeps the gap comparison engine-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_sess").over(run).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (props is a JSON-ish string column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_stats",
+    oracle="""
+SELECT event_type,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_count
+FROM events
+GROUP BY event_type
+""",
+    survey=["json", "G3"],
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props column + integer aggregates."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.count(k).alias("k_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-event-per-key dedup (drop-duplicates-keep-earliest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_first_per_user_type",
+    oracle="""
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    survey=["dedup-exact", "window"],
+)
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-earliest dedup by key: deterministic dropDuplicates via
+    row_number (plain dropDuplicates is arrival-order-dependent, which is
+    exactly what you cannot rely on under a shuffle at scale)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total via window-over-aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_shares",
+    oracle="""
+SELECT event_type, n_events,
+       FLOOR(CAST(n_events AS DOUBLE) / SUM(n_events) OVER ()
+             * 1000000 + 0.5) / 1000000 AS share
+FROM (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type)
+""",
+    survey=["window", "G3"],
+)
+def event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + unpartitioned window: share of total per event type."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n_events",
+        dround(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w), 6
+        ).alias("share"),
+    )

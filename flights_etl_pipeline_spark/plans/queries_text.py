@@ -1,0 +1,197 @@
+"""Text-analysis queries over the documents table (north-star extras:
+token counting, quality scoring, language-ID heuristic, fingerprinting).
+
+Every metric is integer- or exact-division-based so the DuckDB oracle
+matches bit-for-bit; the whole pipeline is codegen'd column expressions
+(tokenize once, derive everything from the array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flights_etl_pipeline_spark.functions.scalar import dround
+from flights_etl_pipeline_spark.functions.text import (
+    LANG_CASE_SQL,
+    STOPWORDS,
+    fingerprint,
+    normalize_text,
+    stopword_score,
+    tokenize,
+)
+from flights_etl_pipeline_spark.plans.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Document stats: token counts, lengths, fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, n_chars, text, string_split_regex(text, '\\s+') AS tokens
+  FROM documents
+)
+SELECT doc_id,
+       n_chars,
+       LENGTH(text) AS n_chars_computed,
+       LEN(tokens) AS n_tokens,
+       LEN(LIST_DISTINCT(tokens)) AS n_distinct_tokens,
+       FLOOR(CAST(LIST_SUM(LIST_TRANSFORM(tokens, t -> LENGTH(t))) AS DOUBLE)
+             / LEN(tokens) * 100 + 0.5) / 100 AS mean_token_len,
+       MD5(TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+FROM toks
+""",
+    survey=["text-stats", "fingerprint"],
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics + md5 fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    lens = F.transform(toks, F.length)
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        dround(
+            F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).cast(
+                "double"
+            )
+            / F.size(toks),
+            2,
+        ).alias("mean_token_len"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword-set scores + shared CASE decision
+# ---------------------------------------------------------------------------
+
+
+def _duck_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"LEN(LIST_FILTER(string_split_regex(LOWER(text), '\\s+'),"
+        f" t -> t IN ({words}))) AS score_{lang}"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_duck_score('en')},
+         {_duck_score('es')},
+         {_duck_score('fr')},
+         {_duck_score('de')}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, score_en, score_es, score_fr, score_de,
+       {LANG_CASE_SQL} AS predicted_lang
+FROM scores
+"""
+
+
+@register("doc_lang_id", oracle=LANG_ID_SQL, survey=["lang-id", "text"])
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: per-language stopword hit counts,
+    argmax with fixed tie order (the decision CASE is literally the same
+    SQL text Spark and DuckDB evaluate)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            stopword_score(toks, STOPWORDS[lang]).alias(f"score_{lang}")
+            for lang in ("en", "es", "fr", "de")
+        ],
+    )
+    return scored.withColumn("predicted_lang", F.expr(LANG_CASE_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level token frequency top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_freq_topk",
+    oracle="""
+SELECT tok, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY freq DESC, tok
+LIMIT 25
+""",
+    survey=["text", "A7", "sort", "limit"],
+)
+def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-25 (explode -> agg -> TakeOrdered)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: bucketed composite of exact metrics
+# ---------------------------------------------------------------------------
+
+QUALITY_SQL = """
+WITH m AS (
+  SELECT doc_id, source,
+         LEN(string_split_regex(text, '\\s+')) AS n_tokens,
+         LEN(LIST_FILTER(string_split_regex(LOWER(text), '\\s+'),
+             t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       FLOOR(CAST(n_stop AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000
+         AS stop_ratio,
+       CASE WHEN n_tokens >= 40
+              AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6
+            THEN 'high'
+            WHEN n_tokens >= 15 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM m
+"""
+
+
+@register("doc_quality", oracle=QUALITY_SQL, survey=["quality-score", "text"])
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + stopword-ratio bucket (the
+    pretraining-filter shape; all thresholds on exact values)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    lower_toks = tokenize(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    n_stop = stopword_score(lower_toks, STOPWORDS["en"])
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        dround(stop_ratio, 4).alias("stop_ratio"),
+        F.when(
+            (n_tokens >= 40) & (stop_ratio >= 0.02) & (stop_ratio <= 0.6),
+            F.lit("high"),
+        )
+        .when(n_tokens >= 15, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("quality_bucket"),
+    )

@@ -60,5 +60,20 @@ def register(
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (parquet scan, S3)."""
+    """Read one testdata table (parquet scan, S3).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as long and truncate to microseconds --
+    the same truncation DuckDB applies -- so both engines see identical
+    instants.
+    """
+    df = None
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
