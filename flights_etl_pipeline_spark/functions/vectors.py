@@ -1,0 +1,65 @@
+"""Vector functions over embedding columns (array<float>).
+
+Dot products / norms fold per-element products into an exact DECIMAL
+accumulator instead of a double: IEEE double addition is order-sensitive,
+and neither Spark's ``aggregate`` fold order under repartitioning nor
+another engine's ``list_sum`` is guaranteed to match -- exact decimal makes
+the sum associative, so the result is bit-identical everywhere (the SQL
+twin is ``sqlfrag.sql_decimal_dot``). The per-element double multiply is a
+single deterministic IEEE op; its decimal rounding at scale 14 is
+far below float32 input precision, so no information is lost.
+
+All higher-order built-ins: the hot path (64-1536 dims x billions of rows)
+stays inside codegen, no Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DOT_SCALE = 14
+_DEC = f"decimal(38,{DOT_SCALE})"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def decimal_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact (order-independent) dot product of two float arrays -> double."""
+    prods = F.zip_with(
+        _c(a), _c(b), lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    ).cast("double")
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity via exact dots; final sqrt/divide are single
+    correctly-rounded IEEE ops (deterministic across engines)."""
+    a, b = _c(a), _c(b)
+    return decimal_dot(a, b) / F.sqrt(decimal_dot(a, a) * decimal_dot(b, b))
+
+
+def signed_hyperplane(seed: int, dim: int) -> list[int]:
+    """Deterministic +-1 pseudo-random hyperplane from md5(seed|dim-index).
+
+    Computed driver-side once and inlined as a literal array, so Spark and
+    any oracle engine use the exact same plane. The md5-parity bit stream
+    is a public-construction substitute for a seeded RNG.
+    """
+    return [
+        1
+        if int(hashlib.md5(f"{seed}|{d}".encode()).hexdigest()[0], 16) < 8
+        else -1
+        for d in range(dim)
+    ]
+
+
+def hyperplane_lit(plane: list[int]) -> Column:
+    """+-1 plane as a literal int array column."""
+    return F.array(*[F.lit(v) for v in plane])

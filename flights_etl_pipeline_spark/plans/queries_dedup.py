@@ -1,0 +1,333 @@
+"""Deduplication queries (north-star training-data operators): exact
+fingerprint dedup, MinHash+LSH banding, 16-bit SimHash, exact n-gram
+Jaccard on candidate pairs.
+
+The driver's documents table contains no duplicates, so each query first
+builds a *corpus with known duplicates* deterministically: the original
+docs, verbatim copies (doc_id+10000) of doc_id<100, and near-copies
+(doc_id+20000, two tokens appended) of 100<=doc_id<200. Both engines build
+the identical corpus, so results are exactly comparable and provably
+non-empty.
+
+Scale design: every step is per-row column work (shingles, md5 minhashes)
+until the LSH *band join* -- the only shuffle, keyed by (band, signature),
+which is how MinHash dedup at 100 TB avoids the quadratic pair explosion.
+The exact-Jaccard verification runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flights_etl_pipeline_spark.functions.scalar import dround
+from flights_etl_pipeline_spark.functions.text import (
+    char_shingles,
+    fingerprint,
+    minhash,
+)
+from flights_etl_pipeline_spark.plans.registry import load, register
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 minhashes per band
+
+# ---------------------------------------------------------------------------
+# Shared corpus-with-duplicates (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' qq zz' AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 200
+"""
+
+NORM_SQL = "TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+SHINGLES_SQL = (
+    "LIST_DISTINCT(LIST_TRANSFORM("
+    f"generate_series(1, GREATEST(LENGTH({NORM_SQL}) - 4, 1)), "
+    f"i -> substr({NORM_SQL}, i, 5)))"
+)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near_copies = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+    )
+    return docs.unionAll(exact_copies).unionAll(near_copies)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: fingerprint -> canonical id per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS ({CORPUS_SQL}),
+fp AS (SELECT doc_id, MD5({NORM_SQL}) AS fp FROM corpus)
+SELECT doc_id, fp,
+       MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       doc_id > MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM fp
+""",
+    survey=["dedup-exact", "fingerprint", "window"],
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text md5: one hash shuffle, keep-min
+    canonical -- the dropDuplicates pattern made deterministic."""
+    corpus = _corpus(spark, sf_dir)
+    w = Window.partitionBy("fp")
+    return (
+        corpus.select("doc_id", fingerprint("text").alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") > F.col("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding -> candidate pairs + estimated Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _sig_sql() -> str:
+    hs = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(sh, s -> md5(concat('{j}|', s)))) AS h{j}"
+        for j in range(N_MINHASH)
+    )
+    return (
+        f"SELECT doc_id, {hs} FROM "
+        f"(SELECT doc_id, {SHINGLES_SQL} AS sh FROM corpus)"
+    )
+
+
+def _bands_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(h{2 * b}, h{2 * b + 1}) AS bsig"
+        " FROM sig"
+        for b in range(N_BANDS)
+    )
+    return rows
+
+
+MINHASH_LSH_SQL = f"""
+WITH corpus AS ({CORPUS_SQL}),
+sig AS ({_sig_sql()}),
+bands AS ({_bands_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ({" + ".join(f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH))})
+         / {N_MINHASH}.0 AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=MINHASH_LSH_SQL,
+    survey=["dedup-minhash-lsh", "A8", "J1-family"],
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands x 2): shingle -> minhash -> band ->
+    bucket-join -> candidate pairs with signature-estimated Jaccard.
+
+    The band self-join is the only shuffle; at scale candidates are a
+    vanishing fraction of the quadratic pair space.
+    """
+    corpus = _corpus(spark, sf_dir)
+    sh = char_shingles("text", 5)
+    sig = corpus.select(
+        "doc_id", *[minhash(sh, j).alias(f"h{j}") for j in range(N_MINHASH)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("bsig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bsig")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = sum(
+        F.when(F.col(f"sa.h{j}") == F.col(f"sb.h{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16-bit SimHash over the token multiset
+# ---------------------------------------------------------------------------
+
+# engine-shared expressions: FLOOR(h / 2^b) % 2 avoids the differing
+# shift/intdiv operators between Spark SQL and DuckDB
+_BIT_SUM_EXPRS = [
+    f"SUM(CASE WHEN FLOOR(h / {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+]
+_ASSEMBLE_EXPR = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+)
+
+SIMHASH_SQL = f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+  FROM corpus
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, {", ".join(_BIT_SUM_EXPRS)}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {_ASSEMBLE_EXPR} AS simhash
+FROM bits
+"""
+
+
+@register("simhash_docs", oracle=SIMHASH_SQL, survey=["dedup-simhash"])
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token 16-bit md5 hash, +-1 bit votes, sign -> bits.
+
+    One explode + one hash-agg (map-side combinable): the near-dup sketch
+    that needs no pairwise work at all.
+    """
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h"),
+    )
+    bits = hashed.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _BIT_SUM_EXPRS]
+    )
+    return bits.select("doc_id", F.expr(_ASSEMBLE_EXPR).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on deterministic candidate pairs
+# ---------------------------------------------------------------------------
+
+NGRAM_JACCARD_SQL = f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM corpus),
+pairs AS (
+  SELECT doc_id AS a, doc_id + 10000 AS b FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id, doc_id + 20000 FROM documents
+  WHERE doc_id >= 100 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents
+  WHERE doc_id >= 200 AND doc_id < 300
+),
+joined AS (
+  SELECT p.a, p.b, sa.sh AS sha, sb.sh AS shb
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b
+)
+SELECT a, b,
+       FLOOR(CAST(LEN(LIST_INTERSECT(sha, shb)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(sha, shb))) * 10000 + 0.5)
+         / 10000 AS jaccard,
+       CAST(LEN(LIST_INTERSECT(sha, shb)) AS DOUBLE)
+         / LEN(LIST_DISTINCT(LIST_CONCAT(sha, shb))) >= 0.8 AS is_near_dup
+FROM joined
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=NGRAM_JACCARD_SQL,
+    survey=["dedup-ngram-jaccard", "A3"],
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard for candidate pairs: |A n B| / |A u B| on
+    distinct shingle sets (the verify stage after LSH candidate
+    generation; at scale it runs only on candidates)."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", char_shingles("text", 5).alias("sh"))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 10000).alias("b"))
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+                F.col("doc_id").alias("a"),
+                (F.col("doc_id") + 20000).alias("b"),
+            )
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)).select(
+                F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+            )
+        )
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    joined = (
+        pairs.join(sa, F.col("a") == F.col("sa.doc_id"))
+        .join(sb, F.col("b") == F.col("sb.doc_id"))
+        .select("a", "b", F.col("sa.sh").alias("sha"), F.col("sb.sh").alias("shb"))
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = F.size(F.array_union("sha", "shb"))
+    jac = inter / union
+    return joined.select(
+        "a",
+        "b",
+        dround(jac, 4).alias("jaccard"),
+        (jac >= 0.8).alias("is_near_dup"),
+    )

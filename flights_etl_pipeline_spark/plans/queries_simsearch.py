@@ -1,0 +1,223 @@
+"""Similarity-search queries over the embeddings table (north-star ANN):
+brute-force cosine top-k baseline, random-hyperplane LSH bucketing, the
+bucketed ANN variant, and embedding-cosine near-dup pairs.
+
+All dot products use exact decimal folds (functions.vectors.decimal_dot)
+so Spark and the DuckDB oracle agree bit-for-bit; the hyperplanes are
+md5-derived +-1 literals inlined identically into both engines.
+
+Scale design: brute-force is the correctness baseline (one broadcast of
+the query vector, no shuffle); the LSH-bucket variant is the 100 TB path --
+bucket assignment is per-row column work and the search touches only the
+query's bucket. Near-dup runs inside label blocks (stand-in for LSH
+buckets), never the full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flights_etl_pipeline_spark.functions.scalar import dround
+from flights_etl_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    decimal_dot,
+    hyperplane_lit,
+    signed_hyperplane,
+)
+from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.sqlfrag import sql_cosine, sql_decimal_dot
+
+DIM = 64
+N_PLANES = 4
+PLANES = [signed_hyperplane(j, DIM) for j in range(N_PLANES)]
+
+
+def _plane_sql(plane: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in plane) + "]"
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = [
+        f"(CASE WHEN {sql_decimal_dot(emb, _plane_sql(PLANES[j]))} > 0"
+        f" THEN {2**j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_col(emb: str) -> F.Column:
+    terms = [
+        F.when(decimal_dot(emb, hyperplane_lit(PLANES[j])) > 0, 2**j).otherwise(0)
+        for j in range(N_PLANES)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (baseline)
+# ---------------------------------------------------------------------------
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       FLOOR({sql_cosine('e.embedding', 'q.qv')} * 100000000 + 0.5)
+         / 100000000 AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=ANN_BRUTE_SQL,
+    survey=["simsearch-bruteforce", "A8"],
+    bench=True,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vec_id=0: broadcast the query vector,
+    score every row JVM-side, TakeOrdered -- the ANN ground truth."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            dround(cosine_similarity("embedding", "qv"), 8).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_bucket_sizes",
+    oracle=f"""
+SELECT {_bucket_sql('embedding')} AS bucket,
+       COUNT(*) AS n_vecs,
+       MIN(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+""",
+    survey=["simsearch-lsh"],
+)
+def lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-of-projection LSH: 4 md5-derived +-1 hyperplanes -> 16 buckets.
+    Bucket assignment is pure per-row column work (no shuffle until the
+    final small aggregate)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", _bucket_col("embedding").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, label,
+       FLOOR({sql_cosine('b.embedding', 'q.qv')} * 100000000 + 0.5)
+         / 100000000 AS cosine
+FROM b CROSS JOIN q
+WHERE b.bucket = q.qb
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+"""
+
+
+@register("ann_lsh_topk", oracle=ANN_LSH_SQL, survey=["simsearch-lsh-topk"])
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: score only vectors in the query's LSH bucket -- the
+    scale path (candidates shrink ~16x here, ~2^k-x in general)."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "label", "embedding", _bucket_col("embedding").alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    return (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qb"))
+        .select(
+            "vec_id",
+            "label",
+            dround(cosine_similarity("embedding", "qv"), 8).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (blocked join)
+# ---------------------------------------------------------------------------
+
+NEARDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       FLOOR({sql_cosine('a.embedding', 'b.embedding')} * 1000000 + 0.5)
+         / 1000000 AS cosine
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.99
+"""
+
+
+@register(
+    "embedding_neardup",
+    oracle=NEARDUP_SQL,
+    survey=["dedup-embedding", "simsearch"],
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: label-blocked self-join, cosine>0.99.
+
+    The corpus injects exact copies (vec_id+10000) so the result is
+    provably non-empty; blocking by label models the LSH-bucket join that
+    replaces the quadratic self-join at 100 TB.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "label", "embedding").unionAll(
+        emb.filter(F.col("vec_id") < 200).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "label", "embedding"
+        )
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            dround(cos, 6).alias("cosine"),
+        )
+    )

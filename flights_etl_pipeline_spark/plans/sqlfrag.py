@@ -26,3 +26,20 @@ def sql_dround(expr: str, scale: int = 2) -> str:
     """Mirror of scalar.dround: floor(x * 10^s + 0.5) / 10^s."""
     p = 10**scale
     return f"(FLOOR(({expr}) * {p} + 0.5) / {p})"
+
+
+def sql_decimal_dot(a: str, b: str) -> str:
+    """Mirror of vectors.decimal_dot: exact decimal fold of the products."""
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+        f"p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
+        f"AS DECIMAL(38,14)))) AS DOUBLE)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    """Mirror of vectors.cosine_similarity."""
+    return (
+        f"({sql_decimal_dot(a, b)} / "
+        f"SQRT({sql_decimal_dot(a, a)} * {sql_decimal_dot(b, b)}))"
+    )
