@@ -1,0 +1,87 @@
+"""Readers: JDBC, CSV, parquet, path probe, watermark (S1-S3, S6-S7).
+
+The reference reads its OLTP source with a hand-rolled sequential chunk
+loop -- subquery-as-table ``BETWEEN`` slices of 1M rows each
+(ingestToBronze.py:43-74) -- and ingests CSV with a 5-hour single-process
+pandas loop (scripts/ingest-data.py:20-56). Both collapse to single
+parallel Spark reads here: JDBC ``partitionColumn`` bounds give N
+concurrent range scans with the same pushed-down predicates, and the CSV
+reader is a distributed scan with an explicit schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """S3: partition-discovering parquet scan."""
+    return spark.read.parquet(path)
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S6 rebuilt: one distributed CSV read replaces the reference's
+    chunked pandas->Postgres loop. Explicit schema avoids the
+    double-pass inference scan on a 30 GB file."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 32,
+    fetchsize: int = 100_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1 rebuilt: parallel range-partitioned JDBC scan.
+
+    The reference's sequential ``(SELECT * FROM t WHERE index BETWEEN lo
+    AND hi) tbl`` loop (ingestToBronze.py:63-74, defect D1: the loop never
+    re-interpolated its bounds) becomes Spark's built-in partitioned read:
+    the same BETWEEN predicates, issued concurrently, with filter pushdown
+    (``pushDownPredicate`` defaults true).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .option("fetchsize", str(fetchsize))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """S7: HDFS/local path probe via the JVM FileSystem API (the
+    reference's is_exist_path idiom, ingestToBronze.py:9-34), used for
+    idempotent/incremental branches."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
+def high_watermark(df: DataFrame, column: str):
+    """S2/G1: max(column) scalar for incremental resume
+    (ingestToBronze.py:59-66). The one sanctioned driver-side collect:
+    a single aggregated row."""
+    return df.agg(F.max(column).alias("wm")).collect()[0]["wm"]
