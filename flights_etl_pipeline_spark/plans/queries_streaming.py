@@ -1,0 +1,57 @@
+"""Registered Structured Streaming queries (SURVEY.md section 2.9).
+
+Each entry replays the events table as a micro-batched file stream
+(streaming.source), drains it with Trigger.AvailableNow into a memory
+sink, and returns the sink table — an ordinary DataFrame the driver
+hash-compares against a *batch* SQL oracle. Parity is exact because the
+sentinel mechanism closes every window / session before the drain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flights_etl_pipeline_spark.plans.queries_events import SESSIONIZE_SQL
+from flights_etl_pipeline_spark.plans.registry import register
+from flights_etl_pipeline_spark.streaming import jobs
+
+HOURLY_STREAM_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+
+@register(
+    "events_hourly_stream",
+    oracle=HOURLY_STREAM_SQL,
+    survey=["streaming", "G3"],
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream -> tumbling 1h window agg, complete mode, 4 batches."""
+    return jobs.events_hourly_stream(spark, sf_dir)
+
+
+@register(
+    "events_hourly_stream_append",
+    oracle=HOURLY_STREAM_SQL,
+    survey=["streaming", "watermark"],
+)
+def events_hourly_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode windows: each row emitted exactly once when
+    the watermark closes its window."""
+    return jobs.events_hourly_stream_append(spark, sf_dir)
+
+
+@register(
+    "events_sessionize_stream",
+    oracle=SESSIONIZE_SQL,
+    survey=["streaming", "stateful"],
+)
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState 30-min-gap sessions, event-time timeouts;
+    exact parity with the batch sessionization oracle."""
+    return jobs.events_sessionize_stream(spark, sf_dir)

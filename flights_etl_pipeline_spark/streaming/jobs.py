@@ -1,0 +1,200 @@
+"""Structured Streaming jobs over the events stream.
+
+Three jobs, each run to completion with ``Trigger.AvailableNow`` into a
+memory sink so the result is an ordinary DataFrame the driver harness can
+hash-compare:
+
+- :func:`events_hourly_stream` — tumbling-window aggregation, complete
+  output mode (the streaming twin of the batch ``events_hourly``).
+- :func:`events_hourly_stream_append` — the same aggregation in *append*
+  mode with a 1-hour watermark: windows emit only once the watermark
+  closes them, which the sentinel files force for every real window.
+- :func:`events_sessionize_stream` — 30-minute-gap sessionization as a
+  custom stateful operator (``applyInPandasWithState`` with event-time
+  timeouts); exact-parity twin of the batch ``events_sessionize``.
+
+Scale notes: streaming state is partitioned by the grouping key
+(``spark.sql.shuffle.partitions`` state stores), so both jobs shard by
+high-cardinality uniform keys (window x type, user_id). The pandas state
+function touches each user's delta once per batch — no per-user collect,
+no cross-batch replay.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import uuid
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flights_etl_pipeline_spark.functions.scalar import dsum
+from flights_etl_pipeline_spark.streaming.source import (
+    SENTINEL_USER,
+    prepare_stream_dir,
+    read_event_stream,
+)
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "ckpt",
+)
+_COUNTER = itertools.count()
+
+
+def _run_to_memory(writer_df: DataFrame, output_mode: str, name: str) -> DataFrame:
+    """Start ``writer_df`` into a memory sink, await AvailableNow drain,
+    return the sink table. Checkpoint is throwaway (fresh per run)."""
+    spark = writer_df.sparkSession
+    qname = f"mem_{name}_{next(_COUNTER)}_{os.getpid()}"
+    ckpt = os.path.join(_SCRATCH, f"{qname}-{uuid.uuid4().hex[:8]}")
+    q = (
+        writer_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (complete mode)
+# ---------------------------------------------------------------------------
+
+
+def _hourly_agg(ev: DataFrame) -> DataFrame:
+    # countDistinct is unsupported in streaming aggs, so the streaming
+    # twin carries (count, exact-decimal sum) only
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-batch replay -> tumbling 1h window x event_type, complete mode."""
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir)
+    return _run_to_memory(_hourly_agg(ev), "complete", "hourly")
+
+
+def events_hourly_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append mode: a window row is emitted exactly once, when
+    the event-time watermark passes its end. The two sentinel batches
+    advance the watermark past every real window; sentinel windows are
+    filtered out of the sink (their user data never reaches output
+    anyway — they only exist to move the clock)."""
+    stream_dir, max_us = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=True)
+    ev = read_event_stream(spark, stream_dir).withWatermark("ts", "1 hour")
+    out = _run_to_memory(_hourly_agg(ev), "append", "hourly_append")
+    return out.filter(F.col("hour_start") <= F.timestamp_micros(F.lit(max_us)))
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization (applyInPandasWithState, event-time timeout)
+# ---------------------------------------------------------------------------
+
+GAP_US = 1_800_000_000  # 30 minutes, integer microseconds
+
+SESSION_OUT_SCHEMA = (
+    "user_id LONG, session_id LONG, n_events LONG, "
+    "session_start TIMESTAMP, session_end TIMESTAMP"
+)
+SESSION_STATE_SCHEMA = "session_id LONG, start_us LONG, end_us LONG, n LONG"
+
+
+def _ts_to_us(col: pd.Series) -> pd.Series:
+    return pd.to_datetime(col).astype("datetime64[ns]").astype("int64") // 1000
+
+
+def _session_row(user_id: int, sid: int, n: int, s_us: int, e_us: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_id": [sid],
+            "n_events": [n],
+            "session_start": [pd.to_datetime(s_us, unit="us")],
+            "session_end": [pd.to_datetime(e_us, unit="us")],
+        }
+    )
+
+
+def sessionize_state_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator.
+
+    State holds the one open session ``(session_id, start_us, end_us,
+    n)``. New events (sorted by ts, event_id) either extend it (gap <=
+    30 min) or close it — closed sessions are emitted immediately. The
+    open session is emitted when its event-time timer (last event +
+    30 min) falls behind the watermark. Sentinel users (< 0) drive the
+    watermark but emit nothing.
+    """
+    user_id = int(key[0])
+
+    if state.hasTimedOut:
+        sid, s_us, e_us, n = state.get
+        state.remove()
+        if user_id >= 0:
+            yield _session_row(user_id, sid, n, s_us, e_us)
+        return
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.assign(_us=_ts_to_us(pdf["ts"])).sort_values(["_us", "event_id"])
+
+    sid, s_us, e_us, n = state.get if state.exists else (0, None, None, 0)
+    out: list[pd.DataFrame] = []
+    for ev_us in pdf["_us"].to_list():
+        if s_us is None:
+            sid, s_us, e_us, n = sid + 1, ev_us, ev_us, 1
+        elif ev_us - e_us > GAP_US:
+            if user_id >= 0:
+                out.append(_session_row(user_id, sid, n, s_us, e_us))
+            sid, s_us, e_us, n = sid + 1, ev_us, ev_us, 1
+        else:
+            e_us, n = max(e_us, ev_us), n + 1
+
+    state.update((sid, s_us, e_us, n))
+    # timer in epoch-millis: fire once the watermark passes last+gap
+    state.setTimeoutTimestamp(e_us // 1000 + GAP_US // 1000)
+    yield from out
+
+
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_sessionize``: same (user, session)
+    grid, exact parity — the sentinel batches force every open session's
+    timer to fire before the query drains."""
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=True)
+    ev = read_event_stream(spark, stream_dir).withWatermark("ts", "30 seconds")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize_state_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_memory(sessions, "append", "sessionize")
