@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+At 100 TB a training-data pipeline carries images/audio/video as opaque
+``binary`` columns with a typed metadata struct, and runs decode /
+feature-extract / frame-sample as Arrow-batched Python over
+``mapInPandas``. The media codecs (PIL / librosa / av) are not in this
+container, so the *decode* step is a clearly-marked stub
+(:func:`decode_media`) plus a deterministic fake decoder
+(:func:`blob_features` — byte-level statistics) — while the Spark-side
+plumbing (schema, partitioning, batch iterator shape, UDF signatures) is
+real and tested.
+
+Payload synthesis is deterministic from the documents table: the binary
+column is the UTF-8 encoding of ``text`` and the metadata derives from
+``doc_id``, so every downstream result is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ("image", "audio", "video")
+VIDEO_FPS = 24
+FRAME_STRIDE = 10
+
+FEATURE_SCHEMA = (
+    "doc_id LONG, media_type STRING, byte_len LONG, crc32 LONG, "
+    "first_byte INT, mean_byte DOUBLE"
+)
+FRAME_SCHEMA = "doc_id LONG, frame_idx INT, ts_ms LONG"
+
+_CODEC_DEPS = {}
+try:  # real decoders, absent in this container — gate behind import-try
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    _CODEC_DEPS["image"] = True
+except ImportError:
+    pass
+
+
+def media_type_col(doc_id: Column | str = "doc_id") -> Column:
+    """Deterministic media type: doc_id mod 3 -> image/audio/video."""
+    c = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return F.element_at(F.array(*[F.lit(t) for t in MEDIA_TYPES]), (c % 3 + 1).cast("int"))
+
+
+def duration_ms_col(doc_id: Column | str = "doc_id") -> Column:
+    """Deterministic media duration: 1000 + (doc_id % 50) * 200 ms."""
+    c = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return (F.lit(1000) + (c % 50) * 200).cast("long")
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal table: payload binary + typed metadata.
+
+    Metadata is a struct (media_type, byte_len, width, height,
+    sample_rate, duration_ms) with nulls for fields that do not apply to
+    the row's media type — the schema a real ingest would carry next to
+    an opaque payload column. All JVM-side column work; no Python.
+    """
+    did = F.col("doc_id")
+    mt = media_type_col(did)
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            mt.alias("media_type"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("byte_len"),
+            F.when(mt == "image", (did % 640 + 64).cast("int")).alias("width"),
+            F.when(mt == "image", (did % 480 + 48).cast("int")).alias("height"),
+            F.when(mt == "audio", F.lit(16000)).alias("sample_rate"),
+            F.when(mt != "image", duration_ms_col(did)).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media_type: str, payload: bytes) -> object:
+    """Decode an opaque payload into pixels / samples / frames.
+
+    STUB: the real implementation dispatches to PIL (image), librosa
+    (audio), or av (video) — none of which ship in this container. The
+    pipeline's tested path uses :func:`blob_features` as the
+    deterministic stand-in feature extractor.
+    """
+    if media_type in _CODEC_DEPS:  # pragma: no cover - codec not installed
+        raise NotImplementedError("codec present but decode path not wired")
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this environment; "
+        "use blob_features() as the deterministic fake decoder"
+    )
+
+
+def blob_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas feature extractor over (doc_id, payload, meta).
+
+    Deterministic byte-level statistics standing in for a model feature
+    head: crc32 checksum, first byte, mean byte value. Arrow hands whole
+    column batches; everything vectorizes inside the batch except the
+    per-blob crc (C-speed via zlib).
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["meta"].map(lambda m: m["media_type"]),
+                "byte_len": payloads.map(len).astype("int64"),
+                "crc32": payloads.map(lambda b: zlib.crc32(b)).astype("int64"),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
+                    "int32"
+                ),
+                "mean_byte": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ),
+            }
+        )
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame sampler for video rows: every FRAME_STRIDE-th
+    frame index with its integer-exact timestamp offset.
+
+    Real decode would seek into the container per sampled index; the
+    index/timestamp plumbing here is exactly what that path needs, and
+    is fully SQL-oracle-checkable (n_frames = duration_ms*fps // 1000,
+    ts_ms = frame_idx*1000 // fps).
+    """
+    for pdf in batches:
+        out_doc, out_idx, out_ts = [], [], []
+        for doc_id, dur in zip(pdf["doc_id"], pdf["duration_ms"]):
+            n_frames = int(dur) * VIDEO_FPS // 1000
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_ts.append(idx * 1000 // VIDEO_FPS)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "ts_ms": pd.Series(out_ts, dtype="int64"),
+            }
+        )
