@@ -58,6 +58,37 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of a string -> long.
+
+    ``fold(chars, 0, (acc, c) -> (acc*31 + codepoint(c)) % 1e9+7)`` as a
+    higher-order aggregate over the char array -- O(len) per row, fully
+    inside codegen, no shuffle. Unlike md5 it supports incremental
+    window extension (the classic substring-search / chunk-dedup trick);
+    the oracle twin is ``sql_rolling_hash``.
+    """
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % F.lit(ROLLING_MOD),
+    )
+
+
+def sql_rolling_hash(expr: str) -> str:
+    """DuckDB twin of :func:`rolling_hash` (list_reduce fold; the leading
+    0 seeds the accumulator since list_reduce has no initial-value arg)."""
+    return (
+        f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        f"list_transform(string_split({expr},''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc,c) -> (acc*{ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+
+
 def stopword_score(tokens: Column, words: tuple[str, ...]) -> Column:
     """Count of tokens that are in the given stopword set."""
     return F.size(F.filter(tokens, lambda x: x.isin(*words)))

@@ -221,3 +221,96 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(cos, 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: seeded centroids -> assignment -> probed search
+# ---------------------------------------------------------------------------
+
+K_CENTROIDS = 8
+N_PROBE = 2
+
+ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {K_CENTROIDS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {sql_cosine('e.embedding', 'c.cvec')} AS cs
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY {sql_cosine('cvec', 'qv')} DESC, cid
+  LIMIT {N_PROBE}
+)
+SELECT a.vec_id, a.label,
+       FLOOR({sql_cosine('a.embedding', 'q.qv')} * 100000000 + 0.5)
+         / 100000000 AS cosine
+FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=ANN_IVF_SQL,
+    survey=["simsearch-ivf"],
+    bench=True,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 seeded centroids, assign each vector to its nearest
+    (argmax cosine, broadcast centroids -> narrow per-row work), then
+    search only the query's 2 probed inverted lists.
+
+    The 100 TB shape: centroid table broadcasts, assignment is one
+    shuffle-free pass, and the corpus is written partitioned by ``cid``
+    so a probe prunes to nprobe/K of the data at scan time. Seeded
+    centroids (first K vectors) stand in for a k-means fit; swapping in
+    trained centroids changes recall, not the plan.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cid",
+        cosine_similarity("embedding", "cvec").alias("cs"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .orderBy(cosine_similarity("cvec", "qv").desc(), "cid")
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            dround(cosine_similarity("embedding", "qv"), 8).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

@@ -195,3 +195,40 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("low"))
         .alias("quality_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (Rabin-Karp fold)
+# ---------------------------------------------------------------------------
+
+from flights_etl_pipeline_spark.functions.text import (  # noqa: E402
+    rolling_hash,
+    sql_rolling_hash,
+)
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, {sql_rolling_hash('text')} AS fingerprint FROM documents
+)
+SELECT doc_id, fingerprint, fingerprint % 64 AS shard
+FROM fp
+""",
+    survey=["fingerprint", "text"],
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial fingerprint per document + its dedup shard.
+
+    The rolling form (vs md5) is what incremental chunk-dedup and
+    substring search build on; the fold stays JVM-side and the shard
+    column is the natural dedup-shuffle key at scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = rolling_hash("text")
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        (fp % 64).alias("shard"),
+    )
