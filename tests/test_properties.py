@@ -1,0 +1,79 @@
+"""Property-based spot checks (SURVEY.md section 5.4): Spark column
+implementations vs pure-Python models over hypothesis-generated inputs.
+One Spark job per example set (inputs batched into a single DataFrame).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flights_etl_pipeline_spark.functions.text import (
+    ROLLING_BASE,
+    ROLLING_MOD,
+    rolling_hash,
+)
+from flights_etl_pipeline_spark.functions.scalar import duration_to_minutes
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_DURATION_MODEL = re.compile(r"^PT(?:(\d+)H)?(?:(\d+)M)?$")
+
+
+def _duration_model(s: str) -> int | None:
+    m = _DURATION_MODEL.match(s)
+    if not m:
+        return None
+    return int(m.group(1) or 0) * 60 + int(m.group(2) or 0)
+
+
+def _rolling_model(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+    return acc
+
+
+duration_like = st.one_of(
+    st.builds(
+        lambda h, m: f"PT{h}H{m}M", st.integers(0, 99), st.integers(0, 500)
+    ),
+    st.builds(lambda h: f"PT{h}H", st.integers(0, 99)),
+    st.builds(lambda m: f"PT{m}M", st.integers(0, 500)),
+    st.just("PT"),
+    st.text(string.printable, max_size=12),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(duration_like, min_size=1, max_size=30))
+def test_duration_parser_matches_model(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "s STRING")
+    got = [
+        r["m"]
+        for r in df.select(duration_to_minutes("s").alias("m"))
+        .toLocalIterator()
+    ]
+    assert got == [_duration_model(v) for v in values]
+
+
+ascii_text = st.text(
+    st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_rolling_hash_matches_model(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "t STRING")
+    got = [
+        r["h"] for r in df.select(rolling_hash("t").alias("h")).toLocalIterator()
+    ]
+    assert got == [_rolling_model(v) for v in values]
