@@ -45,6 +45,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return decimal_dot(a, b) / F.sqrt(decimal_dot(a, a) * decimal_dot(b, b))
 
 
+def cosine_from_parts(
+    dot: Column, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """Cosine from a precomputed pair dot and per-side self-dots.
+
+    Bit-identical to :func:`cosine_similarity` (the decimal dots are
+    exact, and sqrt/divide run on the same doubles) but lets a query
+    compute each side's self-dot ONCE instead of once per pair — at k
+    centroids or n candidates that cuts the fold work from 3 folds/pair
+    to 1 fold/pair + 1 fold/side.
+    """
+    return dot / F.sqrt(_c(norm_a) * _c(norm_b))
+
+
 def signed_hyperplane(seed: int, dim: int) -> list[int]:
     """Deterministic +-1 pseudo-random hyperplane from md5(seed|dim-index).
 

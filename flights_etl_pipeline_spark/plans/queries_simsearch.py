@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround
 from flights_etl_pipeline_spark.functions.vectors import (
+    cosine_from_parts,
     cosine_similarity,
     decimal_dot,
     hyperplane_lit,
@@ -79,17 +80,22 @@ LIMIT 10
     bench=True,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for query vec_id=0: broadcast the query vector,
-    score every row JVM-side, TakeOrdered -- the ANN ground truth."""
+    """Exact cosine top-10 for query vec_id=0: broadcast the query vector
+    (with its self-dot precomputed on the 1-row side), score every row
+    JVM-side with one pair-fold + one self-fold, TakeOrdered -- the ANN
+    ground truth. Values are bit-identical to the naive 3-fold cosine."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
+    cos = cosine_from_parts(
+        decimal_dot("embedding", "qv"), decimal_dot("embedding", "embedding"), "qnorm"
+    )
     return (
         emb.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            dround(cosine_similarity("embedding", "qv"), 8).alias("cosine"),
-        )
+        .select("vec_id", "label", dround(cos, 8).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
@@ -280,37 +286,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    ).select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    # per-row self-dot once, then one pair-fold per centroid; argmax via
+    # max_by (hash agg, no sort shuffle) with the (cs DESC, cid ASC)
+    # tie-break encoded as max of struct(cs, -cid)
+    rows = emb.select(
+        "vec_id", "label", "embedding", decimal_dot("embedding", "embedding").alias("enorm")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "cid",
-        cosine_similarity("embedding", "cvec").alias("cs"),
+    cs = cosine_from_parts(decimal_dot("embedding", "cvec"), "enorm", "cnorm")
+    scored = rows.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "embedding", "enorm", "cid", cs.alias("cs")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cid")
+    assigned = scored.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.first("embedding").alias("embedding"),
+        F.first("enorm").alias("enorm"),
+        F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))).alias("cid"),
     )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
     probes = (
         cents.crossJoin(F.broadcast(q))
-        .orderBy(cosine_similarity("cvec", "qv").desc(), "cid")
+        .orderBy(
+            cosine_from_parts(decimal_dot("cvec", "qv"), "cnorm", "qnorm").desc(),
+            "cid",
+        )
         .limit(N_PROBE)
         .select("cid")
     )
+    qcos = cosine_from_parts(decimal_dot("embedding", "qv"), "enorm", "qnorm")
     return (
         assigned.join(F.broadcast(probes), "cid")
         .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            dround(cosine_similarity("embedding", "qv"), 8).alias("cosine"),
-        )
+        .select("vec_id", "label", dround(qcos, 8).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
