@@ -116,9 +116,46 @@ def minhash(shingles: Column, seed: int) -> Column:
     Seeded md5-hex is a public, engine-portable stand-in for a hash-
     permutation family: min(md5(seed || shingle)) behaves as an independent
     permutation per seed and reproduces bit-identically in any engine.
+
+    NOTE: computing k of these evaluates k md5 passes over every shingle;
+    the production path is :func:`shingle_hashes` (one md5 per shingle)
+    + :func:`minhash_from_hashes` (k cheap integer mixes).
     """
     return F.array_min(
         F.transform(
             shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
         )
+    )
+
+
+MINHASH_MOD = ROLLING_MOD
+
+
+def minhash_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash family ((a_j, b_j) pairs) derived from
+    md5 — driver-side literals inlined identically into both engines.
+    a_j is odd and < 2^29 so a*h + b stays far inside int64."""
+    import hashlib
+
+    def _p(tag: str, j: int) -> int:
+        return int(hashlib.md5(f"{tag}|{j}".encode()).hexdigest()[:7], 16)
+
+    return [((_p("a", j) * 2 + 1) % 2**29, _p("b", j)) for j in range(n)]
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Shingle array -> int64 hash array: ONE md5 per shingle (first 15
+    hex digits -> bigint, mod 1e9+7). All k minhashes mix these ints."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_MOD),
+    )
+
+
+def minhash_from_hashes(hs: Column, a: int, b: int) -> Column:
+    """min((a*h + b) mod p) over the pre-hashed shingle ints — the cheap
+    per-permutation mix (integer mul/add vs a full md5 per shingle)."""
+    return F.array_min(
+        F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD))
     )

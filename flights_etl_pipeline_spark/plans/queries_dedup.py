@@ -23,9 +23,12 @@ from pyspark.sql.window import Window
 
 from flights_etl_pipeline_spark.functions.scalar import dround
 from flights_etl_pipeline_spark.functions.text import (
+    MINHASH_MOD,
     char_shingles,
     fingerprint,
-    minhash,
+    minhash_from_hashes,
+    minhash_params,
+    shingle_hashes,
 )
 from flights_etl_pipeline_spark.plans.registry import load, register
 
@@ -101,21 +104,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+MINHASH_PARAMS = minhash_params(N_MINHASH)
+_MOD = MINHASH_MOD
+
+# one md5 per shingle -> int64; all 8 permutations mix the same ints
+_HS_SQL = (
+    f"LIST_TRANSFORM({SHINGLES_SQL}, "
+    f"s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MOD})"
+)
+
+
 def _sig_sql() -> str:
-    hs = ", ".join(
-        f"LIST_MIN(LIST_TRANSFORM(sh, s -> md5(concat('{j}|', s)))) AS h{j}"
-        for j in range(N_MINHASH)
+    mins = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(hs, h -> ({a}*h + {b}) % {_MOD})) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
     )
     return (
-        f"SELECT doc_id, {hs} FROM "
-        f"(SELECT doc_id, {SHINGLES_SQL} AS sh FROM corpus)"
+        f"SELECT doc_id, {mins} FROM "
+        f"(SELECT doc_id, {_HS_SQL} AS hs FROM corpus)"
     )
 
 
 def _bands_sql() -> str:
     rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat(h{2 * b}, h{2 * b + 1}) AS bsig"
-        " FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(CAST(h{2 * b} AS VARCHAR), '_', CAST(h{2 * b + 1} AS VARCHAR))"
+        f" AS bsig FROM sig"
         for b in range(N_BANDS)
     )
     return rows
@@ -145,17 +159,25 @@ JOIN sig sb ON sb.doc_id = doc_b
     survey=["dedup-minhash-lsh", "A8", "J1-family"],
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) + LSH(4 bands x 2): shingle -> minhash -> band ->
-    bucket-join -> candidate pairs with signature-estimated Jaccard.
+    """MinHash(k=8) + LSH(4 bands x 2): shingle -> int hash (one md5 per
+    shingle) -> 8 universal-hash minhashes -> band -> bucket-join ->
+    candidate pairs with signature-estimated Jaccard.
 
     The band self-join is the only shuffle; at scale candidates are a
-    vanishing fraction of the quadratic pair space.
+    vanishing fraction of the quadratic pair space. The signature table is
+    persisted because three consumers (bands + both pair sides) would
+    otherwise each re-evaluate the shingle/md5 subtree — Spark does not
+    CSE shared subplans the way an engine materializes a CTE.
     """
     corpus = _corpus(spark, sf_dir)
-    sh = char_shingles("text", 5)
-    sig = corpus.select(
-        "doc_id", *[minhash(sh, j).alias(f"h{j}") for j in range(N_MINHASH)]
-    )
+    hs = corpus.select("doc_id", shingle_hashes(char_shingles("text", 5)).alias("hs"))
+    sig = hs.select(
+        "doc_id",
+        *[
+            minhash_from_hashes(F.col("hs"), a, b).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ],
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -164,7 +186,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat(
-                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                            F.col(f"h{2 * b}").cast("string"),
+                            F.lit("_"),
+                            F.col(f"h{2 * b + 1}").cast("string"),
                         ).alias("bsig"),
                     )
                     for b in range(N_BANDS)
