@@ -322,7 +322,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingle sets (the verify stage after LSH candidate
     generation; at scale it runs only on candidates)."""
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.select("doc_id", char_shingles("text", 5).alias("sh"))
+    # persisted: both pair sides consume it, and Spark would otherwise
+    # re-evaluate the shingle subtree per side (no subplan CSE)
+    sh = corpus.select("doc_id", char_shingles("text", 5).alias("sh")).persist()
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = (
         docs.filter(F.col("doc_id") < 100)

@@ -232,3 +232,45 @@ def event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.sum("n_events").over(w), 6
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (skew mitigation with exact parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_salted_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    survey=["skew-salting", "G3"],
+)
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: salt the hot key space 16 ways, partial-agg
+    on (key, salt), then final-agg on key.
+
+    ``event_type`` is low-cardinality — the textbook skew shape where a
+    plain groupBy funnels each key through one reducer. Salting bounds
+    any single task at ~1/16 of a hot key; the decimal partials make the
+    two-phase sum bit-equal to the one-phase oracle (exact decimal
+    addition is associative). Spark's own partial aggregation does this
+    within partitions; explicit salting is the pattern for when the
+    *post-shuffle* key is still too hot (and what AQE skew-join cannot
+    fix for aggregations).
+    """
+    ev = load(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", (F.col("event_id") % 16).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("ps").cast("double").alias("total_value"),
+    )
