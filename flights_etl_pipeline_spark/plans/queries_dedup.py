@@ -86,6 +86,7 @@ SELECT doc_id, fp,
 FROM fp
 """,
     survey=["dedup-exact", "fingerprint", "window"],
+    bench=True,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text md5: one hash shuffle, keep-min
@@ -157,6 +158,7 @@ JOIN sig sb ON sb.doc_id = doc_b
     "minhash_lsh_pairs",
     oracle=MINHASH_LSH_SQL,
     survey=["dedup-minhash-lsh", "A8", "J1-family"],
+    bench=True,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=8) + LSH(4 bands x 2): shingle -> int hash (one md5 per
@@ -258,7 +260,7 @@ FROM bits
 """
 
 
-@register("simhash_docs", oracle=SIMHASH_SQL, survey=["dedup-simhash"])
+@register("simhash_docs", oracle=SIMHASH_SQL, survey=["dedup-simhash"], bench=True)
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-token 16-bit md5 hash, +-1 bit votes, sign -> bits.
 

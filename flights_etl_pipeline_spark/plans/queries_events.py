@@ -93,7 +93,12 @@ GROUP BY user_id, session_id
 """
 
 
-@register("events_sessionize", oracle=SESSIONIZE_SQL, survey=["window", "streaming-batch"])
+@register(
+    "events_sessionize",
+    oracle=SESSIONIZE_SQL,
+    survey=["window", "streaming-batch"],
+    bench=True,
+)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization: lag -> boundary flag -> running sum.
 

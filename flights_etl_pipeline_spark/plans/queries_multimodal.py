@@ -64,6 +64,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # crc32 / byte stats are not SQL-expressible; see
     # tests/test_multimodal.py for the value-level verification
     survey=["multimodal", "mapInPandas"],
+    bench=True,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-statistics extraction (the deterministic fake

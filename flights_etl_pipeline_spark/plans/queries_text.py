@@ -172,7 +172,9 @@ FROM m
 """
 
 
-@register("doc_quality", oracle=QUALITY_SQL, survey=["quality-score", "text"])
+@register(
+    "doc_quality", oracle=QUALITY_SQL, survey=["quality-score", "text"], bench=True
+)
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length + stopword-ratio bucket (the
     pretraining-filter shape; all thresholds on exact values)."""
