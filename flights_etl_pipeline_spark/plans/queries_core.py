@@ -581,3 +581,40 @@ def sql_between_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey BETWEEN {lo} AND {hi}
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (median / p90 / p99)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    survey=["percentile", "G3"],
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both linear-interpolate between order
+    statistics, and the interpolation arithmetic is bit-identical).
+
+    Exact percentiles need the full sorted group; at 100 TB the
+    first-choice substitute is ``approx_percentile`` (t-digest sketch,
+    map-side combinable) when a bounded error is acceptable -- same
+    plan shape, no per-group sort buffer.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -279,3 +279,118 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_events"),
         F.sum("ps").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click joined to the user's most recent prior purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS asof_purchase_id,
+         LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS asof_purchase_ts
+  FROM events
+)
+SELECT user_id, event_id, ts, asof_purchase_id, asof_purchase_ts
+FROM tagged WHERE event_type = 'click'
+""",
+    survey=["asof-join", "window"],
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most-recent-prior) join expressed as a composition of
+    existing DataFrame ops — Spark has no native ASOF JOIN, and the
+    union-tag-window form is the scale-clean rewrite: ONE shuffle by
+    user_id, no per-key search, no range explosion. The exclusive upper
+    frame bound (`-1`) gives strict "prior" semantics.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("asof_purchase_id"),
+        F.last(F.when(is_p, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_purchase_ts"),
+    )
+    return tagged.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "asof_purchase_id", "asof_purchase_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join via time-bucketing (same-user event pairs within 5 minutes)
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "events_range_join_pairs",
+    oracle=f"""
+SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND {_RANGE_US}
+""",
+    survey=["range-join", "J1-family"],
+)
+def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as a bucketed equi-join: hash each side into
+    5-minute time buckets, equi-join on (user, bucket) with the left side
+    exploded to its two candidate buckets, then apply the exact range
+    predicate. At scale this is the difference between a theta-join
+    (broadcast-nested-loop over everything) and a plain shuffled hash
+    join that touches only adjacent buckets.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        us.alias("us_a"),
+        F.explode(
+            F.array(
+                (us / _RANGE_US).cast("long"),
+                (us / _RANGE_US).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        us.alias("us_b"),
+        (us / _RANGE_US).cast("long").alias("bucket"),
+    )
+    gap = F.col("us_b") - F.col("us_a")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (a["bucket"] == b["bucket"]),
+        )
+        .filter((gap >= 1) & (gap <= _RANGE_US))
+        .select("event_a", "event_b", "user_id", gap.alias("gap_us"))
+    )
