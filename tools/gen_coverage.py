@@ -50,6 +50,9 @@ STATIC_MAP = [
     ("top-k / sort", "—", "plans/queries_core.py", "queries `top_orders`, `token_freq_topk`"),
     ("set ops", "—", "plans/queries_core.py", "query `nation_set_ops`"),
     ("rollup / pivot", "—", "plans/queries_core.py", "queries `rollup_revenue`, `pivot_returnflag`"),
+    ("exact percentiles", "—", "plans/queries_core.py::price_percentiles", "oracle-checked"),
+    ("as-of join", "—", "plans/queries_events.py::events_asof_join (tag + last-ignore-nulls window)", "oracle-checked"),
+    ("range join", "—", "plans/queries_events.py::events_range_join_pairs (time-bucketed equi-join)", "oracle-checked"),
     ("§2.7 SQL surface", None, None, None),
     ("Q1 SQL over temp view", "BETWEEN re-slice", "plans/queries_core.py::sql_between_slice", "query `sql_between_slice`"),
     ("Q2 DDL", "HiveQL database create", "sources/sinks.py::ensure_database", "e2e"),
