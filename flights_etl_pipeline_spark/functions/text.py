@@ -110,6 +110,51 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def word_shingles(col: Column | str, w: int = 3) -> Column:
+    """Word w-gram shingles of the normalized text -> array<string>
+    (Broder-style document shingling).
+
+    Why words, not chars, for MinHash near-dup: documents drawn from a
+    shared vocabulary overlap heavily in character k-grams (pairwise
+    Jaccard ~0.3-0.5), which degenerates LSH banding into near-quadratic
+    candidate sets; word w-grams of unrelated documents are almost
+    disjoint, so buckets stay small and the band join stays sub-linear
+    in the pair space — the property that makes MinHash dedup viable at
+    100 TB. Texts with fewer than w tokens yield one short shingle
+    (``concat_ws`` skips the out-of-range NULLs, identically in Spark
+    and DuckDB).
+
+    PERF NOTE: inside the ``transform`` lambda the normalize/split
+    subtree is re-evaluated per element (interpreted, no CSE). For the
+    hot path, materialize ``split(normalize_text(c), ' ')`` as a column
+    first and build shingles from an exploded index projection instead
+    (see ``queries_dedup.minhash_lsh_pairs``) — same values, all
+    whole-stage codegen.
+    """
+    toks = F.split(normalize_text(col), " ")
+    n = F.greatest(F.size(toks) - (w - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + j) for j in range(w)]
+        ),
+    )
+
+
+def shingle_hash_long(shingle: Column) -> Column:
+    """One shingle string -> int64: md5, first 15 hex digits, mod 1e9+7.
+
+    Plain column expression (no higher-order lambda), so it stays inside
+    whole-stage codegen when applied to an exploded shingle column —
+    ~10x faster than the same md5 inside an interpreted ``transform``
+    lambda. Identical value to :func:`shingle_hashes` per element.
+    """
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_MOD)
+    )
+
+
 def minhash(shingles: Column, seed: int) -> Column:
     """One minhash value: lexicographic min of seeded md5 over shingles.
 

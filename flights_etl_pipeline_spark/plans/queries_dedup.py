@@ -26,9 +26,9 @@ from flights_etl_pipeline_spark.functions.text import (
     MINHASH_MOD,
     char_shingles,
     fingerprint,
-    minhash_from_hashes,
     minhash_params,
-    shingle_hashes,
+    normalize_text,
+    shingle_hash_long,
 )
 from flights_etl_pipeline_spark.plans.registry import load, register
 
@@ -53,6 +53,18 @@ SHINGLES_SQL = (
     "LIST_DISTINCT(LIST_TRANSFORM("
     f"generate_series(1, GREATEST(LENGTH({NORM_SQL}) - 4, 1)), "
     f"i -> substr({NORM_SQL}, i, 5)))"
+)
+
+# Word 3-gram shingles (Broder shingling) for MinHash: unrelated docs over a
+# shared vocabulary are nearly disjoint in word trigrams (vs char 5-grams,
+# where pairwise Jaccard ~0.4 degenerates LSH buckets to near-quadratic
+# candidate sets). toks[i] out of range is NULL; concat_ws skips NULLs in
+# both engines, so <3-token texts yield one short shingle.
+_TOKS_SQL = f"string_split({NORM_SQL}, ' ')"
+WORD_SHINGLES_SQL = (
+    "LIST_TRANSFORM("
+    f"generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)), "
+    f"i -> concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2]))"
 )
 
 
@@ -108,9 +120,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_PARAMS = minhash_params(N_MINHASH)
 _MOD = MINHASH_MOD
 
-# one md5 per shingle -> int64; all 8 permutations mix the same ints
+# one md5 per shingle -> int64; all 8 permutations mix the same ints.
+# (min is multiplicity-blind, so no DISTINCT is needed before hashing.)
 _HS_SQL = (
-    f"LIST_TRANSFORM({SHINGLES_SQL}, "
+    f"LIST_TRANSFORM({WORD_SHINGLES_SQL}, "
     f"s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MOD})"
 )
 
@@ -161,24 +174,47 @@ JOIN sig sb ON sb.doc_id = doc_b
     bench=True,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) + LSH(4 bands x 2): shingle -> int hash (one md5 per
-    shingle) -> 8 universal-hash minhashes -> band -> bucket-join ->
-    candidate pairs with signature-estimated Jaccard.
+    """MinHash(k=8) + LSH(4 bands x 2) over word 3-gram shingles:
+    explode shingles -> one md5 each (plain column expr, whole-stage
+    codegen) -> 8 universal-hash mixes -> per-doc min aggregate -> band
+    -> bucket-join -> candidate pairs with signature-estimated Jaccard.
 
-    The band self-join is the only shuffle; at scale candidates are a
-    vanishing fraction of the quadratic pair space. The signature table is
-    persisted because three consumers (bands + both pair sides) would
-    otherwise each re-evaluate the shingle/md5 subtree — Spark does not
+    Scale design: the signature aggregate is map-side combinable (min),
+    so the explode never shuffles raw shingles — each task reduces its
+    shingles to 8 longs per doc before the exchange. Word (not char)
+    shingles keep unrelated docs out of each other's buckets, so the
+    band self-join stays sub-linear in the pair space; the signature
+    table is persisted because three consumers (bands + both pair
+    sides) would otherwise re-evaluate the md5 subtree — Spark does not
     CSE shared subplans the way an engine materializes a CTE.
     """
     corpus = _corpus(spark, sf_dir)
-    hs = corpus.select("doc_id", shingle_hashes(char_shingles("text", 5)).alias("hs"))
-    sig = hs.select(
+    # Tokens become an attribute BEFORE the explode: inside a lambda the
+    # normalize/split subtree would be re-evaluated per element (Spark
+    # expression trees are not DAGs and interpreted lambdas get no CSE),
+    # which costs ~150 regex evaluations per doc. Generator + plain
+    # projections keep every step in whole-stage codegen.
+    toks_df = corpus.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("toks")
+    )
+    ex = toks_df.select(
         "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.try_element_at("toks", F.col("i") + j) for j in range(3)]
+        ).alias("s"),
+    )
+    h = shingle_hash_long(F.col("s"))
+    sig = ex.groupBy("doc_id").agg(
         *[
-            minhash_from_hashes(F.col("hs"), a, b).alias(f"h{j}")
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MOD)).alias(f"h{j}")
             for j, (a, b) in enumerate(MINHASH_PARAMS)
-        ],
+        ]
     ).persist()
     bands = sig.select(
         "doc_id",
