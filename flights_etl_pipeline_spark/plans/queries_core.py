@@ -554,6 +554,31 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cube_revenue",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_extendedprice')} AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    survey=["cube", "rollup"],
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k subtotal combinations in one pass —
+    Spark expands the grouping sets before the hash aggregate, so it is
+    still a single shuffle, not k separate jobs)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1-style SQL-surface entry (temp view + spark.sql; SURVEY section 2.7)
 # ---------------------------------------------------------------------------

@@ -395,3 +395,90 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(jac, 4).alias("jaccard"),
         (jac >= 0.8).alias("is_near_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+_CLUSTER_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE mh AS ({MINHASH_LSH_SQL}),
+p AS (SELECT doc_a, doc_b FROM mh WHERE est_jaccard >= {_CLUSTER_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+""",
+    survey=["dedup-clusters", "connected-components", "iterative"],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate *clusters* (not just pairs): connected components over
+    the MinHash-LSH candidate graph, by iterative min-label propagation.
+
+    Pair output alone under-deduplicates: if A~B and B~C, the three docs
+    are one duplicate group even when A~C never surfaced as a candidate.
+    Each iteration is one distributed join + a map-side-combinable min
+    aggregate, and converges in O(component diameter) rounds (duplicate
+    clusters are near-cliques, so 2-3 rounds in practice — the same
+    label-propagation scheme GraphX's connectedComponents uses).
+    ``localCheckpoint`` truncates the per-iteration lineage so the plan
+    does not grow with the round count. The driver-side loop holds no
+    data — only the convergence flag crosses to the driver.
+    """
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= _CLUSTER_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+        )
+        labels, prev = new_labels, labels
+        if changed.isEmpty():
+            prev.unpersist()
+            break
+        prev.unpersist()
+    edges.unpersist()
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))

@@ -394,3 +394,66 @@ def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((gap >= 1) & (gap <= _RANGE_US))
         .select("event_a", "event_b", "user_id", gap.alias("gap_us"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting: exact shuffle-dedup vs HLL sketches (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_distinct_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    survey=["count-distinct", "G3"],
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group. Spark plans this as a two-phase
+    expand + partial dedup (distinct keys are deduped map-side before the
+    exchange), so the shuffle carries unique (event_type, user_id) pairs,
+    not raw events — the exact-count plan that still works at 100 TB
+    when key cardinality fits the cluster. When it doesn't, switch to the
+    HLL sketch twin (``events_hll_daily_merge``)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_hll_daily_merge",
+    oracle=None,  # sketch estimates are engine-specific -> rows-only check;
+    # tests/test_sketches.py bounds the estimate against the exact count
+    survey=["approx-sketch", "hll", "incremental"],
+)
+def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance with Apache DataSketches HLL:
+    build one sketch per (day, event_type) partition, then merge the
+    per-day sketches per event_type and estimate.
+
+    This is the 100 TB pattern the exact plan can't reach: per-partition
+    sketches are tiny (<= 1.5 KB), the merge is associative (a daily
+    pipeline persists day-level sketches and re-merges without rescanning
+    history), and the shuffle carries sketch bytes instead of user_ids.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

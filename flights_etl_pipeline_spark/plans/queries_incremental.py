@@ -1,0 +1,155 @@
+"""Incremental warehouse maintenance: MERGE/upsert expressed as joins and
+an SCD Type-2 dimension merge.
+
+The reference's only incremental pattern is append-new-rows (left-anti,
+loadToWarehouse.py:31-32, rebuilt as ``incremental_new_rows``). A real
+warehouse also needs *updates*: this module adds the two standard shapes
+on the driver's customer table, with a deterministic in-query "updates
+batch" (derived from the same table, so both engines construct identical
+inputs and the result is exactly oracle-comparable).
+
+Scale design: the updates batch in a daily pipeline is orders of
+magnitude smaller than the dimension, so both merge shapes are
+broadcast-hash joins on the dim side with zero wide shuffles; the
+dimension itself is never collected or recomputed — each run touches
+only (dim ⋈ updates). Without a transactional table format this is the
+full-outer-join MERGE; on Delta/Iceberg the same plan feeds MERGE INTO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flights_etl_pipeline_spark.plans.registry import load, register
+
+# Deterministic updates batch: every 7th customer gets a new balance and
+# segment; every 97th key also appears shifted by 1_000_000 as an insert.
+_UPDATES_SQL = """
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal,
+         'NEW' AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+def _updates(cust: DataFrame) -> DataFrame:
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return upd.unionAll(ins)
+
+
+@register(
+    "merge_upsert_customers",
+    oracle=f"""
+WITH upd AS ({_UPDATES_SQL}),
+dim AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+SELECT COALESCE(u.c_custkey, d.c_custkey) AS c_custkey,
+       COALESCE(u.c_acctbal, d.c_acctbal) AS c_acctbal,
+       COALESCE(u.c_mktsegment, d.c_mktsegment) AS c_mktsegment,
+       (u.c_custkey IS NOT NULL AND d.c_custkey IS NOT NULL) AS was_updated,
+       (d.c_custkey IS NULL) AS was_inserted
+FROM dim d FULL OUTER JOIN upd u USING (c_custkey)
+""",
+    survey=["merge-upsert", "J1-family", "incremental"],
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) as a full-outer join: matched rows take the update's
+    values, unmatched-source rows insert, unmatched-target rows pass
+    through. One join, no driver round-trip; the updates side is the
+    small one and broadcasts."""
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    upd = _updates(dim)
+    d, u = dim.alias("d"), upd.alias("u")
+    return d.join(u, "c_custkey", "full_outer").select(
+        F.col("c_custkey"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("d.c_acctbal")).alias(
+            "c_acctbal"
+        ),
+        F.coalesce(F.col("u.c_mktsegment"), F.col("d.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        (
+            F.col("u.c_acctbal").isNotNull()
+            & F.col("d.c_acctbal").isNotNull()
+        ).alias("was_updated"),
+        F.col("d.c_acctbal").isNull().alias("was_inserted"),
+    )
+
+
+@register(
+    "scd2_customer_merge",
+    oracle=f"""
+WITH upd AS ({_UPDATES_SQL}),
+dim AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment,
+       1 AS version,
+       (u.c_custkey IS NULL) AS is_current
+FROM dim d LEFT JOIN upd u
+  ON d.c_custkey = u.c_custkey AND u.c_mktsegment = 'UPDATED'
+UNION ALL
+SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+       CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 2 END AS version,
+       TRUE AS is_current
+FROM upd u LEFT JOIN dim d ON u.c_custkey = d.c_custkey
+""",
+    survey=["scd2", "merge-upsert", "incremental"],
+)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: updated keys keep their old
+    row (closed, ``is_current = false``) and gain a new versioned row;
+    inserts arrive at version 1; untouched rows stay current.
+
+    Two joins against the small updates batch (both broadcast); the
+    version column is derived from match status, not a window over the
+    whole dimension — at scale an SCD2 table keys versions by effective
+    date, which is this same plan with the batch date as a literal.
+    """
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    upd = _updates(dim)
+    upd_keys = upd.filter(F.col("c_mktsegment") == "UPDATED").select(
+        "c_custkey"
+    )
+    history = (
+        dim.join(upd_keys.withColumn("_hit", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.lit(1).alias("version"),
+            F.col("_hit").isNull().alias("is_current"),
+        )
+    )
+    current = (
+        upd.alias("u")
+        .join(
+            dim.select("c_custkey").withColumn("_hit", F.lit(1)).alias("d"),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.when(F.col("_hit").isNull(), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return history.unionAll(current)

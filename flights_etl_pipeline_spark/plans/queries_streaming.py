@@ -55,3 +55,32 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState 30-min-gap sessions, event-time timeouts;
     exact parity with the batch sessionization oracle."""
     return jobs.events_sessionize_stream(spark, sf_dir)
+
+
+@register(
+    "events_dedup_stream",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    survey=["streaming", "dedup-exact", "watermark"],
+)
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark keyed by (user_id, event_type);
+    watermark horizon covers the whole replay, so output == batch
+    DISTINCT."""
+    return jobs.events_dedup_stream(spark, sf_dir)
+
+
+@register(
+    "events_view_purchase_stream",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+    survey=["streaming", "stream-stream-join", "range-join"],
+)
+def events_view_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase within 1h after
+    view), exact batch parity under the AvailableNow drain."""
+    return jobs.events_view_purchase_join(spark, sf_dir)

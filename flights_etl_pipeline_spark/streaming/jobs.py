@@ -198,3 +198,76 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return _run_to_memory(sessions, "append", "sessionize")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup by (user_id, event_type) via
+    ``dropDuplicatesWithinWatermark``: first arrival of each key emits,
+    repeats within the watermark horizon are dropped in the state store.
+
+    The watermark delay (40 days) exceeds the dataset's 30-day span, so
+    no key ever ages out and the output is exactly one row per distinct
+    key — batch-equivalent by construction. In production the delay is
+    the real dedup horizon and state size is bounded by keys-per-horizon
+    (the point of the WithinWatermark variant vs unbounded
+    ``dropDuplicates``). Only key columns are projected so the output is
+    arrival-order independent.
+    """
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir).withWatermark("ts", "40 days")
+    dedup = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _run_to_memory(dedup, "append", "dedup")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+def events_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour after a view by
+    the same user. Both sides carry a 2-hour watermark plus the interval
+    condition, which lets Spark evict view-state once no future purchase
+    can land in its window — the state-bound that makes stream-stream
+    joins runnable indefinitely.
+
+    Replay chunks are chronological, so a 2-hour delay strictly covers
+    the 1-hour join window across batch boundaries: every match is
+    emitted before the corresponding state is evicted, giving exact
+    batch parity under the AvailableNow drain.
+    """
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "view_id", "purchase_id")
+    return _run_to_memory(joined, "append", "ss_join")
