@@ -35,6 +35,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist intermediates (minhash signatures, shingle
+        # tables) must not bleed executor memory into the next measurement
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
