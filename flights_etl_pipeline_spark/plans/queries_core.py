@@ -643,3 +643,120 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: exact correlation from decimal moments; histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corr_price_qty",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       FLOOR(((n * sxy - sx * sy)
+              / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             * 100000000 + 0.5) / 100000000 AS corr_price_qty
+FROM m
+""",
+    survey=["corr", "moments", "G3"],
+)
+def corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, computed from exact decimal moments
+    instead of ``F.corr`` (whose streaming co-moment update is
+    partition-order dependent and never matches another engine
+    bit-for-bit). Five decimal sums + one count in a single partial+final
+    hash aggregate; the closed-form combination is a fixed IEEE op
+    sequence (sqrt is correctly rounded by spec), so the result is
+    reproducible across engines, shuffles, and cluster sizes."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+
+    def dmom(expr, scale: int) -> F.Column:
+        return F.sum(expr.cast(f"decimal(38,{scale})")).cast("double")
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dmom(x, 4).alias("sx"),
+        dmom(y, 4).alias("sy"),
+        dmom(x * y, 6).alias("sxy"),
+        dmom(x * x, 6).alias("sxx"),
+        dmom(y * y, 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        dround(corr, 8).alias("corr_price_qty"),
+    )
+
+
+_HIST_BUCKET = 25_000
+
+
+@register(
+    "orders_price_histogram",
+    oracle=f"""
+WITH h AS (
+  SELECT FLOOR(o_totalprice / {_HIST_BUCKET}.0) AS bucket,
+         COUNT(*) AS n_orders,
+         {_sql_dsum('o_totalprice')} AS bucket_value
+  FROM orders GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       n_orders,
+       bucket_value,
+       {_sql_dround('CAST(SUM(n_orders) OVER (ORDER BY bucket) AS DOUBLE)'
+                    ' / SUM(n_orders) OVER ()', 6)} AS cum_share
+FROM h
+""",
+    survey=["histogram", "window-frame", "G3"],
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram with cumulative distribution share.
+    The binning is a map-side projection (floor division -- portable,
+    unlike engine-specific width_bucket); the aggregate shuffles only
+    ~25 bucket keys, and the running share windows over the tiny
+    aggregated output, not the base table."""
+    ord_ = load(spark, sf_dir, "orders")
+    h = (
+        ord_.groupBy(
+            F.floor(F.col("o_totalprice") / float(_HIST_BUCKET)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_value"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_orders",
+        "bucket_value",
+        dround(
+            F.sum("n_orders").over(w_cum).cast("double")
+            / F.sum("n_orders").over(w_all),
+            6,
+        ).alias("cum_share"),
+    )

@@ -457,3 +457,80 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered multi-stage conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
+UNION ALL
+SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
+""",
+    survey=["funnel", "sequence", "J1-family"],
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users whose first view is
+    later followed by a click, later followed by a purchase.
+
+    Each stage is (filter -> hash agg keyed user_id) joined to the
+    previous stage's per-user frontier timestamp. All three aggregates
+    and both joins hash-partition on the SAME key (user_id), so after
+    the first exchange every subsequent stage is shuffle-free
+    (Exchange reuse / ENSURE_REQUIREMENTS no-op) -- the funnel depth
+    adds no extra shuffles at 100 TB, and per-stage frontiers are
+    one row per user, shrinking monotonically down the funnel.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+
+    def _count(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+
+    return (
+        _count(v, "1_view")
+        .unionAll(_count(c, "2_click"))
+        .unionAll(_count(p, "3_purchase"))
+    )

@@ -1,0 +1,251 @@
+"""Training-data preparation operators: deterministic splits/sampling,
+per-class embedding centroids, and rarity-weighted term extraction.
+
+The reference has no ML-prep surface (SURVEY.md section 2.9: batch
+medallion only); these are the north-star training-pipeline ops layered
+on the same engine. Everything here is engine-portable by construction:
+
+- Sampling/splitting hashes a key with md5 (identical hex output in
+  every engine) instead of ``rand()``/``TABLESAMPLE`` (engine-private
+  RNG streams). Hash-based splits are also the *production* answer at
+  100 TB: the assignment is a map-side projection -- no shuffle, no
+  global ordering, stable under reruns, backfills, and repartitioning,
+  and a row's split never changes when the dataset grows.
+- Float reductions go through exact decimal sums (scalar.dsum
+  rationale), so centroid values hash-match bit-for-bit.
+- tf-idf uses a log-free rational idf (tf * N / df): libm ``log``
+  implementations legitimately differ in the last ulp across engines,
+  while integer-derived division is one IEEE op. Ranking order is the
+  same as log-idf for fixed tf (monotone in 1/df).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flights_etl_pipeline_spark.functions.scalar import dround, dsum
+from flights_etl_pipeline_spark.functions.text import tokenize
+from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround, sql_dsum
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-bucketed, shuffle-free)
+# ---------------------------------------------------------------------------
+
+# md5 hex compares lexicographically uniform: h < '0a' is 10/256 ~ 3.9 %,
+# '0a' <= h < '14' the next 3.9 %, the rest trains.
+_SPLIT_CASE_SQL = """
+CASE WHEN MD5(CAST(doc_id AS VARCHAR)) < '0a' THEN 'test'
+     WHEN MD5(CAST(doc_id AS VARCHAR)) < '14' THEN 'val'
+     ELSE 'train' END
+"""
+
+
+def split_assign(key) -> F.Column:
+    """'train' / 'val' / 'test' from a stable key column -- md5-bucketed,
+    so the same row lands in the same split in any engine, any run, any
+    partitioning. Map-side only; never shuffles."""
+    h = F.md5(F.col(key).cast("string") if isinstance(key, str) else key.cast("string"))
+    return (
+        F.when(h < "0a", "test").when(h < "14", "val").otherwise("train")
+    )
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+SELECT {_SPLIT_CASE_SQL} AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+    survey=["train-test-split", "sampling", "hash-bucket"],
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~4/4/92 test/val/train split of the documents table,
+    summarized per (split, lang) to show the split is unbiased across
+    strata. The assignment column is a pure projection: at 100 TB this
+    is a zero-shuffle pass, and writing `.partitionBy("split")` gives
+    partition-pruned training reads for free."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_assign("doc_id"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (per-class deterministic fraction, one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE MD5(CAST(event_id AS VARCHAR)) < '1a')
+         AS n_sampled,
+       {sql_dsum("CASE WHEN MD5(CAST(event_id AS VARCHAR)) < '1a' "
+                 "THEN value END", 4)} AS sampled_value,
+       {sql_dround("CAST(COUNT(*) FILTER (WHERE MD5(CAST(event_id AS VARCHAR))"
+                   " < '1a') AS DOUBLE) / COUNT(*)", 4)} AS sample_rate
+FROM events
+GROUP BY event_type
+""",
+    survey=["stratified-sample", "sampling", "hash-bucket"],
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class ~10 % sample (md5(event_id) < '1a' = 26/256) with
+    per-stratum achieved rates, in ONE scan via conditional aggregation
+    -- the deterministic stand-in for ``df.sampleBy``. Unlike sampleBy,
+    the selected *rows* (not just the rate) are reproducible across
+    engines and cluster sizes, which is what training-data lineage
+    needs."""
+    sampled = F.md5(F.col("event_id").cast("string")) < "1a"
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(sampled, 1)).alias("n_sampled"),
+            dsum(F.when(sampled, F.col("value")), 4).alias("sampled_value"),
+            dround(
+                F.count(F.when(sampled, 1)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("sample_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-class embedding centroids (the "average vector" reduction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label,
+         UNNEST(LIST_ZIP(embedding, generate_series(1, LEN(embedding)))) AS z
+  FROM embeddings
+)
+SELECT label,
+       z[2] AS pos,
+       FLOOR((CAST(SUM(CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(38,14)))
+                   AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS centroid_val,
+       COUNT(*) AS n_vecs
+FROM e
+GROUP BY label, z[2]
+""",
+    survey=["embedding-centroid", "simsearch", "A7-pos"],
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one output row per
+    (label, dimension). posexplode -> hash aggregate keyed (label, pos):
+    the shuffle carries (label, pos, partial decimal sum) -- 10 labels x
+    64 dims of partial aggregates per map task, NOT the vectors -- so
+    this reduces 100 TB of embeddings to kilobytes on the wire. The
+    exact decimal sum makes the centroid order-independent (float
+    addition is not associative; see scalar.dsum). Feeds IVF seeding
+    and per-class drift monitoring."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    return (
+        e.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            dround(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(38,14)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rarity-weighted top terms per document (log-free tf-idf)
+# ---------------------------------------------------------------------------
+
+_TOPK_TERMS = 3
+
+
+@register(
+    "doc_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / idf.df AS score
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rnk
+FROM ranked WHERE rnk <= {_TOPK_TERMS}
+""",
+    survey=["tfidf", "text", "window"],
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 rarity-weighted terms per document: tf * (N / df), a
+    log-free idf that keeps cross-engine bit-exactness (libm log differs
+    in the last ulp between engines; N/df is a single IEEE division) and
+    ranks identically to log-idf at fixed tf.
+
+    Plan shape: tokenize+explode (map-only) -> tf hash agg keyed
+    (doc_id, term) -> df hash agg keyed term -> broadcast-join df back
+    (term cardinality << corpus size) -> per-doc window top-k. The
+    corpus size N arrives via a 1-row cross join, not a driver
+    ``.count()`` round-trip, so the whole plan is one job."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK_TERMS)
+    )
