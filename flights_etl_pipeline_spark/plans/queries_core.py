@@ -760,3 +760,152 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide measures -> long form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle=f"""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure,
+       COUNT(*) AS n_rows,
+       {_sql_dsum('value', 4)} AS total,
+       {_sql_dround(_sql_davg('value', 4), 4)} AS mean
+FROM long
+GROUP BY measure
+""",
+    survey=["unpivot", "melt", "G3"],
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape with DataFrame.unpivot (melt) + per-measure
+    stats. Spark expands the measures with a single generate-like
+    Expand node (one scan, no join/union of N scans -- the oracle's
+    UNION ALL of 4 scans is the naive formulation this replaces), then
+    a 4-key hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    long_ = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long_.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value", 4).alias("total"),
+        dround(davg("value", 4), 4).alias("mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (sketch twin of price_percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_percentiles_approx",
+    oracle=None,  # sketch estimates are engine-specific -> rows-only check;
+    # tests/test_sketches.py bounds the estimate against the exact quantile
+    survey=["percentile", "approx-sketch"],
+)
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) p50/p90/p99 of o_totalprice
+    per order priority: the sketch twin of the exact interpolated
+    ``price_percentiles``. Mergeable partial sketches -> one small
+    shuffle of sketch state instead of a per-group sort; the 100 TB
+    path where exact quantiles would sort terabytes per group."""
+    ord_ = load(spark, sf_dir, "orders")
+    pct = F.expr(
+        "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return (
+        ord_.groupBy("o_orderpriority")
+        .agg(pct.alias("pcts"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data layout for skipping)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_DIV_ORDER = 1024  # l_orderkey -> 8-bit grid cell (covers sf<=1)
+_Z_DIV_PART = 128  # l_partkey -> 8-bit grid cell
+
+
+def _z_interleave_sql(xc: str, yc: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xc} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yc} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_clustering",
+    oracle=f"""
+WITH g AS (
+  SELECT CAST(FLOOR(l_orderkey / {_Z_DIV_ORDER}) AS BIGINT) & 255 AS gx,
+         CAST(FLOOR(l_partkey / {_Z_DIV_PART}) AS BIGINT) & 255 AS gy,
+         l_orderkey, l_partkey
+  FROM lineitem
+),
+z AS (
+  SELECT {_z_interleave_sql('gx', 'gy')} AS zval, l_orderkey, l_partkey
+  FROM g
+)
+SELECT zval >> 4 AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+       MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk
+FROM z
+GROUP BY 1
+""",
+    survey=["zorder", "data-layout", "clustering"],
+)
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_orderkey, l_partkey):
+    coarse-grid each key to 8 bits, interleave the bits, bucket by the
+    curve's high bits. Each output bucket's min/max spans show the
+    locality a z-sorted layout gives BOTH columns at once -- the file
+    min/max statistics that let a scan skip files for predicates on
+    either key (the layout trick Delta/Iceberg OPTIMIZE ZORDER uses;
+    here as a pure column expression usable in sortWithinPartitions/
+    write-time ordering). Bit arithmetic only -- portable and
+    codegen-friendly, no UDF."""
+    li = load(spark, sf_dir, "lineitem")
+    gx = F.floor(F.col("l_orderkey") / _Z_DIV_ORDER).cast("bigint").bitwiseAND(255)
+    gy = F.floor(F.col("l_partkey") / _Z_DIV_PART).cast("bigint").bitwiseAND(255)
+    g = li.select(
+        gx.alias("gx"), gy.alias("gy"), "l_orderkey", "l_partkey"
+    )
+    zval = F.expr(_z_interleave_sql("gx", "gy"))
+    return (
+        g.select(zval.alias("zval"), "l_orderkey", "l_partkey")
+        .groupBy(F.shiftright("zval", 4).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+    )

@@ -534,3 +534,111 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_count(c, "2_click"))
         .unionAll(_count(p, "3_purchase"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window in batch mode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+    survey=["session-window", "streaming-batch", "window"],
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate
+    (the same operator Structured Streaming uses for stateful session
+    aggregation, here in batch mode). Unlike the gaps-and-islands
+    formulation (``events_sessionize``: two window passes + final agg =
+    one sort-shuffle reused three times), session_window is a single
+    special-purpose aggregate: partial session merge map-side, one
+    exchange keyed user_id, final merge -- the plan Spark picks for
+    session semantics at any scale.
+
+    Tie semantics: session_window merges an event iff it starts strictly
+    before previous_end = prev_ts + 30min, so a gap of exactly 30:00
+    starts a NEW session (the oracle's ``>=``); the gaps-and-islands twin
+    uses ``>`` (merge on exact tie) -- both are valid conventions,
+    documented here because they differ.
+    """
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction: latest state per key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ts AS latest_ts, value AS latest_value,
+       event_id AS latest_event_id
+FROM ranked WHERE rn = 1
+""",
+    survey=["cdc-compaction", "dedup-exact", "window"],
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: the LATEST row per (user_id, event_type) --
+    how a CDC/upsert feed collapses to current state before a warehouse
+    merge. Deterministic tiebreak (ts, event_id) descending.
+
+    Scale note: row_number-over-window sorts only within each hash
+    partition of the key (no global sort), and at 100 TB the same
+    semantics can run as a partial ``max_by(struct(...))`` hash
+    aggregate (map-side combine, no sort at all); the window form is
+    kept because it extends to top-N-per-key unchanged."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+            F.col("event_id").alias("latest_event_id"),
+        )
+    )

@@ -84,3 +84,17 @@ def events_view_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (purchase within 1h after
     view), exact batch parity under the AvailableNow drain."""
     return jobs.events_view_purchase_join(spark, sf_dir)
+
+
+@register(
+    "events_enrich_stream",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    survey=["streaming", "stream-static-join", "broadcast"],
+)
+def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static broadcast enrichment against the customer
+    dimension; exact parity with the batch join."""
+    return jobs.events_enrich_stream(spark, sf_dir)

@@ -271,3 +271,34 @@ def events_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", "view_id", "purchase_id")
     return _run_to_memory(joined, "append", "ss_join")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+
+def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (user_id -> c_custkey). The static side is a plain batch
+    DataFrame -- Spark re-plans it per micro-batch, broadcasts it (far
+    under the autoBroadcast threshold), and the join is STATELESS: no
+    watermark, no state store, append mode. This is the canonical
+    dimension-enrichment shape at any scale -- the stream never shuffles,
+    each micro-batch does a map-side hash join against the broadcast
+    dim snapshot (and picks up dim updates between batches for free).
+    """
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
+    )
+    return _run_to_memory(enriched, "append", "enrich")
