@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
-from flights_etl_pipeline_spark.functions.text import tokenize
+from flights_etl_pipeline_spark.functions.text import tokenize, word_shingles
 from flights_etl_pipeline_spark.plans.registry import load, register
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround, sql_dsum
 
@@ -248,4 +248,118 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOPK_TERMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination (n-gram overlap between splits)
+# ---------------------------------------------------------------------------
+
+# word-trigram shingles, DuckDB side (mirrors functions.text.word_shingles)
+_NORM_SQL = "TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_SHINGLES_SQL = (
+    "LIST_TRANSFORM("
+    f"generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)), "
+    f"i -> concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2]))"
+)
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS sh,
+         {_SPLIT_CASE_SQL} AS split
+  FROM documents
+)
+SELECT t.doc_id AS test_doc_id,
+       COUNT(DISTINCT t.sh) AS n_shared_shingles,
+       COUNT(DISTINCT tr.doc_id) AS n_train_docs
+FROM sh t JOIN sh tr ON t.sh = tr.sh
+WHERE t.split = 'test' AND tr.split = 'train'
+GROUP BY t.doc_id
+""",
+    survey=["decontamination", "dedup-ngram-jaccard", "train-test-split"],
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test DECONTAMINATION check: for every test-split document,
+    how many of its word-trigram shingles also appear in the train
+    split, and in how many distinct train documents. Nonzero rows are
+    eval-set leaks a training pipeline must drop or rewrite before
+    training (the n-gram-overlap decontamination used for LLM eval
+    hygiene).
+
+    Plan shape: one shingle-explode projection (map-side), distinct per
+    (doc, shingle), self-join keyed on the shingle -- the join shuffles
+    shingle-hash-partitioned, so it scales linearly with corpus size
+    and never materializes the doc x doc pair space; only shingles
+    shared across splits produce join matches. At 100 TB the train side
+    would be pre-aggregated to distinct (shingle, doc) and bucketed on
+    shingle so nightly eval checks skip its shuffle entirely."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "split", split_assign("doc_id")
+    )
+    sh = (
+        docs.select(
+            "doc_id", "split", F.explode(word_shingles("text")).alias("sh")
+        )
+        .distinct()
+    )
+    test = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "sh"
+    )
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "sh"
+    )
+    return (
+        test.join(train, "sh")
+        .groupBy("test_doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection: most-repeated n-grams across the corpus
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_TOPK = 20
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS sh FROM documents
+)
+SELECT sh AS shingle, COUNT(*) AS n_docs
+FROM sh
+GROUP BY sh
+HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, shingle ASC
+LIMIT {_BOILERPLATE_TOPK}
+""",
+    survey=["boilerplate", "text", "sort", "limit"],
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: the word-trigrams shared by the most
+    documents (headers, footers, license blurbs in a real crawl).
+    Training pipelines strip or down-weight these before dedup so
+    boilerplate doesn't glue unrelated documents into near-dup
+    clusters. explode -> per-doc distinct -> count -> TakeOrdered
+    top-k (no global sort; each partition keeps only its local top-20
+    and the driver merges k-sized heaps)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text")).alias("shingle")
+    ).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
+        .limit(_BOILERPLATE_TOPK)
     )

@@ -234,3 +234,53 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         (fp % 64).alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenization (subword-ish token counting)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, simplified to the subset with IDENTICAL
+# semantics in Java regex (Spark) and RE2 (DuckDB): no lookahead (RE2
+# lacks it), ASCII classes, leftmost-first alternation in both engines.
+# Order matters: contractions, then space-prefixed word / number /
+# punctuation runs, then residual whitespace.
+_BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escape quote for the SQL literal
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS n_bpe_tokens,
+       SUM(LEN(string_split_regex(text, '\\s+'))) AS n_ws_tokens,
+       FLOOR(CAST(SUM(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')))
+                  AS DOUBLE)
+             / SUM(LEN(string_split_regex(text, '\\s+'))) * 10000 + 0.5)
+         / 10000 AS fertility
+FROM documents
+GROUP BY lang
+""",
+    survey=["bpe-tokens", "token-count", "text"],
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counting with a BPE-style pre-tokenizer regex (the
+    GPT-2 pre-split shape: contraction / space-word / space-number /
+    space-punctuation / whitespace runs), reported per language with
+    fertility = BPE tokens per whitespace token -- the budget metric a
+    training pipeline tracks per source. regexp_extract_all is a single
+    codegen'd JVM pass per row; no UDF, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    bpe_n = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    ws_n = F.size(tokenize("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_n).alias("n_bpe_tokens"),
+        F.sum(ws_n).alias("n_ws_tokens"),
+        dround(
+            F.sum(bpe_n).cast("double") / F.sum(ws_n),
+            4,
+        ).alias("fertility"),
+    )
