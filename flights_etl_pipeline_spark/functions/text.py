@@ -204,3 +204,32 @@ def minhash_from_hashes(hs: Column, a: int, b: int) -> Column:
     return F.array_min(
         F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD))
     )
+
+
+def shingle_rows(df, id_cols: list, text_col: str = "text", w: int = 3):
+    """Explode a document table to one row per word w-gram shingle --
+    the codegen hot path: tokens materialize as a column BEFORE the
+    explode, so normalize/split run once per document and every step
+    (sequence-explode, concat_ws projection) stays in whole-stage
+    codegen. Same values as ``explode(word_shingles(c))``, ~6x faster
+    (see word_shingles PERF NOTE).
+
+    Returns ``df.select(*id_cols, sh)``.
+    """
+    toks_df = df.select(
+        *id_cols, F.split(normalize_text(text_col), " ").alias("_toks")
+    )
+    return toks_df.select(
+        *id_cols,
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_toks") - (w - 1), F.lit(1))
+            )
+        ).alias("_i"),
+    ).select(
+        *id_cols,
+        F.concat_ws(
+            " ", *[F.try_element_at("_toks", F.col("_i") + j) for j in range(w)]
+        ).alias("sh"),
+    )

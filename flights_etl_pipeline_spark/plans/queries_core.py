@@ -880,6 +880,7 @@ FROM z
 GROUP BY 1
 """,
     survey=["zorder", "data-layout", "clustering"],
+    bench=True,
 )
 def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_orderkey, l_partkey):

@@ -216,8 +216,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(MINHASH_PARAMS)
         ]
     ).persist()
+    # Signatures ride along inside each band row (8 longs -- cheaper than
+    # joining the signature table back twice after the pair join), so the
+    # whole candidate+estimate phase is ONE self-join keyed (band, bsig)
+    # plus a distinct; est_jaccard is functionally determined by the pair,
+    # so the distinct output is identical to the old 3-join formulation.
+    hcols = [f"h{j}" for j in range(N_MINHASH)]
     bands = sig.select(
         "doc_id",
+        *hcols,
         F.explode(
             F.array(
                 *[
@@ -233,11 +240,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bsig")
+    ).select("doc_id", *hcols, "bb.band", "bb.bsig")
 
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    est = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -245,20 +256,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
         )
         .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    est = sum(
-        F.when(F.col(f"sa.h{j}") == F.col(f"sb.h{j}"), 1).otherwise(0)
-        for j in range(N_MINHASH)
-    ) / float(N_MINHASH)
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
     )
 
 

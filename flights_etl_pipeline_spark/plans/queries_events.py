@@ -566,6 +566,7 @@ FROM sess
 GROUP BY user_id, sid
 """,
     survey=["session-window", "streaming-batch", "window"],
+    bench=True,
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` aggregate

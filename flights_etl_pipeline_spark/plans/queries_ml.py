@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
-from flights_etl_pipeline_spark.functions.text import tokenize, word_shingles
+from flights_etl_pipeline_spark.functions.text import shingle_rows, tokenize
 from flights_etl_pipeline_spark.plans.registry import load, register
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround, sql_dsum
 
@@ -63,6 +63,7 @@ FROM documents
 GROUP BY 1, 2
 """,
     survey=["train-test-split", "sampling", "hash-bucket"],
+    bench=True,
 )
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~4/4/92 test/val/train split of the documents table,
@@ -149,6 +150,7 @@ FROM e
 GROUP BY label, z[2]
 """,
     survey=["embedding-centroid", "simsearch", "A7-pos"],
+    bench=True,
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, one output row per
@@ -281,6 +283,7 @@ WHERE t.split = 'test' AND tr.split = 'train'
 GROUP BY t.doc_id
 """,
     survey=["decontamination", "dedup-ngram-jaccard", "train-test-split"],
+    bench=True,
 )
 def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test DECONTAMINATION check: for every test-split document,
@@ -300,12 +303,7 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").withColumn(
         "split", split_assign("doc_id")
     )
-    sh = (
-        docs.select(
-            "doc_id", "split", F.explode(word_shingles("text")).alias("sh")
-        )
-        .distinct()
-    )
+    sh = shingle_rows(docs, ["doc_id", "split"]).distinct()
     test = sh.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc_id"), "sh"
     )
@@ -353,9 +351,11 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (no global sort; each partition keeps only its local top-20
     and the driver merges k-sized heaps)."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles("text")).alias("shingle")
-    ).distinct()
+    sh = (
+        shingle_rows(docs, ["doc_id"])
+        .withColumnRenamed("sh", "shingle")
+        .distinct()
+    )
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))

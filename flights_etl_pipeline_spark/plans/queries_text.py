@@ -264,6 +264,7 @@ FROM documents
 GROUP BY lang
 """,
     survey=["bpe-tokens", "token-count", "text"],
+    bench=True,
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword token counting with a BPE-style pre-tokenizer regex (the
