@@ -910,3 +910,54 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_partkey").alias("max_pk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile bucketing (ntile window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_price_deciles",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT o_orderpriority, decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {_sql_dsum('o_totalprice')} AS total_price
+FROM d
+GROUP BY o_orderpriority, decile
+""",
+    survey=["ntile", "window", "G3"],
+)
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile buckets of o_totalprice within each order
+    priority (NTILE + per-bucket stats) -- the equi-depth histogram /
+    feature-binning shape. Deterministic via the (price, orderkey)
+    unique ordering.
+
+    Scale note: ntile sorts within each partition key; with only 5
+    priorities each sort is ~N/5 -- fine to ~10^9 rows per group. Past
+    that, bin by approx_percentile cut points instead (mergeable
+    sketch, no sort; see price_percentiles_approx) -- same output
+    shape, estimated boundaries."""
+    ord_ = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        ord_.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -643,3 +643,64 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("latest_event_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-series resample (open/high/low/close per window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+WITH r AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, hour_start,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY event_type, hour_start
+""",
+    survey=["ohlc", "resample", "time-series", "G3"],
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample: open/high/low/close of ``value`` per (event_type,
+    hour) -- the time-series downsampling shape (financial bars, metric
+    rollups). Spark side is a SINGLE hash aggregate using min_by/max_by
+    with a packed-long ordering key (deterministic (ts, event_id)
+    tiebreak): partial aggregates carry one candidate value per group
+    per task, so the exchange is group-count-sized and there is NO sort
+    anywhere -- vs the oracle's two-window formulation, which sorts
+    each partition twice. At 100 TB this is the difference between a
+    mergeable aggregation tree and a per-group sort."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    # (ts, event_id) tiebreak packed into ONE long: a struct ordering key
+    # would force SortAggregate (struct agg buffers are not mutable), so
+    # encode the within-hour microsecond offset (< 2^32) shifted left 31
+    # bits plus event_id (< 2^31): max 3.6e9 * 2^31 + 2^31 ~ 7.7e18 < 2^63.
+    # Long buffer -> partial+final HashAggregate, no sort at all.
+    ordk = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(hour))
+        * F.lit(2147483648).cast("long")
+        + F.col("event_id")
+    )
+    return (
+        ev.groupBy("event_type", hour.alias("hour_start"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -285,3 +285,52 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pattern masking before training)
+# ---------------------------------------------------------------------------
+
+# Java-regex / RE2 portable subset: explicit classes, no lookaround.
+_EMAIL_RE = "[A-Za-z0-9_.]+@[A-Za-z0-9_.]+"
+_NUM_RE = "[0-9]+"
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       LEN(regexp_extract_all(text, '{_NUM_RE}')) AS n_number_runs,
+       LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>',
+                                            'g'),
+                             '{_NUM_RE}', '<NUM>', 'g')) AS scrubbed_len,
+       MD5(REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_NUM_RE}', '<NUM>', 'g')) AS scrubbed_fp
+FROM documents
+""",
+    survey=["pii-scrub", "text", "fingerprint"],
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: mask email-shaped and numeric spans with
+    placeholder tokens, reporting per-document match counts and the
+    fingerprint of the scrubbed text (so downstream dedup runs on the
+    masked form -- scrubbing before dedup prevents unique PII from
+    blocking near-dup detection). Pure codegen'd regexp expressions;
+    the pattern subset is Java-regex/RE2 portable so the oracle matches
+    byte-for-byte. At scale this is a zero-shuffle projection pass."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE), 0)).alias(
+            "n_number_runs"
+        ),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )

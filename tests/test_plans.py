@@ -91,3 +91,73 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     plan = plan_str(scan)
     pf = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "year" in pf and "month" in pf
+
+
+# --- plan shapes of the training-pipeline / newer operators -----------------
+
+
+def test_doc_top_terms_broadcasts_idf(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import doc_top_terms
+
+    plan = plan_str(doc_top_terms(spark, SF_DIR))
+    # idf + corpus-count sides are explicitly broadcast; the big tf side
+    # must never sort-merge against them
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_assign_is_shuffle_free(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import split_assign
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    df = load(spark, SF_DIR, "documents").withColumn(
+        "split", split_assign("doc_id")
+    )
+    plan = plan_str(df)
+    assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+def test_ohlc_single_aggregate_no_sort(spark):
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        events_ohlc_hourly,
+    )
+
+    plan = plan_str(events_ohlc_hourly(spark, SF_DIR))
+    assert "Sort" not in plan  # min_by/max_by replace the window sorts
+    # one group-keyed exchange only (formatted mode lists each node once
+    # in the tree as "Exchange (n)")
+    assert plan.count("Exchange (") == 1
+
+
+def test_zorder_key_stays_in_codegen_no_python(spark):
+    from flights_etl_pipeline_spark.plans.queries_core import zorder_clustering
+
+    plan = plan_str(zorder_clustering(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_text_ops_no_python_udfs(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        boilerplate_ngrams,
+        split_contamination,
+    )
+    from flights_etl_pipeline_spark.plans.queries_text import (
+        bpe_token_stats,
+        doc_pii_scrub,
+    )
+
+    for fn in (split_contamination, boilerplate_ngrams, bpe_token_stats,
+               doc_pii_scrub):
+        plan = plan_str(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+
+
+def test_funnel_stages_copartition_on_user(spark):
+    from flights_etl_pipeline_spark.plans.queries_events import events_funnel
+
+    # all three stage aggregates and both joins key on user_id; Spark must
+    # not introduce a sort-merge join between the small per-user frontiers
+    plan = plan_str(events_funnel(spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan
