@@ -363,3 +363,145 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
         .limit(_BOILERPLATE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (fill fixed-size context windows from ordered docs)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 512  # tokens per training sequence
+
+
+@register(
+    "seq_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT source, doc_id, LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM d
+)
+SELECT source,
+       CAST(FLOOR(CAST(tokens_before AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT)
+         AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY source, pack_id
+""",
+    survey=["seq-packing", "window", "training-prep"],
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream each source's documents in stable doc_id
+    order into {PACK_CAPACITY}-token context windows (pack_id = cumulative
+    tokens before this doc, integer-divided by capacity) and report the
+    per-pack manifest -- the standard pretraining step that turns ragged
+    documents into fixed-length training sequences with minimal padding.
+
+    Scale shape: one window cumsum partitioned by source (range-partition
+    + per-partition sort, no global sort), then a hash aggregate on the
+    same key -- the sort output feeds the aggregate without a second
+    exchange. Deterministic order means reruns/backfills produce the
+    same packs, which training-data lineage requires."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.withColumn(
+            "pack_id",
+            F.floor(before.cast("double") / PACK_CAPACITY).cast("long"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture sampling (per-source configured keep rates)
+# ---------------------------------------------------------------------------
+
+# Mixture spec: md5-hex threshold per source tier ('80' = 128/256 = 50 %,
+# '40' = 25 %, '20' = 12.5 %). Tiers stand in for the quality/priority
+# weighting a real mixture config assigns per corpus.
+_MIX_TIERS = (
+    (("src0", "src1", "src2", "src3", "src4"), "80", 0.5),
+    (("src5", "src6", "src7", "src8", "src9"), "40", 0.25),
+)
+_MIX_DEFAULT = ("20", 0.125)
+
+
+def _mix_threshold_sql() -> str:
+    cases = " ".join(
+        "WHEN source IN ({}) THEN '{}'".format(
+            ", ".join(f"'{s}'" for s in srcs), thr
+        )
+        for srcs, thr, _ in _MIX_TIERS
+    )
+    return f"CASE {cases} ELSE '{_MIX_DEFAULT[0]}' END"
+
+
+def mix_threshold() -> F.Column:
+    """Per-source md5-hex keep threshold from the mixture spec."""
+    expr = None
+    for srcs, thr, _ in _MIX_TIERS:
+        cond = F.col("source").isin(*srcs)
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    return expr.otherwise(_MIX_DEFAULT[0])
+
+
+@register(
+    "source_mixture_sample",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE MD5(CAST(doc_id AS VARCHAR))
+                        < {_mix_threshold_sql()}) AS n_kept,
+       COALESCE(SUM(n_chars) FILTER (WHERE MD5(CAST(doc_id AS VARCHAR))
+                        < {_mix_threshold_sql()}), 0) AS kept_chars,
+       {_mix_threshold_sql()} AS threshold
+FROM documents
+GROUP BY source
+""",
+    survey=["mixture", "sampling", "hash-bucket", "training-prep"],
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture downsampling: each source corpus keeps a configured
+    fraction of documents (50 % / 25 % / 12.5 % tiers) via the same
+    engine-portable md5-threshold trick as train_test_split, summarized
+    per source. This is the 'mixture weights' step of corpus curation:
+    reweighting sources without materializing an intermediate copy.
+
+    The keep decision is a row-local projection -- at 100 TB the sampled
+    write is one filter-and-write pass, no shuffle; the summary here
+    aggregates once on source (20 groups) with map-side combine."""
+    kept = F.md5(F.col("doc_id").cast("string")) < mix_threshold()
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
+            ).alias("kept_chars"),
+            F.max(mix_threshold()).alias("threshold"),
+        )
+    )

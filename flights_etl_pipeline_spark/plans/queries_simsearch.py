@@ -325,3 +325,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (symmetric per-vector scaling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, vec,
+         list_max(list_transform(vec, x -> ABS(x))) / 127 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, label, vec, scale,
+         list_transform(vec, x ->
+           LEAST(GREATEST(FLOOR(x / scale + 0.5), -127), 127)) AS qvec
+  FROM s
+)
+SELECT vec_id, label,
+       LEN(qvec) AS dims,
+       scale,
+       CAST(list_sum(qvec) AS BIGINT) AS q_checksum,
+       list_max(list_transform(list_zip(qvec, vec),
+                               p -> ABS(p[1] * scale - p[2]))) AS max_abs_err
+FROM q
+""",
+    survey=["quantization", "int8", "embeddings", "A8"],
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x|/127, elements snapped to round(x/scale) clamped to
+    [-127, 127], reporting dims, scale, the quantized checksum, and the
+    worst per-element reconstruction error. This is the 4x-compression
+    scale path for ANN at 100 TB -- scan cost drops 4x and int8 dot
+    products SIMD-vectorize -- while max_abs_err <= scale/2 bounds the
+    recall loss.
+
+    All ops are element-wise IEEE arithmetic inside codegen'd
+    higher-order functions (divide / floor / multiply / subtract are
+    each one correctly-rounded op, so Spark and DuckDB agree
+    bit-for-bit; floor(x+0.5) is the engine-portable half-up round).
+    Zero shuffles: a pure projection pass."""
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", vec.alias("vec"))
+        .withColumn(
+            "scale",
+            F.array_max(F.transform("vec", F.abs)) / F.lit(127.0),
+        )
+        .withColumn(
+            "qvec",
+            F.transform(
+                "vec",
+                lambda x: F.least(
+                    F.greatest(
+                        F.floor(x / F.col("scale") + F.lit(0.5)),
+                        F.lit(-127).cast("long"),
+                    ),
+                    F.lit(127).cast("long"),
+                ),
+            ),
+        )
+    )
+    err = F.array_max(
+        F.zip_with(
+            "qvec", "vec", lambda q, x: F.abs(q * F.col("scale") - x)
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("qvec").alias("dims"),
+        "scale",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_checksum"),
+        err.alias("max_abs_err"),
+    )

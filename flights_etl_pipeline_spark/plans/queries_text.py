@@ -334,3 +334,158 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrubbed).alias("scrubbed_len"),
         F.md5(scrubbed).alias("scrubbed_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-style duplicate-token signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tokens
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           list_zip(tokens, tokens[2:]),
+           p -> p[1] || ' ' || p[2])) AS bigram
+  FROM toks
+  WHERE LEN(tokens) >= 2
+),
+bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram
+),
+bstats AS (
+  SELECT doc_id, MAX(n) AS top_bigram_n, SUM(n) AS n_bigrams,
+         COUNT(*) AS n_distinct_bigrams
+  FROM bgc GROUP BY doc_id
+)
+SELECT t.doc_id, t.source,
+       LEN(t.tokens) AS n_tokens,
+       LEN(t.tokens) - LEN(list_distinct(t.tokens)) AS n_dup_tokens,
+       (FLOOR(CAST(LEN(t.tokens) - LEN(list_distinct(t.tokens)) AS DOUBLE)
+              / LEN(t.tokens) * 10000 + 0.5) / 10000) AS dup_token_frac,
+       b.top_bigram_n,
+       b.n_distinct_bigrams,
+       (FLOOR(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams * 10000 + 0.5)
+        / 10000) AS top_bigram_share,
+       (CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams > 0.05) AS flag_repetitive
+FROM toks t JOIN bstats b USING (doc_id)
+""",
+    survey=["quality-filter", "repetition", "gopher", "text"],
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-token
+    fraction (row-local, pure array ops) and most-frequent-bigram share
+    (explode + two hash aggregates keyed by doc_id), with the >5 %
+    top-bigram-share flag used to drop boilerplate/spam before training.
+
+    Scale shape: the row-local metrics never shuffle; the bigram mode
+    shuffles (doc_id, bigram) pairs once, and partial aggregation
+    collapses each doc's repeats map-side, so the exchange carries the
+    distinct-bigram count -- not the token count. No per-doc maps are
+    materialized (vs a naive aggregate-to-map approach, which would OOM
+    on long documents)."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", tokenize("text").alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.col("tokens"),
+                F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_bigram_n"),
+            F.sum("n").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    n_dup = F.size("tokens") - F.size(F.array_distinct("tokens"))
+    share = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    return (
+        toks.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size("tokens").alias("n_tokens"),
+            n_dup.alias("n_dup_tokens"),
+            dround(n_dup.cast("double") / F.size("tokens"), 4).alias(
+                "dup_token_frac"
+            ),
+            "top_bigram_n",
+            "n_distinct_bigrams",
+            dround(share, 4).alias("top_bigram_share"),
+            (share > 0.05).alias("flag_repetitive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (token -> document postings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index",
+    oracle="""
+WITH hits AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token, doc_id FROM documents
+),
+postings AS (
+  SELECT token,
+         COUNT(*) AS total_tf,
+         list_sort(list(DISTINCT doc_id)) AS docs
+  FROM hits GROUP BY token
+)
+SELECT token, total_tf,
+       LEN(docs) AS doc_freq,
+       list_slice(docs, 1, 5) AS posting_head
+FROM postings
+WHERE LEN(docs) >= 20
+""",
+    survey=["inverted-index", "postings", "search", "A7"],
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> (term frequency, document
+    frequency, head of the sorted posting list). One explode and ONE
+    hash aggregate; collect_set de-dups doc ids inside the aggregation
+    buffer, so the shuffle carries per-(partition, token) partial sets.
+
+    Scale note: full posting lists for stopword-grade tokens are
+    unbounded (a token in every doc of 100 TB is billions of ids) --
+    production sharding keys the aggregate by (token, doc_id range) so
+    each shard's list is bounded, then concatenates shards in order;
+    here the head-slice keeps driver-visible output bounded while the
+    df/tf stats stay exact."""
+    hits = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token"), "doc_id"
+    )
+    return (
+        hits.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("total_tf"),
+            F.array_sort(F.collect_set("doc_id")).alias("docs"),
+        )
+        .filter(F.size("docs") >= 20)
+        .select(
+            "token",
+            "total_tf",
+            F.size("docs").alias("doc_freq"),
+            F.slice("docs", 1, 5).alias("posting_head"),
+        )
+    )

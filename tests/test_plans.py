@@ -161,3 +161,30 @@ def test_funnel_stages_copartition_on_user(spark):
     # not introduce a sort-merge join between the small per-user frontiers
     plan = plan_str(events_funnel(spark, SF_DIR))
     assert "hashpartitioning(user_id" in plan
+
+
+def test_embedding_quantize_is_pure_projection(spark):
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        embedding_quantize,
+    )
+
+    plan = plan_str(embedding_quantize(spark, SF_DIR))
+    assert "Exchange" not in plan  # row-local: no shuffle at any scale
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_seq_packing_single_exchange(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import seq_packing
+
+    plan = plan_str(seq_packing(spark, SF_DIR))
+    # window cumsum and the pack aggregate share the source partitioning:
+    # one exchange, one per-partition sort, nothing global
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Sort (") == 1
+
+
+def test_inverted_index_single_aggregate(spark):
+    from flights_etl_pipeline_spark.plans.queries_text import inverted_index
+
+    plan = plan_str(inverted_index(spark, SF_DIR))
+    assert plan.count("Exchange (") == 1  # one token-keyed shuffle only
