@@ -961,3 +961,124 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-shaped: revenue below the per-part average quantity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "smallqty_part_revenue",
+    oracle=f"""
+WITH pq AS (
+  SELECT l_partkey,
+         0.2 * {_sql_davg("l_quantity")} AS qty_limit
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       COUNT(*) AS n_small_lines,
+       {_sql_dsum("l.l_extendedprice")} AS small_revenue,
+       {_sql_dround(_sql_davg("l.l_quantity"), 4)} AS avg_small_qty
+FROM lineitem l
+JOIN pq ON pq.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < pq.qty_limit
+GROUP BY p.p_brand
+""",
+    survey=["correlated-agg", "J1-family", "G3"],
+    bench=True,
+)
+def smallqty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue per brand (TPC-H Q17 shape): compute each
+    part's average order quantity, join it back to the lineitems, and
+    total the revenue of lines below 20 % of their part's average --
+    the decorrelated form of `WHERE l_quantity < (SELECT 0.2*avg ...)`.
+
+    Scale shape: the per-part aggregate and the back-join share the
+    l_partkey hash partitioning, so AQE reuses one exchange per side
+    rather than re-shuffling the joined result; `part` is
+    broadcast-sized relative to lineitem (200:1 in TPC-H) so the brand
+    lookup adds no shuffle. The avg is an exact decimal sum / count
+    (scalar.davg), making the filter boundary bit-identical across
+    engines and partitionings."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    pq = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.alias("l")
+        .join(pq.alias("pq"), "l_partkey")
+        .filter(F.col("l.l_quantity") < F.col("pq.qty_limit"))
+        .join(
+            F.broadcast(part.alias("p")),
+            F.col("p.p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p.p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            dsum("l.l_extendedprice").alias("small_revenue"),
+            dround(davg("l.l_quantity"), 4).alias("avg_small_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (percentile-clipped) statistics per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_order_stats",
+    oracle=f"""
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, q.lo, q.hi,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o.o_totalprice < q.lo) AS n_clipped_low,
+       COUNT(*) FILTER (WHERE o.o_totalprice > q.hi) AS n_clipped_high,
+       {_sql_dround(_sql_davg(_sql_dround("LEAST(GREATEST(o.o_totalprice, q.lo), q.hi)", 4), 4), 4)}
+         AS winsorized_avg
+FROM orders o JOIN q ON q.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority, q.lo, q.hi
+""",
+    survey=["winsorize", "percentile", "outlier-clipping", "G3"],
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: clamp o_totalprice to the exact
+    [p05, p95] interpolated percentiles of its priority group, then
+    average the clipped values -- the outlier-robust mean used to
+    de-noise reward/quality signals before training.
+
+    Two aggregates over the same grouping key: the percentile pass needs
+    the sorted group; its 5-row output broadcasts back onto the fact
+    scan (no second wide shuffle for the join -- only the final 5-group
+    agg exchanges). Clipped values are quantized (dround 4) before the
+    exact decimal sum so the average is order- and engine-independent."""
+    ord_ = load(spark, sf_dir, "orders")
+    q = ord_.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = dround(
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")), 4
+    )
+    return (
+        ord_.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_totalprice") < F.col("lo"), 1)).alias(
+                "n_clipped_low"
+            ),
+            F.count(F.when(F.col("o_totalprice") > F.col("hi"), 1)).alias(
+                "n_clipped_high"
+            ),
+            dround(davg(clipped, 4), 4).alias("winsorized_avg"),
+        )
+    )

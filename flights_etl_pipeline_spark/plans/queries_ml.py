@@ -505,3 +505,73 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(mix_threshold()).alias("threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label feature standardization (z-score stats per embedding dimension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_zscore",
+    oracle="""
+WITH x AS (
+  SELECT label, u.dim, u.x
+  FROM (
+    SELECT label,
+           UNNEST(list_transform(
+             generate_series(1, LEN(embedding)),
+             i -> {'dim': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM embeddings
+  )
+),
+m AS (
+  SELECT label, dim,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,14))) AS DOUBLE) AS sxx
+  FROM x GROUP BY label, dim
+)
+SELECT label, dim,
+       CAST(n AS BIGINT) AS n_vecs,
+       FLOOR((sx / n) * 1000000 + 0.5) / 1000000 AS mean,
+       FLOOR(SQRT((sxx - sx * sx / n) / (n - 1)) * 1000000 + 0.5) / 1000000
+         AS std
+FROM m
+""",
+    survey=["standardization", "zscore", "feature-scaling", "training-prep"],
+)
+def embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension standardization statistics (mean/std) for
+    the embedding matrix -- the fit step of a z-score feature scaler,
+    computed from exact decimal moments so every engine and every
+    partitioning produces the identical scaler (scalar.dsum rationale;
+    same closed-form as corr_price_qty).
+
+    Scale shape: posexplode fans each vector into (label, dim, value)
+    rows -- 64x growth, but the groupBy(label, dim) aggregate is
+    map-side combinable, so each task reduces its rows to (10 labels x
+    64 dims) partials before the one exchange; the final state is tiny
+    regardless of row count. The transform step (apply the scaler) is
+    then a broadcast join + row-local arithmetic, never a shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x")
+    )
+    m = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,14)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return m.select(
+        "label",
+        "dim",
+        n.cast("bigint").alias("n_vecs"),
+        dround(sx / n, 6).alias("mean"),
+        dround(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std"),
+    )

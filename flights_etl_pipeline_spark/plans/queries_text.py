@@ -489,3 +489,77 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("docs", 1, 5).alias("posting_head"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (overlapping token windows for embedding pipelines)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tokens
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, source, tokens,
+         UNNEST(generate_series(
+           0, CAST(FLOOR(CAST(LEN(tokens) - 1 AS DOUBLE) / {CHUNK_STRIDE})
+                   AS BIGINT))) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, source, chunk_idx,
+       LEN(list_slice(tokens, chunk_idx * {CHUNK_STRIDE} + 1,
+                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}))
+         AS chunk_tokens,
+       MD5(array_to_string(
+             list_slice(tokens, chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+         AS chunk_fp
+FROM starts
+""",
+    survey=["chunking", "sliding-window", "embedding-prep", "A7"],
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: split each document into {CHUNK_SIZE}-token
+    windows advancing by {CHUNK_STRIDE} tokens ({CHUNK_SIZE - CHUNK_STRIDE}
+    overlapping tokens preserve cross-boundary context), emitting one row
+    per chunk with its token count and content fingerprint -- the step
+    that feeds bounded-length inputs to an embedding model.
+
+    Scale shape: tokenize once, explode only the chunk *indices*
+    (sequence 0..n_chunks-1) and slice the shared token array per index
+    -- a generator + projection, fully codegen'd, no Python, no shuffle.
+    The ~{CHUNK_SIZE - CHUNK_STRIDE}/{CHUNK_STRIDE} duplication factor is
+    the only data growth, paid at write time, not in an exchange."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("tokens")
+    )
+    n_chunks_last = F.floor(
+        (F.size("tokens") - 1).cast("double") / CHUNK_STRIDE
+    ).cast("long")
+    starts = toks.select(
+        "doc_id",
+        "source",
+        "tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks_last)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(
+        F.col("tokens"),
+        (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_SIZE,
+    )
+    return starts.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )

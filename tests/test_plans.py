@@ -188,3 +188,51 @@ def test_inverted_index_single_aggregate(spark):
 
     plan = plan_str(inverted_index(spark, SF_DIR))
     assert plan.count("Exchange (") == 1  # one token-keyed shuffle only
+
+
+def test_smallqty_broadcasts_part_dim(spark):
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        smallqty_part_revenue,
+    )
+
+    plan = plan_str(smallqty_part_revenue(spark, SF_DIR))
+    # the brand lookup must not shuffle lineitem a second time
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorized_broadcasts_percentile_bounds(spark):
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        winsorized_order_stats,
+    )
+
+    plan = plan_str(winsorized_order_stats(spark, SF_DIR))
+    # the 5-row percentile table broadcasts back onto the orders scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunks_no_shuffle_no_python(spark):
+    from flights_etl_pipeline_spark.plans.queries_text import doc_chunks
+
+    plan = plan_str(doc_chunks(spark, SF_DIR))
+    assert "Exchange" not in plan  # generator + projection only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_pairs_jvm_side_levenshtein(spark):
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        fuzzy_customer_pairs,
+    )
+
+    plan = plan_str(fuzzy_customer_pairs(spark, SF_DIR))
+    # edit distance stays in codegen; no per-pair Python round trip
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_embedding_zscore_single_exchange(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import embedding_zscore
+
+    plan = plan_str(embedding_zscore(spark, SF_DIR))
+    # posexplode is map-side; one (label, dim) shuffle with partial aggs
+    assert plan.count("Exchange (") == 1
+    assert "partial_" in plan.lower() or "partial" in plan
