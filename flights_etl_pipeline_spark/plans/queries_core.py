@@ -114,17 +114,24 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region x nation x customer x orders x lineitem revenue rollup.
 
     Dim sides are broadcast (region/nation/customer are tiny relative to
-    the fact); only the orders-lineitem join shuffles, keyed by orderkey
-    which is uniform -- the plan that survives 1000 executors.
-    """
+    the fact); lineitem is pre-aggregated to one exact-decimal revenue
+    row per order BEFORE the join, so the orderkey shuffle carries
+    |orders| rows instead of |lineitem| (4x fewer in TPC-H) and the
+    COUNT(DISTINCT o_orderkey) the oracle specifies degenerates to a
+    plain COUNT(*) -- eliminating the distinct-aggregate's second
+    shuffle entirely. Decimal partial sums re-sum exactly, so the
+    rewrite is bit-identical to aggregating after the join."""
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue.cast("decimal(18,4)")).alias("rev_ord")
+    )
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
         )
@@ -135,8 +142,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
         .agg(
-            dsum(revenue, 4).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("rev_ord").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -167,20 +174,37 @@ GROUP BY YEAR(o.o_orderdate), MONTH(o.o_orderdate)
 def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month revenue rollup -- the reference's gold table 1 shape
     (groupBy(year, month, ...).agg(sum, round(avg, 2)), updateToGold.py:39-40).
-    """
+
+    Lineitem is pre-aggregated per order before the join (partial-agg
+    pushdown): the orderkey exchange then moves one row per order, not
+    per line, and n_orders is a plain COUNT(*) instead of a
+    COUNT(DISTINCT) expand+reshuffle. The oracle's lineitem-weighted
+    avg(o_totalprice) is reproduced exactly as
+    sum(decimal(price) * n_lines) / sum(n_lines): decimal-by-integer
+    products and decimal re-sums are exact, so the value is
+    bit-identical to averaging the joined rows."""
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue.cast("decimal(18,4)")).alias("rev_ord"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    weighted_price = F.col("o_totalprice").cast("decimal(18,4)") * F.col(
+        "n_lines"
+    ).cast("decimal(10,0)")
     return (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(per_order, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.year("o_orderdate").alias("order_year"),
             F.month("o_orderdate").alias("order_month"),
         )
         .agg(
-            dsum(revenue, 4).alias("revenue"),
-            dround(davg("o_totalprice"), 2).alias("avg_order_price"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("rev_ord").cast("double").alias("revenue"),
+            dround(
+                F.sum(weighted_price).cast("double") / F.sum("n_lines"), 2
+            ).alias("avg_order_price"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
