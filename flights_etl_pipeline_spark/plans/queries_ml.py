@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
-from flights_etl_pipeline_spark.functions.text import shingle_rows, tokenize
+from flights_etl_pipeline_spark.functions.text import (
+    shingle_hash_long,
+    shingle_rows,
+    tokenize,
+)
 from flights_etl_pipeline_spark.plans.registry import load, register
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround, sql_dsum
 
@@ -574,4 +578,237 @@ def embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_vecs"),
         dround(sx / n, 6).alias("mean"),
         dround(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map UDAF surface: per-label median vector via applyInPandas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_median_embedding",
+    oracle="""
+SELECT label, CAST(u.dim AS INTEGER) AS dim, MEDIAN(u.x) AS median_val
+FROM (
+  SELECT label,
+         UNNEST(list_transform(
+           generate_series(1, LEN(embedding)),
+           i -> {'dim': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+  FROM embeddings
+)
+GROUP BY label, u.dim
+""",
+    survey=["applyInPandas", "grouped-map-udaf", "robust-centroid"],
+)
+def label_median_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label median embedding vector (the outlier-robust centroid)
+    via ``applyInPandas`` -- the grouped-map UDAF surface (SURVEY.md
+    section 2.8): each label's vectors arrive as one Arrow-backed pandas
+    frame and numpy computes the per-dimension median in a single
+    vectorized call.
+
+    Exactness despite Python: median is order-independent (it sorts),
+    and with float32-exact doubles the even-n midpoint (a+b)/2 is an
+    exact double, so numpy and DuckDB's interpolating MEDIAN agree
+    bit-for-bit -- no rounding needed. Scale shape: one shuffle keyed by
+    label; each group must fit one worker's memory (fine for per-class
+    stats; for billions-per-class, switch to approx_percentile per dim,
+    which is sketch-mergeable and never materializes a group)."""
+
+    def _median(pdf):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        med = np.median(mat, axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(1, mat.shape[1] + 1, dtype="int32"),
+                "median_val": med,
+            }
+        )
+
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+    return emb.groupBy("label").applyInPandas(
+        _median, schema="label int, dim int, median_val double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class rebalancing: oversample minority classes to the majority count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_rebalance",
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang),
+t AS (SELECT MAX(n_orig) AS target FROM c),
+f AS (
+  SELECT lang, n_orig,
+         CAST(CEIL(CAST(t.target AS DOUBLE) / n_orig) AS BIGINT)
+           AS repeat_factor
+  FROM c, t
+),
+r AS (
+  SELECT d.lang
+  FROM documents d
+  JOIN f USING (lang), UNNEST(generate_series(1, f.repeat_factor)) AS u
+)
+SELECT f.lang, f.n_orig, f.repeat_factor,
+       (SELECT COUNT(*) FROM r WHERE r.lang = f.lang) AS n_emitted
+FROM f
+""",
+    survey=["rebalance", "oversampling", "training-prep", "A7"],
+)
+def label_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by deterministic oversampling: every language's
+    documents are replicated ceil(majority_count / class_count) times so
+    each class reaches at least the majority class's size -- the
+    imbalance fix applied before training a classifier (here summarized
+    per class; the replicated rows themselves are what a real run would
+    write).
+
+    Scale shape: class counts are a tiny aggregate; the target and
+    per-class factors broadcast back onto the scan, and replication is a
+    row-local generator explode (no shuffle) -- the write amplification
+    IS the operation, and it streams straight to the sink."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_orig"))
+    target = counts.agg(F.max("n_orig").alias("target"))
+    factors = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_orig",
+        F.ceil(F.col("target").cast("double") / F.col("n_orig")).alias(
+            "repeat_factor"
+        ),
+    )
+    replicated = (
+        docs.select("lang")
+        .join(F.broadcast(factors), "lang")
+        .select(
+            "lang",
+            "n_orig",
+            "repeat_factor",
+            F.explode(F.sequence(F.lit(1), F.col("repeat_factor"))).alias("rep"),
+        )
+    )
+    return replicated.groupBy("lang", "n_orig", "repeat_factor").agg(
+        F.count(F.lit(1)).alias("n_emitted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation assignment (hash-bucketed, shuffle-free)
+# ---------------------------------------------------------------------------
+
+N_FOLDS = 5
+
+
+@register(
+    "kfold_assign",
+    oracle=f"""
+SELECT CAST(CAST(concat('0x', substr(md5('fold|' || CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 1000000007 % {N_FOLDS} AS INT)
+         AS fold,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY fold
+""",
+    survey=["kfold", "cross-validation", "hash-bucket", "training-prep"],
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment: fold = md5(doc key) mod k --
+    the same engine-portable hash-bucket trick as train_test_split, so a
+    document's fold is stable across engines, reruns, and dataset
+    growth. The assignment is a map-side projection (never shuffles);
+    only this summary aggregates, on k groups."""
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        shingle_hash_long(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+        % N_FOLDS
+    ).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pairs)
+# ---------------------------------------------------------------------------
+
+N_NEG = 4
+_N_VECS_MOD = 500  # candidate id space (vec_id range of the table)
+
+
+@register(
+    "negative_sampling",
+    oracle=f"""
+WITH a AS (SELECT vec_id, label FROM embeddings),
+cand AS (
+  SELECT a.vec_id, a.label, t.j,
+         CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR) || '|neg|'
+                                      || CAST(t.j AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000007 % {_N_VECS_MOD} AS neg_id
+  FROM a CROSS JOIN range(1, {N_NEG + 1}) t(j)
+)
+SELECT c.vec_id, CAST(c.j AS INT) AS neg_slot, c.neg_id,
+       c.label, b.label AS neg_label
+FROM cand c
+JOIN embeddings b ON b.vec_id = c.neg_id
+WHERE b.label <> c.label AND c.neg_id <> c.vec_id
+""",
+    survey=["negative-sampling", "contrastive", "training-prep", "hash-bucket"],
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor derives N_NEG pseudo-random candidate ids by hashing
+    (anchor, slot), joins them back to the table, and keeps candidates
+    whose label differs -- in-batch-negatives made reproducible (a rerun
+    or backfill regenerates the identical pairs, which hash-based
+    derivation guarantees and an RNG does not).
+
+    Scale shape: candidate generation is a generator explode (row-local);
+    the only shuffle is the equi-join of k*N candidate rows against the
+    table on its key -- and when the negative pool is a curated subset
+    (the common case), that side broadcasts."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label")
+    cand = a.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(1), F.lit(N_NEG))).alias("j"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("j").cast("int").alias("neg_slot"),
+        (
+            shingle_hash_long(
+                F.concat(
+                    F.col("vec_id").cast("string"),
+                    F.lit("|neg|"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % _N_VECS_MOD
+        ).alias("neg_id"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        cand.join(b, "neg_id")
+        .filter(
+            (F.col("neg_label") != F.col("label"))
+            & (F.col("neg_id") != F.col("vec_id"))
+        )
+        .select("vec_id", "neg_slot", "neg_id", "label", "neg_label")
     )

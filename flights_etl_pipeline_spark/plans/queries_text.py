@@ -8,7 +8,7 @@ matches bit-for-bit; the whole pipeline is codegen'd column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround
@@ -562,4 +562,53 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         F.size(chunk).alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (frequency cutoff + rank-assigned token ids)
+# ---------------------------------------------------------------------------
+
+VOCAB_MIN_FREQ = 2
+_N_SPECIALS = 4  # <pad>=0 <unk>=1 <bos>=2 <eos>=3 reserve the first ids
+
+
+@register(
+    "vocab_build",
+    oracle=f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  HAVING COUNT(*) >= {VOCAB_MIN_FREQ}
+)
+SELECT token, freq,
+       ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) + {_N_SPECIALS - 1}
+         AS token_id
+FROM tf
+""",
+    survey=["vocab-build", "tokenizer", "window", "training-prep"],
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: corpus-wide term frequencies,
+    a minimum-frequency cutoff, and dense token ids assigned by
+    (freq desc, token asc) rank after reserving the first ids for
+    special tokens -- the table a trained tokenizer ships with.
+
+    Scale shape: the frequency count is the only corpus-sized work (one
+    map-side-combinable aggregate). The id-assignment window is a
+    GLOBAL sort -- correct here because a post-cutoff vocabulary is
+    vocabulary-sized (10^5..10^6 rows), not corpus-sized; ranking the
+    full corpus this way would serialize on one partition."""
+    hits = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = (
+        hits.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= VOCAB_MIN_FREQ)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return tf.withColumn(
+        "token_id", F.row_number().over(w) + (_N_SPECIALS - 1)
     )

@@ -236,3 +236,33 @@ def test_embedding_zscore_single_exchange(spark):
     # posexplode is map-side; one (label, dim) shuffle with partial aggs
     assert plan.count("Exchange (") == 1
     assert "partial_" in plan.lower() or "partial" in plan
+
+
+def test_label_median_uses_grouped_map_arrow(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        label_median_embedding,
+    )
+
+    plan = plan_str(label_median_embedding(spark, SF_DIR))
+    # the one sanctioned Python surface: Arrow grouped-map, not row-wise
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kfold_assign_map_side_only(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import kfold_assign
+
+    plan = plan_str(kfold_assign(spark, SF_DIR))
+    # fold assignment is a projection; only the k-group summary exchanges
+    assert plan.count("Exchange (") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_rebalance_broadcasts_factors(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import label_rebalance
+
+    plan = plan_str(label_rebalance(spark, SF_DIR))
+    # per-class factors broadcast back onto the scan; replication is a
+    # generator, not a shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan or "Generate" in plan
