@@ -50,6 +50,10 @@ try:
     import flights_etl_pipeline_spark.plans.queries_ml  # noqa: F401
 except ImportError:
     pass
+try:
+    import flights_etl_pipeline_spark.plans.queries_graph  # noqa: F401
+except ImportError:
+    pass
 
 from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
