@@ -98,3 +98,34 @@ def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless stream-static broadcast enrichment against the customer
     dimension; exact parity with the batch join."""
     return jobs.events_enrich_stream(spark, sf_dir)
+
+
+# transformWithStateInPandas (Spark 4 stateful-processor API) speaks a
+# protobuf state protocol to the Python worker; register its query only
+# where google.protobuf is importable (it is on a standard cluster, but
+# not in every slim container). The implementation lives in
+# streaming.jobs.events_user_stats_stream either way.
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+
+    @register(
+        "events_user_stats_stream",
+        oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS total_micro
+FROM events GROUP BY user_id
+""",
+        survey=["streaming", "transformWithState", "stateful"],
+    )
+    def events_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """transformWithStateInPandas (Spark 4 stateful-processor API):
+        RocksDB-backed ValueState accumulates per-user exact integer
+        micro-unit totals across micro-batches; the last emission per
+        user equals the batch aggregate bit-for-bit."""
+        return jobs.events_user_stats_stream(spark, sf_dir)

@@ -302,3 +302,90 @@ def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
     )
     return _run_to_memory(enriched, "append", "enrich")
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful processor API)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+_MICRO = 1_000_000
+
+
+class _UserStatsProcessor(StatefulProcessor):
+    """Running per-user event count + value total in integer micro-units.
+
+    Money-safe accumulation without decimal support in the state row:
+    each value is quantized to int micro-units (floor(v*1e6 + 0.5), the
+    dround sequence), and integer sums are exact at any scale and any
+    arrival order. The per-batch numpy sum is also exact: every addend
+    is integer-valued and the running total stays far below 2^53.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "stats", "n BIGINT, total_micro BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        n, total = self._state.get() if self._state.exists() else (0, 0)
+        for pdf in rows:
+            v = pdf["value"].to_numpy(dtype="float64")
+            total += int(np.floor(v * _MICRO + 0.5).sum())
+            n += len(pdf)
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micro": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def events_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` -- the
+    Spark-4 arbitrary-state API (typed ValueState, RocksDB-backed store).
+    Each micro-batch updates the user's ValueState and emits the running
+    totals; the final row per user (its max event count) equals the
+    batch aggregate exactly."""
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream_dir, _ = prepare_stream_dir(
+            spark, sf_dir, n_chunks=4, sentinels=False
+        )
+        ev = read_event_stream(spark, stream_dir)
+        stats = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserStatsProcessor(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_micro BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = _run_to_memory(stats, "update", "user_stats")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -56,3 +56,43 @@ def test_sessionize_stream_matches_batch(spark):
     want = _rows(events_sessionize(spark, SF_DIR), cols)
     assert got == want and len(got) > 0
     assert all(r[0] >= 0 for r in got)  # sentinel users never surface
+
+
+def test_user_stats_processor_exact_micro_accumulation():
+    """The transformWithStateInPandas processor's math, unit-tested with
+    a fake state (the container lacks google.protobuf, so the wire path
+    is exercised only on a full cluster): integer micro-unit totals must
+    equal the floor(v*1e6+0.5) sum exactly, across multiple batches."""
+    import pandas as pd
+
+    from flights_etl_pipeline_spark.streaming.jobs import _UserStatsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeState()
+
+    proc = _UserStatsProcessor()
+    proc.init(FakeHandle())
+    b1 = pd.DataFrame({"value": [0.015, 2.5, 490.02]})
+    b2 = pd.DataFrame({"value": [0.01]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))
+    import math
+
+    expected = sum(math.floor(v * 1_000_000 + 0.5) for v in [0.015, 2.5, 490.02, 0.01])
+    assert out2[0]["n_events"].iloc[0] == 4
+    assert out2[0]["total_micro"].iloc[0] == expected
+    assert out1[0]["n_events"].iloc[0] == 3
