@@ -1106,3 +1106,57 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(davg(clipped, 4), 4).alias("winsorized_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (first-order month x months-since)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_cohort_retention",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey,
+         CAST(MIN(DATE_TRUNC('month', o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_month,
+       (YEAR(o.o_orderdate) - YEAR(f.cohort_month)) * 12
+         + (MONTH(o.o_orderdate) - MONTH(f.cohort_month)) AS month_no,
+       COUNT(DISTINCT o.o_custkey) AS n_active,
+       COUNT(*) AS n_orders
+FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+GROUP BY f.cohort_month, month_no
+""",
+    survey=["cohort", "retention", "G3", "J1-family"],
+)
+def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted as active in each subsequent month -- the standard retention
+    triangle, built from one self-referential aggregate + join.
+
+    Scale shape: the cohort table aggregates to one row per customer and
+    joins back on o_custkey -- same-key partitioning as the source
+    aggregate, so AQE reuses the exchange; the retention aggregate's
+    distinct-count is keyed by (cohort, month_no), bounded groups. At
+    dim-vs-fact ratios like this the cohort side also broadcasts."""
+    orders = load(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias(
+            "cohort_month"
+        )
+    )
+    month_no = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + F.month("o_orderdate")
+        - F.month("cohort_month")
+    )
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort_month", month_no.alias("month_no"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

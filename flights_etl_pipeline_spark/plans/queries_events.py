@@ -704,3 +704,126 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD per event type
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_val
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, m.median_val,
+         quantile_cont(ABS(e.value - m.median_val), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.median_val
+)
+SELECT e.event_type, a.median_val, a.mad,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE ABS(e.value - a.median_val)
+                        > {_MAD_K} * a.mad) AS n_outliers
+FROM events e JOIN mad a USING (event_type)
+GROUP BY e.event_type, a.median_val, a.mad
+""",
+    survey=["outlier-detection", "mad", "robust-stats", "percentile"],
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type: flag values
+    more than 3 median-absolute-deviations from their group median --
+    the quality gate that survives heavy-tailed data where mean/stddev
+    thresholds drown (a single huge value inflates sigma but not MAD).
+
+    Two exact-percentile passes over the same grouping key; each
+    per-group scalar result broadcasts back onto the scan, so the fact
+    table is read-shuffled only for the percentile sorts. Both engines
+    interpolate percentiles with the identical arithmetic, so the
+    thresholds -- and therefore every flag -- agree exactly. At 100 TB
+    substitute approx_percentile (mergeable sketch) for the same plan
+    minus the per-group sorts."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_val")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_val")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("median_val")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    dev = F.abs(F.col("value") - F.col("median_val"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_val", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(dev > _MAD_K * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted moving average over each user's event sequence
+# ---------------------------------------------------------------------------
+
+_WMA_WEIGHTS = (5, 4, 3, 2, 1)  # newest -> oldest, denominator 15
+
+
+@register(
+    "events_wma",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_id, value,
+         LAG(value, 1) OVER w AS v1,
+         LAG(value, 2) OVER w AS v2,
+         LAG(value, 3) OVER w AS v3,
+         LAG(value, 4) OVER w AS v4,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       (FLOOR(((5*value + 4*v1 + 3*v2 + 2*v3 + 1*v4) / 15) * 10000 + 0.5)
+        / 10000) AS wma
+FROM s WHERE rn >= 5
+""",
+    survey=["moving-average", "window-frame", "time-series"],
+)
+def events_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted moving average (weights 5..1 over the last five events)
+    of each user's value sequence in event-time order -- the smoothing
+    pass a feature pipeline applies before change detection. Rows
+    before a full window are withheld (rn >= 5), so every output is a
+    fully-weighted average.
+
+    One window pass: a single hash-partition by user_id with an
+    in-partition sort evaluates all four LAGs and the row counter
+    together; the arithmetic is a fixed IEEE sequence (integer-weighted
+    products, one division), identical in any engine. Scale: state per
+    group is O(window), and user_id is high-cardinality uniform."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [F.lag("value", i).over(w) for i in range(1, 5)]
+    num = sum(F.lit(wt) * c for wt, c in zip(_WMA_WEIGHTS, lags))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (num / F.lit(15)).alias("raw_wma"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 5)
+        .select("user_id", "event_id", dround(F.col("raw_wma"), 4).alias("wma"))
+    )

@@ -360,6 +360,7 @@ SELECT vec_id, label,
 FROM q
 """,
     survey=["quantization", "int8", "embeddings", "A8"],
+    bench=True,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column: per-vector

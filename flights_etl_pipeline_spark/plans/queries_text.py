@@ -524,6 +524,7 @@ SELECT doc_id, source, chunk_idx,
 FROM starts
 """,
     survey=["chunking", "sliding-window", "embedding-prep", "A7"],
+    bench=True,
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking: split each document into {CHUNK_SIZE}-token
@@ -588,6 +589,7 @@ SELECT token, freq,
 FROM tf
 """,
     survey=["vocab-build", "tokenizer", "window", "training-prep"],
+    bench=True,
 )
 def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary construction: corpus-wide term frequencies,
