@@ -12,6 +12,7 @@ after a warmup action.
 from __future__ import annotations
 
 import json
+import re
 import os
 import sys
 import time
@@ -62,6 +63,52 @@ def main() -> None:
             }
         )
     )
+    _report_deltas(timings)
+
+
+def _baseline() -> tuple[int, dict[str, float]] | None:
+    """Latest driver-recorded BENCH_r{N}.json at the repo root."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict[str, float]] | None = None
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if not m:
+            continue
+        try:
+            doc = json.load(open(os.path.join(here, f)))
+            qs = doc["parsed"]["queries"]
+        except Exception:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, qs)
+    return best
+
+
+def _report_deltas(timings: dict[str, float]) -> None:
+    """Per-query regression report vs the latest recorded round
+    (stderr only -- stdout stays the single JSON line)."""
+    base = _baseline()
+    if base is None:
+        return
+    rnd, prev = base
+    flagged = []
+    for name, sec in sorted(timings.items()):
+        p = prev.get(name)
+        if p is None:
+            print(f"bench-delta r{rnd}: {name} NEW {sec:.3f}s", file=sys.stderr)
+            continue
+        ratio = sec / p if p else float("inf")
+        mark = "  <-- REGRESSION >2x" if ratio > 2.0 else ""
+        print(
+            f"bench-delta r{rnd}: {name} {p:.3f}s -> {sec:.3f}s "
+            f"({ratio:.2f}x){mark}",
+            file=sys.stderr,
+        )
+        if ratio > 2.0:
+            flagged.append(name)
+    if flagged:
+        print(f"bench-delta r{rnd}: FLAGGED {flagged}", file=sys.stderr)
 
 
 if __name__ == "__main__":

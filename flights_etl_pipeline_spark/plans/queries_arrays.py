@@ -291,7 +291,7 @@ WITH durs AS (
   FROM durs
 )
 SELECT l_returnflag,
-       SUM(minutes) AS total_minutes,
+       CAST(SUM(minutes) AS BIGINT) AS total_minutes,
        COUNT(*) - COUNT(minutes) AS n_invalid,
        COUNT(minutes) AS n_valid
 FROM parsed

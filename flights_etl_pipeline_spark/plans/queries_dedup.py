@@ -248,7 +248,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
         for j in range(N_MINHASH)
     ) / float(N_MINHASH)
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -261,7 +261,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("est_jaccard"),
         )
         .distinct()
+        # Candidate pairs are the post-LSH survivors (orders of magnitude
+        # smaller than the corpus); materializing them eagerly lets the
+        # signature cache be released instead of leaking across calls.
+        # At 100 TB the equivalent move is writing pairs to a sink, then
+        # unpersisting.
+        .localCheckpoint()
     )
+    sig.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +501,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEV_MAX = 2
 
 
+_NAME_PREFIX_LEN = 9  # 'Customer#' -- constant across the table
+_NAME_DIGITS = 9  # variable digit region length
+
+
+def _deletion_variants() -> F.Column:
+    """All <=2-deletion variants of the 9-char digit region, as an array.
+
+    SymSpell principle: lev(a, b) <= 2 implies the <=2-deletion
+    neighborhoods of a and b intersect, so joining on any shared variant
+    is a *lossless* candidate generator for edit distance 2 -- unlike
+    prefix or phonetic canopies, no true pair is ever dropped. The
+    neighborhoods are restricted to the digit region because every name
+    shares the constant 'Customer#' prefix (common-prefix lemma: equal
+    prefixes never participate in an optimal edit script).
+    """
+    d = F.substring("c_name", _NAME_PREFIX_LEN + 1, _NAME_DIGITS)
+
+    def drop2(i: int, j: int) -> F.Column:  # i < j, 1-based
+        return F.concat(
+            F.substring(d, 1, i - 1),
+            F.substring(d, i + 1, j - i - 1),
+            F.substring(d, j + 1, _NAME_DIGITS - j),
+        )
+
+    def drop1(i: int) -> F.Column:
+        return F.concat(
+            F.substring(d, 1, i - 1), F.substring(d, i + 1, _NAME_DIGITS - i)
+        )
+
+    variants = [d]
+    variants += [drop1(i) for i in range(1, _NAME_DIGITS + 1)]
+    variants += [
+        drop2(i, j)
+        for i in range(1, _NAME_DIGITS + 1)
+        for j in range(i + 1, _NAME_DIGITS + 1)
+    ]
+    # Join keys are variant *values* only: the theorem's matching
+    # variants may arise from different deletion positions on each side
+    # (indel pairs delete at different offsets), so tagging by position
+    # would lose pairs. Variants of different deletion counts have
+    # different lengths and can never collide. array_distinct collapses
+    # duplicates (deleting any of k equal adjacent chars yields one
+    # variant), shrinking the explode well below 46 rows/name.
+    return F.array_distinct(F.array(*variants))
+
+
 @register(
     "fuzzy_customer_pairs",
     oracle=f"""
@@ -511,38 +565,57 @@ WHERE levenshtein(a.c_name, b.c_name) <= {_LEV_MAX}
     survey=["fuzzy-match", "entity-resolution", "levenshtein", "blocking"],
 )
 def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity matching: candidate customer pairs whose names are
-    within edit distance 2, *blocked* by nation so the self-join
-    compares only same-block rows -- the record-linkage pattern for
-    catalogs with typo'd duplicates.
+    """Fuzzy entity matching: customer pairs whose names are within edit
+    distance 2, found via a *deletion-neighborhood canopy* (SymSpell):
+    each name emits its 46 <=2-deletion variants of the digit region;
+    candidates are pairs sharing (nation, variant); exact levenshtein
+    then verifies. Lossless for lev<=2, so the oracle remains the plain
+    blocked all-pairs formulation and results are identical.
 
-    Scale design: blocking is what makes edit-distance matching feasible
-    at all -- the naive all-pairs join is O(n^2); an equi-join on the
-    blocking key reduces it to sum over blocks of |b|^2, and the
-    per-pair levenshtein (JVM codegen, no Python) runs only inside
-    blocks. At 100 TB you block on cheap canopies (name prefix + region,
-    phonetic key) exactly like this, and each block's pair set fits one
-    task. The distance filter applies before any further join, so the
-    shuffle carries matches only."""
+    Scale design: the previous canopy (nation only, 25 blocks) made
+    within-block work O(|block|^2) -- quadratic blowup at 100x data.
+    Deletion variants of a high-cardinality key are near-unique, so
+    block sizes stay O(1) as the table grows: candidate volume is
+    ~46 rows/name through an equi-join instead of |nation-block|^2
+    comparisons. The per-pair levenshtein (JVM codegen, no Python) runs
+    only on canopy survivors, and the distinct dedupes multi-variant
+    matches before the verify filter."""
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a, b = cust.alias("a"), cust.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    sim = F.lit(1) - dist.cast("double") / F.greatest(
-        F.length("a.c_name"), F.length("b.c_name")
+    keyed = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(_deletion_variants()).alias("vv"),
     )
-    return (
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.vv") == F.col("b.vv"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .filter(dist <= _LEV_MAX)
         .select(
             F.col("a.c_nationkey").alias("c_nationkey"),
             F.col("a.c_custkey").alias("custkey_a"),
             F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    sim = F.lit(1) - dist.cast("double") / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    )
+    return (
+        cand.filter(dist <= _LEV_MAX)
+        .select(
+            "c_nationkey",
+            "custkey_a",
+            "custkey_b",
             dist.alias("lev_dist"),
             dround(sim, 4).alias("name_sim"),
         )

@@ -79,9 +79,10 @@ WITH flagged AS (
   FROM events
 ), sessions AS (
   SELECT user_id, ts, event_id,
-         SUM(new_sess) OVER (
+         CAST(SUM(new_sess) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -146,7 +147,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_stats",
     oracle="""
 SELECT event_type,
-       SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+            AS BIGINT) AS k_sum,
        MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
        MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
        COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_count

@@ -149,6 +149,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outdeg",
         )
     )
+    # Materialize the node-sized result eagerly so every intermediate
+    # cache (including deg, still referenced by the final join) can be
+    # released here instead of leaking across repeated invocations.
+    out = out.localCheckpoint()
     edges.unpersist()
     ed.unpersist()
+    deg.unpersist()
     return out

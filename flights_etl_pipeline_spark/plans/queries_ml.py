@@ -62,7 +62,7 @@ def split_assign(key) -> F.Column:
 SELECT {_SPLIT_CASE_SQL} AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """,
@@ -394,7 +394,7 @@ SELECT source,
        CAST(FLOOR(CAST(tokens_before AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT)
          AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c
@@ -478,8 +478,8 @@ SELECT source,
        COUNT(*) AS n_total,
        COUNT(*) FILTER (WHERE MD5(CAST(doc_id AS VARCHAR))
                         < {_mix_threshold_sql()}) AS n_kept,
-       COALESCE(SUM(n_chars) FILTER (WHERE MD5(CAST(doc_id AS VARCHAR))
-                        < {_mix_threshold_sql()}), 0) AS kept_chars,
+       CAST(COALESCE(SUM(n_chars) FILTER (WHERE MD5(CAST(doc_id AS VARCHAR))
+                        < {_mix_threshold_sql()}), 0) AS BIGINT) AS kept_chars,
        {_mix_threshold_sql()} AS threshold
 FROM documents
 GROUP BY source
@@ -714,7 +714,7 @@ SELECT CAST(CAST(concat('0x', substr(md5('fold|' || CAST(doc_id AS VARCHAR)),
                         1, 15)) AS BIGINT) % 1000000007 % {N_FOLDS} AS INT)
          AS fold,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY fold
 """,
@@ -746,18 +746,18 @@ def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_NEG = 4
-_N_VECS_MOD = 500  # candidate id space (vec_id range of the table)
 
 
 @register(
     "negative_sampling",
     oracle=f"""
 WITH a AS (SELECT vec_id, label FROM embeddings),
+m AS (SELECT MAX(vec_id) + 1 AS n_vecs FROM embeddings),
 cand AS (
   SELECT a.vec_id, a.label, t.j,
          CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR) || '|neg|'
                                       || CAST(t.j AS VARCHAR)), 1, 15))
-              AS BIGINT) % 1000000007 % {_N_VECS_MOD} AS neg_id
+              AS BIGINT) % 1000000007 % (SELECT n_vecs FROM m) AS neg_id
   FROM a CROSS JOIN range(1, {N_NEG + 1}) t(j)
 )
 SELECT c.vec_id, CAST(c.j AS INT) AS neg_slot, c.neg_id,
@@ -782,9 +782,14 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the common case), that side broadcasts."""
     emb = load(spark, sf_dir, "embeddings")
     a = emb.select("vec_id", "label")
-    cand = a.select(
+    # Candidate id space derived from the table itself (1-row broadcast
+    # aggregate), not a hard-coded constant: the sampler stays unbiased
+    # when the table grows to any scale factor.
+    mod_df = emb.agg((F.max("vec_id") + F.lit(1)).alias("_n_vecs"))
+    cand = a.crossJoin(F.broadcast(mod_df)).select(
         "vec_id",
         "label",
+        "_n_vecs",
         F.explode(F.sequence(F.lit(1), F.lit(N_NEG))).alias("j"),
     ).select(
         "vec_id",
@@ -798,7 +803,7 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("j").cast("string"),
                 )
             )
-            % _N_VECS_MOD
+            % F.col("_n_vecs")
         ).alias("neg_id"),
     )
     b = emb.select(

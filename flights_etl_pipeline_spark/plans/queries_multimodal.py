@@ -33,11 +33,12 @@ _MEDIA_CASE = (
     oracle=f"""
 SELECT {_MEDIA_CASE} AS media_type,
        COUNT(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_bytes,
-       SUM(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 640 + 64) * (doc_id % 480 + 48) END)
-         AS total_pixels,
-       SUM(CASE WHEN doc_id % 3 <> 0 THEN 1000 + (doc_id % 50) * 200 END)
-         AS total_duration_ms
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0
+                     THEN (doc_id % 640 + 64) * (doc_id % 480 + 48) END)
+            AS BIGINT) AS total_pixels,
+       CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1000 + (doc_id % 50) * 200 END)
+            AS BIGINT) AS total_duration_ms
 FROM documents
 GROUP BY 1
 """,

@@ -254,8 +254,10 @@ _BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escape quote for the SQL literal
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS n_bpe_tokens,
-       SUM(LEN(string_split_regex(text, '\\s+'))) AS n_ws_tokens,
+       CAST(SUM(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(LEN(string_split_regex(text, '\\s+')))
+            AS BIGINT) AS n_ws_tokens,
        FLOOR(CAST(SUM(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')))
                   AS DOUBLE)
              / SUM(LEN(string_split_regex(text, '\\s+'))) * 10000 + 0.5)
@@ -598,10 +600,18 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     special tokens -- the table a trained tokenizer ships with.
 
     Scale shape: the frequency count is the only corpus-sized work (one
-    map-side-combinable aggregate). The id-assignment window is a
-    GLOBAL sort -- correct here because a post-cutoff vocabulary is
-    vocabulary-sized (10^5..10^6 rows), not corpus-sized; ranking the
-    full corpus this way would serialize on one partition."""
+    map-side-combinable aggregate). Id assignment is a HISTOGRAM-OFFSET
+    rank, so no vocabulary-sized single-partition window exists even at
+    a 10^6..10^7 term vocabulary: rows are classed by (freq, first token
+    char) -- a prefix of the global rank order (freq desc, token asc) --
+    ranked *within* each class by a partitioned window (parallel), and
+    shifted by the class's global offset, a windowed cumsum over the
+    class histogram. The histogram is bounded by distinct-freqs x
+    alphabet (never corpus- or vocab-sized), so its cumsum runs on one
+    *deliberate* partition (constant partition key) and broadcasts
+    back. Everything is one lazy plan: the shared frequency aggregate
+    feeds both branches through a single reused exchange, one job, one
+    corpus pass, no sampling pass, no driver collect."""
     hits = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
@@ -609,8 +619,27 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= VOCAB_MIN_FREQ)
+        .withColumn("cls", F.substring("token", 1, 1))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return tf.withColumn(
-        "token_id", F.row_number().over(w) + (_N_SPECIALS - 1)
+    hist = tf.groupBy("freq", "cls").agg(F.count(F.lit(1)).alias("n"))
+    # class-histogram cumsum: bounded input, intentionally one partition
+    woff = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("freq").desc(), F.col("cls").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = hist.select(
+        "freq", "cls", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    wloc = Window.partitionBy("freq", "cls").orderBy(F.col("token").asc())
+    return (
+        tf.withColumn("local_rank", F.row_number().over(wloc))
+        .join(F.broadcast(off_df), ["freq", "cls"])
+        .select(
+            "token",
+            "freq",
+            (F.col("local_rank") + F.col("off") + (_N_SPECIALS - 1))
+            .cast("int")
+            .alias("token_id"),
+        )
     )

@@ -158,7 +158,12 @@ def sessionize_state_fn(
 
     if state.hasTimedOut:
         sid, s_us, e_us, n = state.get
-        state.remove()
+        # Keep the per-user session counter across the timeout (no new
+        # timer): removing state here would restart session_id at 1 if
+        # the user reappears in a later batch, colliding with sessions
+        # already emitted and diverging from the batch oracle's monotone
+        # numbering. Only the open-session fields are cleared.
+        state.update((sid, None, None, 0))
         if user_id >= 0:
             yield _session_row(user_id, sid, n, s_us, e_us)
         return

@@ -5,6 +5,15 @@ parquet dir, then compares row count, column names, and (order-insensitive)
 values. Exact for non-floats; floats compare bit-exact first, then with
 1e-9 relative tolerance as a diagnostic.
 
+The oracle side is fetched through Arrow (``rel.arrow()``), matching the
+driver's hash path: DuckDB HUGEINT (the result type of SUM over any
+integer column) exports as float64 there, so an oracle missing a
+``CAST(... AS BIGINT)`` fails here exactly as it fails the driver's
+hash_match -- ``fetchall()`` would hide it by returning Python ints.
+(Arrow, not pandas: r1 driver rows show DATE stays date and nullable
+int stays int -- pandas would float both; only HUGEINT goes float.)
+Comparison is type-strict for int-vs-float (21168869 != 21168869.0).
+
 Usage: python tools/check_parity.py [sf_dir] [query ...]
 """
 
@@ -19,6 +28,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from flights_etl_pipeline_spark.plans import queries as q
 from flights_etl_pipeline_spark.plans.registry import REGISTRY, TABLES
@@ -27,6 +38,12 @@ from flights_etl_pipeline_spark.session import get_spark
 
 def _norm(v):
     if v is None:
+        return None
+    if isinstance(v, np.ndarray):  # duckdb LIST via pandas
+        return tuple(_norm(x) for x in v.tolist())
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if v is getattr(pd, "NaT", object()):
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
@@ -37,8 +54,6 @@ def _norm(v):
     if hasattr(v, "item"):  # numpy scalar
         v = v.item()
         return _norm(v)
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -55,6 +70,15 @@ def _close(a, b):
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
     if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
         return all(_close(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def _strict_eq(a, b):
+    """Type-strict equality: int 3 != float 3.0 (mirrors the driver hash)."""
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, tuple):
+        return len(a) == len(b) and all(_strict_eq(x, y) for x, y in zip(a, b))
     return a == b
 
 
@@ -88,8 +112,10 @@ def main() -> int:
             continue
         try:
             rel = con.sql(spec.oracle)
-            ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            tbl = rel.arrow()  # arrow path: HUGEINT -> float64, like the driver
+            names = tbl.column_names
+            ocols = [c.lower() for c in names]
+            orows = [tuple(d[c] for c in names) for d in tbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -104,16 +130,17 @@ def main() -> int:
         else:
             a = _rows([c.lower() for c in scols], [tuple(r) for r in srows])
             b = _rows(ocols, orows)
-            if a != b:
-                n_exact = sum(1 for x, y in zip(a, b) if x == y)
+            if not all(_strict_eq(x, y) for x, y in zip(a, b)):
+                n_exact = sum(1 for x, y in zip(a, b) if _strict_eq(x, y))
                 n_close = sum(1 for x, y in zip(a, b) if _close(x, y))
                 print(
                     f"FAIL {name}: values differ "
                     f"(exact {n_exact}/{len(a)}, close {n_close}/{len(a)})"
                 )
                 for x, y in zip(a, b):
-                    if not _close(x, y):
-                        print(f"     spark : {x}\n     oracle: {y}")
+                    if not _strict_eq(x, y):
+                        kind = "value" if not _close(x, y) else "TYPE-ONLY"
+                        print(f"     [{kind}] spark : {x}\n     {' ' * len(kind)}  oracle: {y}")
                         break
                 ok = False
         if ok:
