@@ -3,12 +3,14 @@
 At 100 TB a training-data pipeline carries images/audio/video as opaque
 ``binary`` columns with a typed metadata struct, and runs decode /
 feature-extract / frame-sample as Arrow-batched Python over
-``mapInPandas``. The media codecs (PIL / librosa / av) are not in this
-container, so the *decode* step is a clearly-marked stub
-(:func:`decode_media`) plus a deterministic fake decoder
-(:func:`blob_features` — byte-level statistics) — while the Spark-side
-plumbing (schema, partitioning, batch iterator shape, UDF signatures) is
-real and tested.
+``mapInPandas``. The AUDIO decode path is real: :func:`synth_wav` /
+:func:`parse_wav` write and parse spec-conforming RIFF/WAVE PCM16
+containers with no dependencies beyond numpy. Image/video codecs
+(PIL / av) are not in this container, so those decodes remain a
+clearly-marked stub (:func:`decode_media`) plus a deterministic fake
+decoder (:func:`blob_features` — byte-level statistics) — while the
+Spark-side plumbing (schema, partitioning, batch iterator shape, UDF
+signatures) is real and tested.
 
 Payload synthesis is deterministic from the documents table: the binary
 column is the UTF-8 encoding of ``text`` and the metadata derives from
@@ -17,9 +19,11 @@ column is the UTF-8 encoding of ``text`` and the metadata derives from
 
 from __future__ import annotations
 
+import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -82,17 +86,113 @@ def with_blob(docs: DataFrame) -> DataFrame:
 def decode_media(media_type: str, payload: bytes) -> object:
     """Decode an opaque payload into pixels / samples / frames.
 
-    STUB: the real implementation dispatches to PIL (image), librosa
-    (audio), or av (video) — none of which ship in this container. The
-    pipeline's tested path uses :func:`blob_features` as the
-    deterministic stand-in feature extractor.
+    Audio is REAL: :func:`parse_wav` decodes RIFF/WAVE PCM16 containers
+    with a dependency-free parser. Image/video remain stubs — their
+    codecs (PIL / av) are not in this container; the pipeline's tested
+    path uses :func:`blob_features` as the deterministic stand-in.
     """
+    if media_type == "audio":
+        return parse_wav(payload)
     if media_type in _CODEC_DEPS:  # pragma: no cover - codec not installed
         raise NotImplementedError("codec present but decode path not wired")
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
         "use blob_features() as the deterministic fake decoder"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real audio path: RIFF/WAVE PCM16 synth + parse (dependency-free)
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 16000
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    """Deterministic clip length (smallish so the SQL oracle that
+    re-derives every sample stays cheap)."""
+    return 160 + doc_id % 320
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """A real, spec-conforming WAV file: 44-byte RIFF header + mono
+    PCM16 sawtooth whose samples are integer-exact functions of
+    (doc_id, i) — so decoded features are SQL-oracle-checkable:
+    sample[i] = ((doc_id*31 + i*7) % 65536) - 32768.
+    """
+    n = _wav_n_samples(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def parse_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode a RIFF/WAVE PCM16 payload -> (sample_rate, samples).
+
+    Walks the chunk list (not fixed offsets), validates magics and the
+    PCM16/mono format words, and reinterprets the data chunk as
+    little-endian int16 — a real container parse, not a stub.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported wav format {(fmt, channels, bits)}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def wav_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas ingest stage: doc_id -> real WAV container bytes."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth_wav(int(d))),
+            }
+        )
+
+
+def decode_wav_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage: parse each WAV container and compute
+    integer-exact features from the DECODED samples (never from the
+    generator's parameters): header sample rate, sample count, sum and
+    max of absolute amplitude."""
+    for pdf in batches:
+        rates, counts, sums, maxes = [], [], [], []
+        for payload in pdf["payload"]:
+            rate, samples = parse_wav(payload)
+            a = np.abs(samples.astype(np.int64))
+            rates.append(rate)
+            counts.append(len(samples))
+            sums.append(int(a.sum()))
+            maxes.append(int(a.max()) if len(a) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.Series(rates, dtype="int32"),
+                "n_samples": pd.Series(counts, dtype="int32"),
+                "sum_abs": pd.Series(sums, dtype="int64"),
+                "max_abs": pd.Series(maxes, dtype="int32"),
+            }
+        )
 
 
 def blob_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

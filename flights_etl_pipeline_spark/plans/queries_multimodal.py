@@ -18,7 +18,9 @@ from flights_etl_pipeline_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     FRAME_SCHEMA,
     blob_features,
+    decode_wav_features,
     sample_frames,
+    wav_payloads,
     with_blob,
 )
 from flights_etl_pipeline_spark.plans.registry import load, register
@@ -99,3 +101,55 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("meta")["duration_ms"].alias("duration_ms")
     )
     return videos.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+@register(
+    "audio_decode_stats",
+    oracle="""
+WITH audio AS (
+  SELECT doc_id, 160 + doc_id % 320 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT a.doc_id, a.n,
+         ABS(((a.doc_id * 31 + t.i * 7) % 65536) - 32768) AS amp
+  FROM audio a JOIN range(0, 480) t(i) ON t.i < a.n
+)
+SELECT doc_id,
+       16000 AS sample_rate,
+       CAST(MAX(n) AS INT) AS n_samples,
+       CAST(SUM(amp) AS BIGINT) AS sum_abs,
+       CAST(MAX(amp) AS INT) AS max_abs
+FROM s
+GROUP BY doc_id
+""",
+    survey=["multimodal", "audio-decode", "mapInPandas"],
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path, end to end on actual container bytes:
+    audio rows get a spec-conforming RIFF/WAVE PCM16 payload
+    (mapInPandas ingest stage), then a dependency-free WAV chunk parser
+    decodes header + samples and computes integer-exact amplitude
+    features from the DECODED waveform (second mapInPandas stage). The
+    oracle re-derives every sample arithmetically in SQL, so a parser
+    bug (wrong offset, wrong endianness, wrong chunk walk) fails the
+    hash -- unlike the byte-statistics stand-in, nothing here short-
+    circuits the container format.
+
+    Scale shape: both stages are Arrow-batched and row-local (no
+    shuffle at all); the real-codec swap (librosa/ffmpeg) changes only
+    the parse_wav body. At 100 TB payload columns stream through
+    executors batch-by-batch with spill-free constant memory."""
+    audio = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+    wavs = audio.mapInPandas(wav_payloads, schema="doc_id LONG, payload BINARY")
+    return wavs.mapInPandas(
+        decode_wav_features,
+        schema=(
+            "doc_id LONG, sample_rate INT, n_samples INT, "
+            "sum_abs LONG, max_abs INT"
+        ),
+    )

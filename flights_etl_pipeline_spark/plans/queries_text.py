@@ -622,14 +622,17 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cls", F.substring("token", 1, 1))
     )
     hist = tf.groupBy("freq", "cls").agg(F.count(F.lit(1)).alias("n"))
-    # class-histogram cumsum: bounded input, intentionally one partition
-    woff = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(F.col("freq").desc(), F.col("cls").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # class offsets: how many tokens rank before this class -- a
+    # broadcast non-equi self-join over the bounded histogram (no
+    # window, no single-partition stage anywhere in the plan)
+    x, y = hist.alias("x"), hist.alias("y")
+    earlier = (F.col("y.freq") > F.col("x.freq")) | (
+        (F.col("y.freq") == F.col("x.freq")) & (F.col("y.cls") < F.col("x.cls"))
     )
-    off_df = hist.select(
-        "freq", "cls", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    off_df = (
+        x.join(F.broadcast(y), earlier, "left")
+        .groupBy(F.col("x.freq").alias("freq"), F.col("x.cls").alias("cls"))
+        .agg(F.coalesce(F.sum("y.n"), F.lit(0)).alias("off"))
     )
     wloc = Window.partitionBy("freq", "cls").orderBy(F.col("token").asc())
     return (

@@ -66,3 +66,60 @@ def test_frame_sampling_arithmetic(spark):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_media("image", b"\x89PNG")
+
+
+def test_wav_roundtrip_matches_stdlib():
+    """synth_wav output must be readable by the stdlib wave module and
+    parse_wav must agree with it bit-for-bit."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        WAV_RATE,
+        parse_wav,
+        synth_wav,
+    )
+
+    for doc_id in (1, 4, 313, 9999997):
+        payload = synth_wav(doc_id)
+        ref = wave.open(io.BytesIO(payload))
+        assert ref.getframerate() == WAV_RATE
+        assert (ref.getnchannels(), ref.getsampwidth()) == (1, 2)
+        want = np.frombuffer(ref.readframes(ref.getnframes()), dtype="<i2")
+        rate, got = parse_wav(payload)
+        assert rate == WAV_RATE
+        assert np.array_equal(got, want)
+
+
+def test_parse_wav_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        parse_wav,
+        synth_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"\x00" * 64)
+    # stereo flagged as unsupported, not silently mis-decoded
+    good = bytearray(synth_wav(5))
+    good[22:24] = struct.pack("<H", 2)  # channels=2
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_wav(bytes(good))
+    # truncated: no data chunk
+    with pytest.raises(ValueError, match="missing"):
+        parse_wav(bytes(synth_wav(5)[:36]))
+
+
+def test_decode_media_audio_is_real():
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        decode_media,
+        synth_wav,
+    )
+
+    rate, samples = decode_media("audio", synth_wav(10))
+    assert rate == 16000 and len(samples) == 160 + 10 % 320

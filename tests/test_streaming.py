@@ -96,3 +96,77 @@ def test_user_stats_processor_exact_micro_accumulation():
     assert out2[0]["n_events"].iloc[0] == 4
     assert out2[0]["total_micro"].iloc[0] == expected
     assert out1[0]["n_events"].iloc[0] == 3
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving sessionize_state_fn."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _events_pdf(ts_us_list):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [7] * len(ts_us_list),
+            "ts": [pd.to_datetime(us, unit="us") for us in ts_us_list],
+            "event_id": list(range(len(ts_us_list))),
+        }
+    )
+
+
+def test_sessionize_counter_survives_timeout():
+    """A user absent from intermediate micro-batches (timer fires, open
+    session emitted) must NOT restart session numbering on return --
+    the regression would emit a second session_id=1 colliding with the
+    already-emitted one."""
+    from flights_etl_pipeline_spark.streaming.jobs import (
+        GAP_US,
+        sessionize_state_fn,
+    )
+
+    state = _FakeState()
+    # batch 1: two events, one open session
+    out1 = list(sessionize_state_fn((7,), iter([_events_pdf([0, 10])]), state))
+    assert out1 == [] and state.get[0] == 1
+
+    # timer fires while the user is absent: open session flushes
+    state.hasTimedOut = True
+    out2 = list(sessionize_state_fn((7,), iter([]), state))
+    state.hasTimedOut = False
+    assert len(out2) == 1 and out2[0]["session_id"].iloc[0] == 1
+    # counter must survive the flush
+    assert state.exists and state.get[0] == 1
+
+    # user reappears much later: a NEW session with the NEXT id
+    out3 = list(
+        sessionize_state_fn((7,), iter([_events_pdf([5 * GAP_US])]), state)
+    )
+    assert out3 == []
+    assert state.get[0] == 2  # not a colliding 1
+
+    # and its eventual flush carries session_id=2
+    state.hasTimedOut = True
+    out4 = list(sessionize_state_fn((7,), iter([]), state))
+    assert out4[0]["session_id"].iloc[0] == 2
