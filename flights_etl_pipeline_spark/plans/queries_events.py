@@ -283,6 +283,69 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_JOIN_SALT = 16
+
+
+@register(
+    "events_salted_join",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS type_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS type_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, s.type_events,
+       FLOOR(e.value / s.type_value * 1000000 + 0.5) / 1000000
+         AS value_share
+FROM events e JOIN stats s ON e.event_type = s.event_type
+""",
+    survey=["skew-salting", "join", "G3"],
+)
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN twin of ``events_salted_agg``: enrich every event
+    with its type's totals through a SALTED shuffle join instead of a
+    broadcast.
+
+    ``event_type`` has 5 values — a plain shuffle join funnels each hot
+    key through one task. Salting replicates each dim row ``_N_JOIN_SALT``
+    ways (explode) while the fact side derives a deterministic salt from
+    ``event_id``; the join key becomes (event_type, salt), splitting
+    every hot key across 16 tasks. The SHUFFLE_HASH hint pins the
+    non-broadcast strategy the pattern exists for — at 100 TB the
+    enrichment side (per-key aggregates over billions of keys) does not
+    broadcast, and AQE's skew splitting handles only the sort-merge
+    case, not the replicated-dim discipline shown here. Results are
+    salt-invariant: each fact row matches exactly one replica.
+    """
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("type_value"),
+    )
+    salted_dim = stats.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_JOIN_SALT - 1)))
+    )
+    fact = ev.withColumn(
+        "salt", (F.col("event_id") % _N_JOIN_SALT).cast("int")
+    )
+    return (
+        fact.join(
+            salted_dim.hint("shuffle_hash"), ["event_type", "salt"]
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "type_events",
+            dround(F.col("value") / F.col("type_value"), 6).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join: each click joined to the user's most recent prior purchase
 # ---------------------------------------------------------------------------

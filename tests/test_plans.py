@@ -266,3 +266,26 @@ def test_label_rebalance_broadcasts_factors(spark):
     # generator, not a shuffle
     assert "BroadcastHashJoin" in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_salted_join_splits_hot_keys_without_broadcast(spark):
+    """events_salted_join must execute as a non-broadcast join keyed on
+    (event_type, salt): the dim side replicated by an explode, no
+    BroadcastHashJoin anywhere (the pattern exists precisely for dims
+    too big to broadcast)."""
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        events_salted_join,
+    )
+
+    df = events_salted_join(spark, SF_DIR)
+    plan = plan_str(df, mode="simple")
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    # salt participates in the join key
+    join_line = [
+        ln for ln in plan.splitlines()
+        if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln
+    ][0]
+    assert "salt" in join_line
+    # dim replication is a generator, not a crossJoin
+    assert "Generate explode" in plan
