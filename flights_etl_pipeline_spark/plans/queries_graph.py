@@ -157,3 +157,106 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed.unpersist()
     deg.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented compact-forward)
+# ---------------------------------------------------------------------------
+
+TRIANGLES_SQL = """
+WITH co AS (
+  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.part AS x, b.part AS y
+  FROM co a JOIN co b ON a.ord = b.ord AND a.part < b.part
+),
+nodes AS (
+  SELECT COUNT(DISTINCT n) AS n_nodes
+  FROM (SELECT x AS n FROM edges UNION SELECT y FROM edges)
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.x = e1.x AND e2.y > e1.y
+  JOIN edges e3 ON e3.x = e1.y AND e3.y = e2.y
+)
+SELECT n.n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       t.n_triangles
+FROM nodes n, tri t
+"""
+
+
+@register(
+    "copurchase_triangles",
+    oracle=TRIANGLES_SQL,
+    survey=["triangle-count", "graph", "self-join"],
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-occurrence graph (parts appearing in
+    the same order are adjacent) via the DEGREE-ORIENTED compact-forward
+    algorithm: orient every edge from the (degree, id)-smaller endpoint
+    to the larger, enumerate wedges from each node's out-neighborhood,
+    and close them against the oriented edge list.
+
+    Why this shape at scale: the naive wedge count explodes around hub
+    nodes (a node of degree d contributes d^2 wedges); orientation by
+    degree bounds every out-degree by O(sqrt(|E|)), making total wedge
+    volume O(|E|^1.5) -- the optimal bound -- while staying three hash
+    equi-joins, no windows, no iteration. The oracle counts the same
+    triangles with the id-ordered 3-way join (triangle count is
+    orientation-invariant, so the two formulations agree exactly).
+    """
+    co = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a, b = co.alias("a"), co.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ord") == F.col("b.ord")) & (F.col("a.part") < F.col("b.part")))
+        .select(F.col("a.part").alias("x"), F.col("b.part").alias("y"))
+        .distinct()
+        .persist()
+    )
+    ends = edges.select(F.col("x").alias("n")).unionAll(
+        edges.select(F.col("y").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    # orient: (d, id) lexicographic order, smaller endpoint -> larger
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    keyed = edges.join(dx, "x").join(dy, "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    # carry the head's (degree, id) so wedge tips can be ordered in
+    # ORIENTATION order -- then the closing edge is oriented tip1->tip2
+    # by construction and the final join is a pure equi-join (an OR of
+    # direction cases would force a nested-loop join)
+    oriented = keyed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    ).persist()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tips_ordered = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & tips_ordered
+    ).select(F.col("e1.v").alias("w1"), F.col("e2.v").alias("w2"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("w1")) & (F.col("e3.v") == F.col("w2")),
+    )
+    out = (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    oriented.unpersist()
+    return out

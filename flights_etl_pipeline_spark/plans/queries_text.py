@@ -646,3 +646,145 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Okapi; quantized-decimal contributions)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("hash", "merge", "window")  # fixed query term set
+_BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+           / (SELECT COUNT(*) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         FLOOR(LN((s.n_docs - df + 0.5) / (df + 0.5) + 1) * 1000000 + 0.5)
+           / 1000000 AS idf
+  FROM df, stats s
+),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(
+           i.idf * (t.tf * ({_BM25_K1} + 1))
+             / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                + {_BM25_B} * d.dl / s.avgdl))
+           * 1000000 + 0.5) AS BIGINT) AS c
+  FROM tf t
+  JOIN idf i ON t.term = i.term
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(SUM(c) AS DOUBLE) / 1000000 AS bm25,
+       CAST(COUNT(*) AS INT) AS n_matched
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "bm25_scores",
+    oracle=BM25_SQL,
+    survey=["bm25", "retrieval", "text", "quality-scoring"],
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) over the whitespace-token corpus for
+    a fixed query term set, top-20 docs -- the retrieval scorer a
+    data-curation pipeline uses for query-targeted corpus slices.
+
+    Engine-exactness: the only transcendental (idf's ln) is quantized
+    to 1e-6 immediately, and per-term contributions are quantized to
+    integer micro-units before the per-doc sum, so addition is
+    associative and the result is bit-identical across engines and
+    partitionings (same discipline as pagerank's quantized decimal
+    contributions; a raw float sum would depend on shuffle order).
+
+    Scale shape: one explode -> two hash aggregates (doc lengths; tf
+    restricted to query terms, pushed into the aggregate's filter);
+    df/idf and the corpus stats are tiny and broadcast. The top-k is a
+    TakeOrdered over per-doc scores, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).crossJoin(docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")))
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            (F.sum("c").cast("double") / 1000000).alias("bm25"),
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
