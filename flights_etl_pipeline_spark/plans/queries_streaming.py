@@ -129,3 +129,27 @@ FROM events GROUP BY user_id
         micro-unit totals across micro-batches; the last emission per
         user equals the batch aggregate bit-for-bit."""
         return jobs.events_user_stats_stream(spark, sf_dir)
+
+
+@register(
+    "events_topk_stream",
+    oracle="""
+WITH counts AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour_start, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT hour_start, user_id, n_events,
+         ROW_NUMBER() OVER (PARTITION BY hour_start
+                            ORDER BY n_events DESC, user_id ASC) AS rnk
+  FROM counts
+)
+SELECT hour_start, user_id, n_events, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    survey=["streaming", "topk", "window"],
+)
+def events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: incrementally maintained (hour, user)
+    counts (complete mode), top-3 per hour ranked at sink read."""
+    return jobs.events_topk_stream(spark, sf_dir)

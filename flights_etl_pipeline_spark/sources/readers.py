@@ -85,3 +85,21 @@ def high_watermark(df: DataFrame, column: str):
     (ingestToBronze.py:59-66). The one sanctioned driver-side collect:
     a single aggregated row."""
     return df.agg(F.max(column).alias("wm")).collect()[0]["wm"]
+
+
+def read_json_table(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan. Explicit schema skips the inference pass (which
+    reads the whole dataset once before the real scan -- never at 100 TB);
+    unparseable rows land in ``_corrupt_record`` under the default
+    PERMISSIVE mode instead of failing the job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan: same columnar pushdown/pruning contract as parquet."""
+    return spark.read.orc(path)

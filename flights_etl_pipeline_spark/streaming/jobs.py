@@ -29,7 +29,7 @@ import uuid
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -393,4 +393,28 @@ def events_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+def events_topk_stream(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming top-k: incrementally maintained (hour, user) counts in
+    complete mode; the rank is a batch window over the drained state
+    snapshot (streaming aggregation cannot host a rank itself -- the
+    state holds the counts, the sink read ranks them, which is exactly
+    how a live leaderboard view reads a complete-mode sink)."""
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir)
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "user_id", "n_events")
+    )
+    sink = _run_to_memory(counts, "complete", "topk")
+    rnk = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        sink.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= k)
+        .select("hour_start", "user_id", "n_events", "rnk")
     )
