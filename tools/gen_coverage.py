@@ -16,12 +16,12 @@ sys.path.insert(0, REPO)
 # (survey id, reference behavior, implementation site(s), exercised by)
 STATIC_MAP = [
     ("§2.1 scans / sources / sinks", None, None, None),
-    ("S1 JDBC range scan", "chunked BETWEEN subquery loop", "sources/readers.py::read_jdbc_partitioned (parallel partitionColumn read)", "unit-level (no DB in container)"),
+    ("S1 JDBC range scan", "chunked BETWEEN subquery loop", "sources/readers.py::read_jdbc_partitioned (parallel partitionColumn read)", "tests/test_jdbc_roundtrip.py (live Derby round-trip + pushdown)"),
     ("S2 high-watermark resume", "max(index) restart", "sources/readers.py::high_watermark", "query `high_watermark`"),
     ("S3 parquet scan", "spark.read.parquet", "plans/registry.py::load (+ ns-timestamp handling)", "every query"),
     ("S4 partitioned parquet append", "year/month/day hive layout", "sources/sinks.py::write_partitioned_parquet", "tests/test_pipeline_e2e.py, tests/test_plans.py::test_partition_pruning"),
-    ("S5 saveAsTable sink", "Hive external tables", "sources/sinks.py::save_as_table", "tests/test_pipeline_e2e.py"),
-    ("S6 CSV ingest", "5-hour pandas loop", "sources/readers.py::read_csv_table (one distributed read)", "tests/test_pipeline_e2e.py"),
+    ("S5 saveAsTable sink", "Hive external tables", "sources/sinks.py::save_as_table", "tests/test_pipeline_e2e.py + tests/test_hive_warehouse.py (real Derby metastore)"),
+    ("S6 CSV ingest", "5-hour pandas loop", "sources/readers.py::read_csv_table (one distributed read)", "tests/test_pipeline_e2e.py + tests/test_formats.py (ORC/JSON/CSV round-trips)"),
     ("S7 path probe", "py4j FileSystem.exists", "sources/readers.py::path_exists", "tests/test_pipeline_e2e.py"),
     ("S8 filesystem DDL", "hdfs mkdir -p", "sources/sinks.py::mkdirs", "tests/test_pipeline_e2e.py"),
     ("S9 catalog DDL", "CREATE DATABASE", "sources/sinks.py::ensure_database", "tests/test_pipeline_e2e.py"),
