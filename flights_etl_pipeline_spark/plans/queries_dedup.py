@@ -620,3 +620,68 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(sim, 4).alias("name_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution policy: keep the best document per duplicate cluster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE mh AS ({MINHASH_LSH_SQL}),
+p AS (SELECT doc_a, doc_b FROM mh WHERE est_jaccard >= {_CLUSTER_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+  FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS dropped_chars
+FROM ranked
+GROUP BY cluster_id
+""",
+    survey=["dedup-policy", "keep-best", "dedup-clusters"],
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION: after cluster discovery, pick the survivor per
+    duplicate cluster by a deterministic quality key (longest document,
+    doc_id tiebreak) and account for what gets dropped -- the policy
+    step that turns a cluster map into an actual deduplicated corpus
+    (and the numbers a data-card reports: docs and chars removed).
+
+    Scale shape: the cluster map is node-sized (already small relative
+    to the corpus); one equi-join to the documents table fetches the
+    quality key, and the survivor choice is a max_by aggregate -- no
+    window over the corpus, no shuffle beyond the cluster-keyed agg.
+    """
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = clusters.join(quality, "doc_id")
+    # survivor = arg-max of (n_chars asc, doc_id desc) inverted -> struct
+    # ordering makes max_by pick highest n_chars, then LOWEST doc_id
+    pref = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    return keyed.groupBy("cluster_id").agg(
+        F.max_by("doc_id", pref).alias("kept_doc_id"),
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") - F.max_by("n_chars", pref)).alias("dropped_chars"),
+    )
