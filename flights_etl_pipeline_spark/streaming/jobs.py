@@ -1,8 +1,11 @@
 """Structured Streaming jobs over the events stream.
 
-Three jobs, each run to completion with ``Trigger.AvailableNow`` into a
-memory sink so the result is an ordinary DataFrame the driver harness can
-hash-compare:
+Each job runs to completion with ``Trigger.AvailableNow`` into a memory
+sink so the result is an ordinary DataFrame the driver harness can
+hash-compare. The original three (plus later additions: streaming dedup,
+stream-stream interval join, stream-static enrichment, top-k leaderboard,
+transformWithState user stats, and the exactly-once foreachBatch parquet
+sink):
 
 - :func:`events_hourly_stream` — tumbling-window aggregation, complete
   output mode (the streaming twin of the batch ``events_hourly``).
@@ -418,3 +421,45 @@ def events_topk_stream(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
         .filter(F.col("rnk") <= k)
         .select("hour_start", "user_id", "n_events", "rnk")
     )
+
+
+def stream_to_parquet_exactly_once(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> int:
+    """Idempotent streaming file sink via ``foreachBatch``: each
+    micro-batch lands in a ``batch_id=<epoch>`` partition with dynamic
+    partition overwrite, so a replayed epoch (restart after a crash
+    between sink-commit and checkpoint-commit) OVERWRITES its own
+    partition instead of appending duplicates -- the standard
+    exactly-once discipline for non-transactional sinks. Returns the
+    number of micro-batches written.
+
+    At scale the same pattern keys the partition by (epoch, window) or
+    writes through a transactional table format; the invariant is that
+    the partition key is a pure function of the epoch id.
+    """
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir)
+    n_batches = itertools.count()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        next(n_batches)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    ckpt = os.path.join(_SCRATCH, f"febatch-{uuid.uuid4().hex[:8]}")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return next(n_batches)

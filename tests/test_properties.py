@@ -77,3 +77,57 @@ def test_rolling_hash_matches_model(spark, values):
         r["h"] for r in df.select(rolling_hash("t").alias("h")).toLocalIterator()
     ]
     assert got == [_rolling_model(v) for v in values]
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood canopy: losslessness for lev <= 2
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _deletion_variants_model(d: str) -> set[str]:
+    """Pure-Python twin of queries_dedup._deletion_variants: all <=2
+    deletion variants of the digit region."""
+    n = len(d)
+    out = {d}
+    out.update(d[:i] + d[i + 1 :] for i in range(n))
+    out.update(
+        d[:i] + d[i + 1 : j] + d[j + 1 :]
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    return out
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.digits, min_size=9, max_size=9),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_deletion_canopy_lossless_for_lev2(names):
+    """Every pair within edit distance 2 must share at least one
+    deletion variant -- the exactness claim fuzzy_customer_pairs'
+    candidate generator rests on (SymSpell neighborhood theorem)."""
+    variants = {s: _deletion_variants_model(s) for s in names}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if _lev(a, b) <= 2:
+                assert variants[a] & variants[b], (
+                    f"canopy dropped true pair {a!r}~{b!r} "
+                    f"(lev={_lev(a, b)})"
+                )
