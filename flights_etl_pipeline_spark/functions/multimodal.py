@@ -86,13 +86,16 @@ def with_blob(docs: DataFrame) -> DataFrame:
 def decode_media(media_type: str, payload: bytes) -> object:
     """Decode an opaque payload into pixels / samples / frames.
 
-    Audio is REAL: :func:`parse_wav` decodes RIFF/WAVE PCM16 containers
-    with a dependency-free parser. Image/video remain stubs — their
-    codecs (PIL / av) are not in this container; the pipeline's tested
-    path uses :func:`blob_features` as the deterministic stand-in.
+    Audio and image are REAL: :func:`parse_wav` decodes RIFF/WAVE PCM16
+    containers and :func:`parse_ppm` decodes binary P6 PPM images, both
+    with dependency-free parsers. Video remains a stub — its codecs
+    (av/ffmpeg) are not in this container; the pipeline's tested path
+    uses :func:`blob_features` as the deterministic stand-in.
     """
     if media_type == "audio":
         return parse_wav(payload)
+    if media_type == "image":
+        return parse_ppm(payload)
     if media_type in _CODEC_DEPS:  # pragma: no cover - codec not installed
         raise NotImplementedError("codec present but decode path not wired")
     raise NotImplementedError(
@@ -191,6 +194,105 @@ def decode_wav_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "n_samples": pd.Series(counts, dtype="int32"),
                 "sum_abs": pd.Series(sums, dtype="int64"),
                 "max_abs": pd.Series(maxes, dtype="int32"),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Real image path: binary P6 PPM synth + parse (dependency-free)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic image size (smallish so the SQL oracle that
+    re-derives every pixel stays cheap)."""
+    return 4 + doc_id % 16, 3 + doc_id % 8
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """A real, spec-conforming binary PPM (P6) image: ASCII header
+    (magic, width, height, maxval — with a comment line, which a
+    correct parser must skip) + interleaved RGB bytes whose values are
+    integer-exact functions of (doc_id, byte index):
+    pixel_byte[i] = (doc_id * 7 + i * 13) % 256.
+    """
+    w, h = _ppm_dims(doc_id)
+    i = np.arange(3 * w * h, dtype=np.int64)
+    pixels = ((doc_id * 7 + i * 13) % 256).astype(np.uint8)
+    header = f"P6\n# synthetic {doc_id}\n{w} {h}\n255\n".encode("ascii")
+    return header + pixels.tobytes()
+
+
+def parse_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a binary P6 PPM payload -> (width, height, HxWx3 uint8).
+
+    A real header parse: validates the magic, skips ``#`` comment lines,
+    reads width/height/maxval as whitespace-separated ASCII tokens, then
+    reinterprets exactly 3*w*h raster bytes. Raises on truncated or
+    malformed containers instead of guessing.
+    """
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    raster = payload[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas ingest stage: doc_id -> real PPM container bytes."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth_ppm(int(d))),
+            }
+        )
+
+
+def decode_ppm_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage: parse each PPM container and compute
+    integer-exact features from the DECODED raster (never from the
+    generator's parameters): header dimensions, per-channel byte sums,
+    and global max byte."""
+    for pdf in batches:
+        ws, hs, rs, gs, bs, mx = [], [], [], [], [], []
+        for payload in pdf["payload"]:
+            w, h, px = parse_ppm(payload)
+            s = px.astype(np.int64).sum(axis=(0, 1))
+            ws.append(w)
+            hs.append(h)
+            rs.append(int(s[0]))
+            gs.append(int(s[1]))
+            bs.append(int(s[2]))
+            mx.append(int(px.max()) if px.size else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "sum_r": pd.Series(rs, dtype="int64"),
+                "sum_g": pd.Series(gs, dtype="int64"),
+                "sum_b": pd.Series(bs, dtype="int64"),
+                "max_byte": pd.Series(mx, dtype="int32"),
             }
         )
 

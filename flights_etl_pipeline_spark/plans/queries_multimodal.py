@@ -153,3 +153,61 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_abs LONG, max_abs INT"
         ),
     )
+
+
+@register(
+    "image_decode_stats",
+    oracle="""
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 16 AS w, 3 + doc_id % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT m.doc_id, m.w, m.h, t.i % 3 AS ch,
+         (m.doc_id * 7 + t.i * 13) % 256 AS v
+  FROM img m JOIN range(0, 570) t(i) ON t.i < 3 * m.w * m.h
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(MAX(v) AS INT) AS max_byte
+FROM px
+GROUP BY doc_id
+""",
+    survey=["multimodal", "image-decode", "mapInPandas"],
+)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path, end to end on actual container bytes:
+    image rows get a spec-conforming binary P6 PPM payload whose header
+    includes a comment line (mapInPandas ingest stage), then a
+    dependency-free PPM parser decodes header + raster and computes
+    integer-exact per-channel features from the DECODED pixels (second
+    mapInPandas stage). The oracle re-derives every pixel byte
+    arithmetically in SQL, so a parser bug (comment mishandled, wrong
+    raster offset, wrong channel interleave) fails the hash.
+
+    Scale shape: both stages are Arrow-batched and row-local (no
+    shuffle); swapping in a real codec (PIL/libjpeg) changes only the
+    parse_ppm body, not the plan. At 100 TB payload columns stream
+    through executors batch-by-batch with constant memory."""
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        decode_ppm_features,
+        ppm_payloads,
+    )
+
+    imgs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    ppms = imgs.mapInPandas(ppm_payloads, schema="doc_id LONG, payload BINARY")
+    return ppms.mapInPandas(
+        decode_ppm_features,
+        schema=(
+            "doc_id LONG, width INT, height INT, "
+            "sum_r LONG, sum_g LONG, sum_b LONG, max_byte INT"
+        ),
+    )

@@ -413,3 +413,111 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_checksum"),
         err.alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): centroid blocks -> within-cluster cosine
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 200
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {K_CENTROIDS}
+),
+scored AS (
+  SELECT c.vec_id, c.embedding, ct.cid,
+         {sql_cosine('c.embedding', 'ct.cvec')} AS cs
+  FROM corpus c CROSS JOIN cents ct
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id,
+         {sql_cosine('a.embedding', 'b.embedding')} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT b_id AS drop_id,
+       CAST(MIN(a_id) AS BIGINT) AS keep_id,
+       MAX(FLOOR(cos * 1000000 + 0.5) / 1000000) AS max_cosine
+FROM pairs WHERE cos > 0.99
+GROUP BY b_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=SEMANTIC_DEDUP_SQL,
+    survey=["dedup-semantic", "simsearch-ivf"],
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every embedding to
+    its nearest of K seeded centroids (the IVF coarse quantizer), then
+    find near-duplicate pairs ONLY within each centroid cluster
+    (cosine > 0.99) and drop the higher-id member of each pair, keeping
+    the lowest-id survivor as representative. The corpus injects exact
+    copies (vec_id+10000) so the result is provably non-empty.
+
+    Scale shape: centroids broadcast; assignment is one shuffle-free
+    argmax pass (max_by, no sort); the pair join is an equi-join keyed
+    on cid, so pair work is sum over clusters of |c|^2 -- the SemDeDup
+    bound -- never corpus^2, and K grows with the corpus (K ~ sqrt(N))
+    to hold cluster sizes flat. Survivor election is a hash aggregate,
+    no window.
+
+    Public-knowledge basis: Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication" (2023)."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") < 200).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    ).select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    rows = corpus.select(
+        "vec_id", "embedding", decimal_dot("embedding", "embedding").alias("enorm")
+    )
+    cs = cosine_from_parts(decimal_dot("embedding", "cvec"), "enorm", "cnorm")
+    assigned = (
+        rows.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "enorm", "cid", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("enorm").alias("enorm"),
+            F.max_by(
+                "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
+            ).alias("cid"),
+        )
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = cosine_from_parts(
+        decimal_dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.enorm"),
+        F.col("b.enorm"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.99)
+        .groupBy(F.col("b.vec_id").alias("drop_id"))
+        .agg(
+            F.min(F.col("a.vec_id")).alias("keep_id"),
+            F.max(dround(cos, 6)).alias("max_cosine"),
+        )
+    )

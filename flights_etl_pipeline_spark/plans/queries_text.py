@@ -788,3 +788,92 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM log-likelihood scoring (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_LP_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+vocab AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+lp AS (
+  SELECT token,
+         CAST(FLOOR(LN(cnt / t.n) * 1000000 + 0.5) AS BIGINT) AS lp_micro
+  FROM vocab, tot t
+),
+agg AS (
+  SELECT f.doc_id,
+         CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.tf * l.lp_micro) AS BIGINT) AS sum_lp_micro
+  FROM tf f JOIN lp l ON f.token = l.token
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, sum_lp_micro,
+       CAST(FLOOR(CAST(sum_lp_micro AS DOUBLE) / n_tokens) AS BIGINT)
+         AS mean_lp_micro
+FROM agg
+"""
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=UNIGRAM_LP_SQL,
+    survey=["quality-score", "language-model", "text"],
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM log-likelihood per document -- the perplexity-proxy
+    quality signal (CCNet-style) a curation pipeline uses to rank and
+    filter training text: fit token log-probabilities on the corpus
+    itself, then score each doc by total and mean token logprob.
+
+    Engine-exactness: the only transcendental (ln of the token
+    probability) is quantized to integer micro-nats immediately, so the
+    per-doc sum is integer arithmetic -- associative, shuffle-order-
+    independent, bit-identical across engines (same discipline as bm25).
+
+    Scale shape: one explode feeding a (doc_id, token) hash aggregate
+    (map-side combinable), a vocab-sized rollup, a broadcast 1-row total,
+    and one shuffle join of tf against the logprob table on token --
+    aggregate-before-join keeps the join input vocab-deduped per doc. No
+    global sort, no window, no Python. At 100 TB the lp table is
+    vocab-sized (MBs), broadcastable if desired; the token join is the
+    standard inverted-index shuffle otherwise."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(F.log(F.col("cnt") / F.col("n")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    agg = (
+        tf.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("sum_lp_micro"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_lp_micro",
+        F.floor(F.col("sum_lp_micro").cast("double") / F.col("n_tokens"))
+        .cast("long")
+        .alias("mean_lp_micro"),
+    )

@@ -62,10 +62,14 @@ def register(
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet scan, S3).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; read it as long and truncate to microseconds --
-    the same truncation DuckDB applies -- so both engines see identical
-    instants.
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on the
+    Spark build this surfaces as bigint (``nanosAsLong``) or, on Spark
+    4.1+, natively as TIMESTAMP_NTZ with nanos truncated to micros — the
+    same truncation DuckDB applies. Either way, normalize to a session-tz
+    TIMESTAMP so ``unix_micros``/window functions work downstream; the
+    NTZ→LTZ cast is instant-preserving because every session here runs
+    with ``spark.sql.session.timeZone=UTC`` (asserted below) and the NTZ
+    wall clock *is* the epoch-UTC rendering of the stored nanos.
     """
     df = None
     if name == "events":
@@ -73,7 +77,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "timestamp_ntz":
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -63,9 +63,16 @@ def test_frame_sampling_arithmetic(spark):
     assert idxs == list(range(0, idxs[-1] + 1, FRAME_STRIDE))
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_video_is_stubbed():
+    # video codecs are absent from this container: an honest stub
     with pytest.raises(NotImplementedError):
-        decode_media("image", b"\x89PNG")
+        decode_media("video", b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_decode_media_image_rejects_non_ppm():
+    # image decode is real (PPM): a PNG payload is a parse error, not a stub
+    with pytest.raises(ValueError, match="P6 PPM"):
+        decode_media("image", b"\x89PNG\r\n\x1a\n")
 
 
 def test_wav_roundtrip_matches_stdlib():
@@ -123,3 +130,49 @@ def test_decode_media_audio_is_real():
 
     rate, samples = decode_media("audio", synth_wav(10))
     assert rate == 16000 and len(samples) == 160 + 10 % 320
+
+
+def test_ppm_roundtrip_exact():
+    """synth_ppm output must parse back to the exact generated raster,
+    and the header comment line must be skipped correctly."""
+    import numpy as np
+
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        _ppm_dims,
+        parse_ppm,
+        synth_ppm,
+    )
+
+    for doc_id in (0, 1, 7, 313, 9999997):
+        payload = synth_ppm(doc_id)
+        w, h, px = parse_ppm(payload)
+        assert (w, h) == _ppm_dims(doc_id)
+        i = np.arange(3 * w * h, dtype=np.int64)
+        want = ((doc_id * 7 + i * 13) % 256).astype(np.uint8)
+        assert np.array_equal(px.reshape(-1), want)
+
+
+def test_parse_ppm_rejects_malformed():
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        parse_ppm,
+        synth_ppm,
+    )
+
+    with pytest.raises(ValueError, match="P6"):
+        parse_ppm(b"P3\n2 2\n255\n")  # ASCII PPM is a different format
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        parse_ppm(synth_ppm(5)[:-1])
+    bad = synth_ppm(5).replace(b"255\n", b"65535\n", 1)
+    with pytest.raises(ValueError, match="maxval"):
+        parse_ppm(bad)
+
+
+def test_decode_media_image_is_real():
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        decode_media,
+        synth_ppm,
+    )
+
+    w, h, px = decode_media("image", synth_ppm(10))
+    assert (w, h) == (4 + 10 % 16, 3 + 10 % 8)
+    assert px.shape == (h, w, 3)
