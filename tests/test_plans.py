@@ -289,3 +289,27 @@ def test_salted_join_splits_hot_keys_without_broadcast(spark):
     assert "salt" in join_line
     # dim replication is a generator, not a crossJoin
     assert "Generate explode" in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_window(spark):
+    """semantic_dedup's cluster assignment must be a broadcast of the
+    centroid table plus a hash-aggregate argmax -- no Window (sort-based
+    rank) and no row-wise Python anywhere; the pair join keys on cid."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import semantic_dedup
+
+    plan = plan_str(semantic_dedup(spark, SF_DIR), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_logprob_broadcasts_total_no_python(spark):
+    """doc_unigram_logprob: the 1-row corpus total broadcasts; the whole
+    scoring pipeline is aggregates + one token join, with no Window, no
+    global sort, and no Python evaluation."""
+    from flights_etl_pipeline_spark.plans.queries_text import doc_unigram_logprob
+
+    plan = plan_str(doc_unigram_logprob(spark, SF_DIR), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total crossJoin
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
