@@ -685,3 +685,66 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars") - F.max_by("n_chars", pref)).alias("dropped_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup QA rollup: per-source duplication rate
+# ---------------------------------------------------------------------------
+
+DEDUP_RATE_SQL = f"""
+WITH corpus AS (
+  SELECT source, doc_id, text FROM documents
+  UNION ALL
+  SELECT source, doc_id + 10000 AS doc_id, text
+  FROM documents WHERE doc_id < 100
+),
+fp AS (SELECT source, MD5({NORM_SQL}) AS fp FROM corpus),
+g AS (SELECT source, fp, COUNT(*) AS n FROM fp GROUP BY source, fp)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
+       FLOOR(CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS DOUBLE)
+             / SUM(n) * 1000000 + 0.5) / 1000000 AS dup_rate
+FROM g
+GROUP BY source
+"""
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=DEDUP_RATE_SQL,
+    survey=["dedup-exact", "data-quality", "rollup"],
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA rollup: per-source document counts, unique-fingerprint
+    counts, redundant-copy counts, and the duplication rate -- the
+    monitoring metric a curation pipeline tracks per crawl/source to
+    catch a feed that started re-sending content. Uses the shared
+    corpus-with-known-duplicates so the rate is provably non-zero.
+
+    Scale shape: two cascaded hash aggregates ((source, fp) then
+    source), both map-side combinable; no window, no join, no sort.
+    The (source, fp) grain is the dedup shuffle the pipeline already
+    pays -- this rollup rides it for free as a second-stage rollup."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") < 100).select(
+            "source", (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    g = (
+        corpus.select("source", fingerprint("text").alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    red = F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+    return g.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        red.alias("n_redundant"),
+        (F.floor(red.cast("double") / F.sum("n") * 1000000 + 0.5) / 1000000).alias(
+            "dup_rate"
+        ),
+    )

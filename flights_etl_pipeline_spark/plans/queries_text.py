@@ -877,3 +877,115 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_lp_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (add-1 smoothed conditional logprob per document)
+# ---------------------------------------------------------------------------
+
+BIGRAM_SURPRISAL_SQL = """
+WITH dt AS (
+  SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, pr[1] AS prev, pr[2] AS tok
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_zip(toks[1:LEN(toks)-1], toks[2:LEN(toks)])) AS pr
+    FROM dt
+  )
+),
+c2 AS (SELECT prev, tok, COUNT(*) AS c2 FROM bi GROUP BY prev, tok),
+c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+v AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+  FROM (SELECT UNNEST(toks) AS token FROM dt)
+),
+sp AS (
+  SELECT c2.prev, c2.tok,
+         CAST(FLOOR(-LN((c2.c2 + 1) / (c1.c1 + v.v)) * 1000000 + 0.5)
+              AS BIGINT) AS sp_micro
+  FROM c2 JOIN c1 ON c2.prev = c1.prev CROSS JOIN v
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s.sp_micro) AS BIGINT) AS sum_sp_micro,
+       CAST(FLOOR(CAST(SUM(s.sp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_sp_micro
+FROM bi b JOIN sp s ON b.prev = s.prev AND b.tok = s.tok
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle=BIGRAM_SURPRISAL_SQL,
+    survey=["quality-score", "language-model", "text"],
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document: fit add-1-smoothed conditional
+    probabilities P(t|prev) = (c2+1)/(c1+V) on the corpus, then score
+    each doc by total and mean bigram surprisal (-ln P) -- the
+    next-word-predictability quality signal that separates fluent text
+    from shuffled/boilerplate content where a unigram model cannot.
+
+    Engine-exactness: the ln is quantized to integer micro-nats at the
+    (prev, tok) grain, so every downstream sum is integer arithmetic
+    (associative, partition-order independent -- bm25 discipline).
+
+    Scale shape: bigram pairs come from a shuffle-free arrays_zip of the
+    token array against its own 1-shift (no per-doc window, no sort);
+    counts are map-side-combinable hash aggregates; V is a broadcast
+    1-row scalar; the scoring join keys on the (prev, tok) bigram --
+    vocabulary-bounded, never corpus x corpus."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokenize(F.lower(F.col("text")))
+    d = docs.select(
+        "doc_id",
+        F.slice(t, 1, F.size(t) - 1).alias("p1"),
+        F.slice(t, 2, F.size(t) - 1).alias("p2"),
+    )
+    bi = d.select(
+        "doc_id", F.explode(F.arrays_zip("p1", "p2")).alias("pr")
+    ).select(
+        "doc_id",
+        F.col("pr.p1").alias("prev"),
+        F.col("pr.p2").alias("tok"),
+    )
+    c2 = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = (
+        docs.select(F.explode(t).alias("token"))
+        .agg(F.countDistinct("token").cast("double").alias("v"))
+    )
+    sp = (
+        c2.join(c1, "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "prev",
+            "tok",
+            F.floor(
+                -F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))) * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("sp_micro"),
+        )
+    )
+    return (
+        bi.join(sp, ["prev", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("sp_micro").alias("sum_sp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_sp_micro",
+            F.floor(F.col("sum_sp_micro").cast("double") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("mean_sp_micro"),
+        )
+    )
