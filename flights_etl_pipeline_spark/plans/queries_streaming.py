@@ -153,3 +153,22 @@ def events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming leaderboard: incrementally maintained (hour, user)
     counts (complete mode), top-3 per hour ranked at sink read."""
     return jobs.events_topk_stream(spark, sf_dir)
+
+
+@register(
+    "events_view_purchase_outer_stream",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view'
+""",
+    survey=["streaming", "stream-stream-join", "outer-join"],
+)
+def events_view_purchase_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: unmatched
+    views emit NULL purchase_id once the watermark proves no match can
+    arrive; exact parity with the batch left join."""
+    return jobs.events_view_purchase_left_outer(spark, sf_dir)

@@ -463,3 +463,53 @@ def stream_to_parquet_exactly_once(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return next(n_batches)
+
+
+def events_view_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits, with the
+    matching purchase (within 1 hour after) or NULL once the event-time
+    watermark proves no match can still arrive.
+
+    The null-emission path is what distinguishes outer from inner
+    stream-stream joins: an unmatched view row sits in state until the
+    watermark passes view_ts + 1 hour, then flushes with purchase_id
+    NULL. Sentinel rows must flow through BOTH watermark branches (they
+    are filtered only after the join), otherwise the per-branch
+    watermarks never pass the trailing views and their null rows would
+    be held forever under the AvailableNow drain.
+
+    State bound is identical to the inner join: both sides evict once
+    the watermark clears their interval, so state is O(events in the
+    watermark horizon) regardless of stream length.
+    """
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=True)
+    ev = read_event_stream(spark, stream_dir)
+    views = (
+        ev.filter(F.col("event_type").isin("view", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select("user_id", "view_id", "purchase_id")
+    out = _run_to_memory(joined, "append", "ss_left_outer")
+    # sentinel-left rows (user_id < 0) exist only to advance the clock
+    return out.filter(F.col("user_id") >= 0)
