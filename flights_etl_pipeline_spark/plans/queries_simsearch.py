@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flights_etl_pipeline_spark.functions.scalar import dround
+from flights_etl_pipeline_spark.functions.scalar import dround, dsum
 from flights_etl_pipeline_spark.functions.vectors import (
     cosine_from_parts,
     cosine_similarity,
@@ -520,4 +520,127 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("a.vec_id")).alias("keep_id"),
             F.max(dround(cos, 6)).alias("max_cosine"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encode: the IVF-PQ compression step
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subvector count
+PQ_SUB = DIM // PQ_M  # dims per subvector
+PQ_K = 16  # codewords per sub-codebook
+
+_PQ_M_SQL = "(SELECT UNNEST([0, 1, 2, 3]) AS m)"
+
+
+def _pq_dist_sql(sv: str, cv: str) -> str:
+    return (
+        f"({sql_decimal_dot(sv, sv)} - 2 * {sql_decimal_dot(sv, cv)}"
+        f" + {sql_decimal_dot(cv, cv)})"
+    )
+
+
+PQ_CODES_SQL = f"""
+WITH sub AS (
+  SELECT vec_id, mm.m AS m,
+         embedding[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS sv
+  FROM embeddings, {_PQ_M_SQL} mm
+),
+cb AS (
+  SELECT vec_id AS cid, mm.m AS m,
+         embedding[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS cv
+  FROM embeddings, {_PQ_M_SQL} mm
+  WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.cid, {_pq_dist_sql('s.sv', 'c.cv')} AS dist
+  FROM sub s JOIN cb c ON s.m = c.m
+),
+best AS (
+  SELECT vec_id, m, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(MIN(CASE WHEN m = 0 THEN cid END) AS INT) AS code_0,
+       CAST(MIN(CASE WHEN m = 1 THEN cid END) AS INT) AS code_1,
+       CAST(MIN(CASE WHEN m = 2 THEN cid END) AS INT) AS code_2,
+       CAST(MIN(CASE WHEN m = 3 THEN cid END) AS INT) AS code_3,
+       (FLOOR(CAST(SUM(CAST(dist AS DECIMAL(18,14))) AS DOUBLE) * 100000000
+              + 0.5) / 100000000) AS quant_err
+FROM best
+GROUP BY vec_id
+"""
+
+
+@register(
+    "ann_pq_codes",
+    oracle=PQ_CODES_SQL,
+    survey=["simsearch-pq", "quantization"],
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (the compression half of IVF-PQ, the
+    canonical web-scale ANN index): split each {DIM}-dim embedding into
+    {PQ_M} subvectors, assign each to its nearest codeword in a per-
+    subspace codebook (argmin L2, min-id tie-break), and report the
+    {PQ_M}-byte code plus the total reconstruction error.
+
+    Engine-exactness: dist^2 = |x|^2 - 2 x.c + |c|^2 from exact decimal
+    folds; the per-vector error sum is decimal-cast before summing so it
+    is associative; seeded codebooks (subvectors of the first {PQ_K}
+    vectors) stand in for the k-means fit exactly as in ann_ivf_topk.
+
+    Scale shape: the codebook (M x K codewords) broadcasts everywhere;
+    encoding is one shuffle on the synthetic m key bounded by M -- at
+    scale the posexplode/groupBy pair collapses to a per-row loop over
+    M inside one projection (no shuffle at all); written as relational
+    ops here so the oracle can mirror it. PQ codes shrink the corpus
+    ~{DIM * 4 // PQ_M}x, which is what lets a 100 TB index fit scan-
+    speed storage."""
+    emb = load(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sv"),
+    ).withColumn("snorm", decimal_dot("sv", "sv"))
+    cbook = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("m", "cv"),
+        )
+        .withColumn("cnorm", decimal_dot("cv", "cv"))
+    )
+    dist = (
+        F.col("snorm") - 2 * decimal_dot("sv", "cv") + F.col("cnorm")
+    ).alias("dist")
+    best = (
+        subs.join(F.broadcast(cbook), "m")
+        .select("vec_id", "m", "cid", dist)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("cid", F.struct(F.col("dist"), F.col("cid"))).alias("cid"),
+            F.min("dist").alias("dist"),
+        )
+    )
+    code_cols = [
+        F.min(F.when(F.col("m") == i, F.col("cid"))).cast("int").alias(f"code_{i}")
+        for i in range(PQ_M)
+    ]
+    return best.groupBy("vec_id").agg(
+        *code_cols,
+        dround(dsum("dist", 14), 8).alias("quant_err"),
     )
