@@ -989,3 +989,116 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_sp_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (top bigram associations)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 25
+
+COLLOCATIONS_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT token, COUNT(*) AS c1
+  FROM (SELECT UNNEST(toks) AS token FROM dt)
+  GROUP BY token
+),
+n1 AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni),
+bi AS (
+  SELECT pr[1] AS prev, pr[2] AS tok
+  FROM (
+    SELECT UNNEST(list_zip(toks[1:LEN(toks)-1], toks[2:LEN(toks)])) AS pr
+    FROM dt
+  )
+),
+c2 AS (SELECT prev, tok, COUNT(*) AS c2 FROM bi GROUP BY prev, tok),
+n2 AS (SELECT CAST(SUM(c2) AS DOUBLE) AS nb FROM c2),
+pmi AS (
+  SELECT c2.prev, c2.tok, CAST(c2.c2 AS BIGINT) AS pair_count,
+         CAST(FLOOR(LN((c2.c2 / n2.nb) / ((a.c1 / n1.n) * (b.c1 / n1.n)))
+                    * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+  FROM c2
+  JOIN uni a ON c2.prev = a.token
+  JOIN uni b ON c2.tok = b.token
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE c2.c2 >= {_PMI_MIN_COUNT}
+)
+SELECT prev, tok, pair_count, pmi_micro
+FROM pmi
+ORDER BY pmi_micro DESC, prev, tok
+LIMIT {_PMI_TOPK}
+"""
+
+
+@register(
+    "collocations_pmi",
+    oracle=COLLOCATIONS_SQL,
+    survey=["collocations", "pmi", "text"],
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: rank adjacent
+    token pairs by PMI = ln(P(a,b) / (P(a)P(b))) with a minimum pair
+    count -- the classic collocation/phrase-discovery pass a tokenizer
+    or n-gram-merge pipeline runs before vocabulary construction.
+
+    Engine-exactness: PMI's ln is quantized to integer micro-nats at
+    the pair grain (bm25 discipline); counts and totals are integers.
+
+    Scale shape: bigrams from the shuffle-free arrays_zip self-shift;
+    two map-side-combinable hash aggregates (unigrams, bigrams); the
+    scoring joins key on single tokens against the vocab-sized unigram
+    table (broadcastable); corpus totals are broadcast 1-row scalars;
+    top-k is a TakeOrdered, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokenize(F.lower(F.col("text")))
+    uni = (
+        docs.select(F.explode(t).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").cast("double").alias("n"))
+    d = docs.select(
+        F.slice(t, 1, F.size(t) - 1).alias("p1"),
+        F.slice(t, 2, F.size(t) - 1).alias("p2"),
+    )
+    bi = d.select(F.explode(F.arrays_zip("p1", "p2")).alias("pr")).select(
+        F.col("pr.p1").alias("prev"), F.col("pr.p2").alias("tok")
+    )
+    c2 = (
+        bi.groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= _PMI_MIN_COUNT)
+    )
+    n2 = (
+        bi.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    )
+    a = uni.select(F.col("token").alias("prev"), F.col("c1").alias("c1a"))
+    b = uni.select(F.col("token").alias("tok"), F.col("c1").alias("c1b"))
+    return (
+        c2.join(a, "prev")
+        .join(b, "tok")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "prev",
+            "tok",
+            F.col("c2").alias("pair_count"),
+            F.floor(
+                F.log(
+                    (F.col("c2") / F.col("nb"))
+                    / ((F.col("c1a") / F.col("n")) * (F.col("c1b") / F.col("n")))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "prev", "tok")
+        .limit(_PMI_TOPK)
+    )
