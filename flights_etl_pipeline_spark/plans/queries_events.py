@@ -892,3 +892,50 @@ def events_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= 5)
         .select("user_id", "event_id", dround(F.col("raw_wma"), 4).alias("wma"))
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT ingestion: parse_json once, typed extraction downstream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_variant_buckets",
+    oracle="""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, k % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type, k % 10
+""",
+    survey=["json", "variant", "semi-structured"],
+)
+def events_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion on the Spark 4 VARIANT type: the props
+    string is parsed ONCE with ``parse_json`` into an open-schema
+    variant value, and every downstream access is a typed
+    ``try_variant_get`` path extraction -- the modern replacement for
+    repeated ``get_json_object`` string re-parsing (the binary variant
+    encoding is decoded per path, not re-tokenized per access).
+
+    Scale shape: parse + extraction are per-row column work fused into
+    the scan projection; the rollup is one map-side-combinable hash
+    aggregate on (event_type, bucket). At 100 TB VARIANT's shredded
+    parquet storage lets the path extraction push into the scan."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+        )
+    )

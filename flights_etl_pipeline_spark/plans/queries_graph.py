@@ -260,3 +260,95 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     oriented.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: neighborhood Jaccard over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_HUB_CAP = 600  # suppliers with more distinct customers than this are pruned
+_LINKPRED_TOPK = 25
+
+LINKPRED_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+sd AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY s),
+el AS (SELECT e.c, e.s FROM e JOIN sd ON e.s = sd.s WHERE sd.ds <= {_HUB_CAP}),
+deg AS (SELECT c, COUNT(*) AS d FROM el GROUP BY c),
+pairs AS (
+  SELECT a.c AS ca, b.c AS cb, COUNT(*) AS common
+  FROM el a JOIN el b ON a.s = b.s AND a.c < b.c
+  GROUP BY a.c, b.c
+),
+j AS (
+  SELECT ca, cb, common, da.d + db.d - common AS uni
+  FROM pairs
+  JOIN deg da ON ca = da.c
+  JOIN deg db ON cb = db.c
+)
+SELECT ca AS cust_a, cb AS cust_b, CAST(common AS BIGINT) AS n_common,
+       FLOOR(CAST(common AS DOUBLE) / uni * 1000000 + 0.5) / 1000000
+         AS jaccard
+FROM j
+ORDER BY jaccard DESC, cust_a, cust_b
+LIMIT {_LINKPRED_TOPK}
+"""
+
+
+@register(
+    "copurchase_linkpred",
+    oracle=LINKPRED_SQL,
+    survey=["graph", "link-prediction", "jaccard"],
+)
+def copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: rank customer pairs by
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over shared suppliers -- the
+    common-neighbors feature a recommender derives from the
+    co-purchase graph.
+
+    Scale shape: pair work is Σ_s |N(s)|², so hub suppliers are pruned
+    first (degree cap {_HUB_CAP}: a supplier every customer buys from
+    carries no similarity signal and would alone create a quadratic
+    blowup) -- the same degree-bounding discipline as
+    copurchase_triangles. Common counts come from one equi-join keyed
+    on the shared supplier + a hash aggregate; union sizes from the
+    inclusion-exclusion identity (no second join). At 100x the pair
+    aggregate escalates to MinHash over neighbor sets (minhash_lsh_pairs
+    machinery) with exact Jaccard only on LSH candidates; top-k is a
+    TakeOrdered, never a global sort."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sd = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    el = e.join(sd.filter(F.col("ds") <= _HUB_CAP).select("s"), "s")
+    deg = el.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = el.select(F.col("c").alias("ca"), "s")
+    b = el.select(F.col("c").alias("cb"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("c").alias("ca"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("c").alias("cb"), F.col("d").alias("deg_b"))
+    uni = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    return (
+        pairs.join(F.broadcast(da), "ca")
+        .join(F.broadcast(db), "cb")
+        .select(
+            F.col("ca").alias("cust_a"),
+            F.col("cb").alias("cust_b"),
+            F.col("common").alias("n_common"),
+            (F.floor(F.col("common").cast("double") / uni * 1000000 + 0.5)
+             / 1000000).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")
+        .limit(_LINKPRED_TOPK)
+    )
