@@ -939,3 +939,97 @@ def events_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill / resample: dense hourly grid with zero- and forward-fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly
+),
+grid AS (
+  SELECT t.event_type, g.h AS hour_start
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (
+    SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+  ) g
+),
+joined AS (
+  SELECT g.event_type, g.hour_start,
+         COALESCE(h.n, 0) AS n,
+         h.value_cents AS raw_cents
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.hour_start = h.hour_start
+)
+SELECT event_type, hour_start, CAST(n AS BIGINT) AS n,
+       CAST(COALESCE(LAST_VALUE(raw_cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour_start), 0) AS BIGINT)
+         AS filled_cents
+FROM joined
+""",
+    survey=["gap-fill", "resample", "time-series", "window"],
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: densify the hourly rollup onto a complete
+    per-type hour grid (``sequence`` generates the grid JVM-side), then
+    zero-fill counts and forward-fill the last observed hourly value --
+    the resample/densify pass feature-store pipelines need before any
+    lag/rolling computation, and one Spark has no built-in for.
+
+    Engine-exactness: values aggregate as integer cents, so fills are
+    integer-exact.
+
+    Scale shape: the rollup is the usual map-side-combinable aggregate;
+    the grid generates from a broadcast 1-row bounds scalar (never a
+    driver loop); the forward-fill window partitions by series key --
+    at 100 TB that is millions of independent series, so the window
+    parallelizes per key (the 5-type demo grain understates the
+    real-world key cardinality, not the plan)."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("raw_cents"),
+    )
+    bounds = hourly.agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "hour_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.last("raw_cents", ignorenulls=True).over(w), F.lit(0)
+        ).alias("filled_cents"),
+    )

@@ -153,3 +153,97 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return history.unionAll(current)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: derive a CDC changefeed from two table versions
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0
+              THEN CAST(FLOOR(o_totalprice * 110 + 0.5) AS DOUBLE) / 100
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       o.o_totalprice AS old_price,
+       n.o_totalprice AS new_price
+FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice <> n.o_totalprice
+"""
+
+
+@register(
+    "snapshot_diff",
+    oracle=SNAPSHOT_DIFF_SQL,
+    survey=["cdc", "snapshot-diff", "incremental"],
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing: derive an insert/update/delete changefeed
+    by comparing two versions of a table -- the CDC generator for
+    sources that only hand you full snapshots (the inverse of
+    cdc_latest_state, which compacts a feed back into a snapshot). The
+    new version is derived deterministically in-query (price bumps,
+    row drops, key-shifted inserts) so both engines diff identical
+    inputs.
+
+    Scale shape: one full outer join on the primary key -- co-
+    partitioned if both snapshots are bucketed/clustered on that key, a
+    plain hash shuffle otherwise -- followed by a row-local classify +
+    changed-only filter; unchanged rows (the overwhelming majority of a
+    daily diff) never leave the join stage. The deterministic 10% price
+    bump uses integer-cent arithmetic so both engines compare the same
+    doubles."""
+    orders = load(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    bumped = (
+        F.floor(F.col("o_totalprice") * 110 + 0.5).cast("double") / 100
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 101 == 0, bumped)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 3000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    diff = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full")
+    return diff.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("o.o_totalprice").alias("old_price"),
+        F.col("n.o_totalprice").alias("new_price"),
+    )
