@@ -1033,3 +1033,116 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("raw_cents", ignorenulls=True).over(w), F.lit(0)
         ).alias("filled_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation with mergeable integer counters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row
+_CMS_PROBES = (1, 42, 101, 500, 999)
+
+
+def _cms_hash_sql(d: str, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({d} AS VARCHAR), ':', "
+        f"CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+CMS_SQL = f"""
+WITH rows_d AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT r.d, {_cms_hash_sql('r.d', 'e.user_id')} AS bucket, COUNT(*) AS n
+  FROM events e CROSS JOIN rows_d r
+  GROUP BY 1, 2
+),
+probes AS (SELECT UNNEST([{', '.join(str(p) for p in _CMS_PROBES)}]) AS user_id),
+est AS (
+  SELECT p.user_id, CAST(MIN(c.n) AS BIGINT) AS cms_est
+  FROM probes p
+  CROSS JOIN rows_d r
+  JOIN cells c ON c.d = r.d AND c.bucket = {_cms_hash_sql('r.d', 'p.user_id')}
+  GROUP BY p.user_id
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events
+  WHERE user_id IN ({', '.join(str(p) for p in _CMS_PROBES)})
+  GROUP BY user_id
+)
+SELECT e.user_id, CAST(COALESCE(x.exact_n, 0) AS BIGINT) AS exact_n, e.cms_est
+FROM est e LEFT JOIN exact x ON e.user_id = x.user_id
+"""
+
+
+@register(
+    "events_cms_freq",
+    oracle=CMS_SQL,
+    survey=["approx-sketch", "count-min", "frequency"],
+)
+def events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: a {_CMS_D}x{_CMS_W} grid of
+    integer counters (md5-derived row hashes, identical in both
+    engines), probed for a fixed key set with the min-over-rows
+    estimate next to the exact count -- the mergeable heavy-hitter
+    sketch that answers per-key frequencies at 100 TB without carrying
+    raw keys. Unlike the engine-opaque HLL binary, CMS is pure integer
+    arithmetic, so the whole sketch is hash-checkable cross-engine.
+
+    Scale shape: the build is one map-side-combinable aggregate over
+    (d, bucket) -- {_CMS_D * _CMS_W} cells total regardless of input
+    size, the textbook mergeable-sketch bound; daily cell grids ADD
+    (CMS is a linear sketch), giving incremental maintenance by integer
+    addition. Probing joins the tiny cell table broadcast."""
+    ev = load(spark, sf_dir, "events")
+    d_col = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)])).alias("d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    cells = (
+        ev.select("user_id", d_col)
+        .select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = ev.sparkSession.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "user_id LONG"
+    )
+    probe_cells = probes.select(
+        "user_id", F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)])).alias("d")
+    ).select(
+        "user_id",
+        "d",
+        bucket.alias("bucket"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    exact = (
+        ev.filter(F.col("user_id").isin(*_CMS_PROBES))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("exact_n"), F.lit(0)).alias("exact_n"),
+        "cms_est",
+    )

@@ -817,3 +817,79 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "neg_slot", "neg_id", "label", "neg_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing-trick vectorizer)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 128
+
+
+def _fh_sql(expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+    )
+
+
+FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS token
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {_fh_sql('token')} % {_FH_DIM} AS bucket,
+         CASE WHEN {_fh_sql("concat('s:', token)")} % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, bucket,
+       CAST(SUM(sgn) AS BIGINT) AS val,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM h
+GROUP BY doc_id, bucket
+"""
+
+
+@register(
+    "feature_hashing",
+    oracle=FEATURE_HASH_SQL,
+    survey=["feature-hashing", "vectorize", "ml-prep"],
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization: project each document's token counts
+    into a fixed {_FH_DIM}-dim space via md5 bucket hashing with a
+    second sign hash (the HashingVectorizer construction -- the sign
+    cancels collision bias in expectation). Emits the sparse (doc,
+    bucket, signed-count) triples a downstream linear model consumes.
+
+    The point of the trick at 100 TB: NO vocabulary pass, no global
+    id-assignment, no dictionary to broadcast -- vectorization is a
+    stateless per-row projection, so new data streams through without
+    coordinating with any fitted state.
+
+    Scale shape: explode -> one map-side-combinable (doc, bucket) hash
+    aggregate; md5 bucket/sign hashes are codegen'd column expressions
+    (identical literals in the oracle); output is bounded by
+    {_FH_DIM} buckets/doc."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.explode(tokenize(F.lower(F.col("text")))).alias("token")
+
+    def fh(col: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    toks = docs.select("doc_id", tok)
+    h = toks.select(
+        "doc_id",
+        (fh(F.col("token")) % _FH_DIM).alias("bucket"),
+        F.when(
+            fh(F.concat(F.lit("s:"), F.col("token"))) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").alias("val"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
