@@ -46,6 +46,10 @@ try:
 except ImportError:
     pass
 try:
+    import flights_etl_pipeline_spark.plans.queries_profile  # noqa: F401
+except ImportError:
+    pass
+try:
     import flights_etl_pipeline_spark.plans.queries_core  # noqa: F401
 except ImportError:
     pass

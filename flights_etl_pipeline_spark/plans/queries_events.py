@@ -1146,3 +1146,121 @@ def events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("exact_n"), F.lit(0)).alias("exact_n"),
         "cms_est",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) event-time window: 1 h duration, 15 min slide
+# ---------------------------------------------------------------------------
+
+HOPPING_SQL = """
+WITH hops AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+           AS hop_start,
+         user_id
+  FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k)
+)
+SELECT hop_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM hops
+GROUP BY hop_start
+"""
+
+
+@register(
+    "events_hopping_window",
+    oracle=HOPPING_SQL,
+    survey=["streaming-batch", "hopping-window", "G3"],
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1-hour windows sliding every 15 minutes -- the batch
+    expression of ``F.window(ts, "1 hour", "15 minutes")``; each event
+    lands in exactly 4 hops.
+
+    Scale: Spark expands each row into its 4 windows before a single
+    hash aggregate on (window, ...) -- a constant 4x row blowup with
+    map-side partial aggregation, no extra shuffle vs a tumbling window.
+    The DuckDB oracle materializes the same expansion with an explicit
+    range(4) cross join (every hop containing ts is bucket15(ts) - k*15m
+    for k in 0..3, all within (ts - 1h, ts] by construction).
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("hop_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep-line over fixed-TTL intervals)
+# ---------------------------------------------------------------------------
+
+_CONC_TTL_MIN = 5
+
+CONCURRENCY_SQL = f"""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {_CONC_TTL_MIN} MINUTE AS t, -1 AS delta
+  FROM events
+), run AS (
+  SELECT event_type,
+         CAST(SUM(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS conc
+  FROM pts
+)
+SELECT event_type, MAX(conc) AS peak_concurrent
+FROM run GROUP BY event_type
+"""
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=CONCURRENCY_SQL,
+    survey=["sweep-line", "interval", "window"],
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-live events per type, where each
+    event is live for a fixed 5-minute TTL: classic sweep-line --
+    +1/-1 boundary points, a running sum ordered by (time, delta), and
+    a max per type. Ordering -1 before +1 at equal timestamps makes the
+    interval half-open [ts, ts+TTL).
+
+    Scale: one shuffle on event_type (the window partition key); the
+    running sum is ROWS-framed so it streams in one pass per partition.
+    Ties inside an equal (t, delta) group contribute a deterministic
+    set of partial sums regardless of intra-group order, so the MAX is
+    engine-stable. For a skewed single-type table, salt by time-range
+    chunks and stitch boundary offsets (same histogram-offset pattern
+    as vocab_build).
+    """
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {_CONC_TTL_MIN} MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+        .groupBy("event_type")
+        .agg(F.max("conc").alias("peak_concurrent"))
+    )

@@ -893,3 +893,79 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").alias("val"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (size-proportional, integer-exact)
+# ---------------------------------------------------------------------------
+
+_SYS_SAMPLE_K = 50
+
+SYS_SAMPLE_SQL = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+), tot AS (SELECT SUM(n_chars) AS total FROM documents)
+SELECT doc_id, n_chars,
+       CAST(((cum - n_chars) * {_SYS_SAMPLE_K}) // total AS BIGINT)
+         AS stratum
+FROM c, tot
+WHERE ((cum - n_chars) * {_SYS_SAMPLE_K}) // total
+      < (cum * {_SYS_SAMPLE_K}) // total
+"""
+
+
+@register(
+    "weighted_systematic_sample",
+    oracle=SYS_SAMPLE_SQL,
+    survey=["sampling", "weighted", "training-prep", "window"],
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-proportional systematic sample: lay documents end-to-end on
+    a line scaled by n_chars, cut the line into K equal strata, and keep
+    every document that crosses a stratum boundary -- selection
+    probability proportional to length, exactly K boundaries, all
+    integer arithmetic (no RNG, no floats), so the pick set is
+    bit-identical in any engine.
+
+    Scale shape: the only global state is an ordered prefix sum over
+    doc_id. Computed here with the same histogram-offset pattern as
+    vocab_build -- a per-class windowed cumsum (class = doc_id range
+    bucket, parallel) plus broadcast class offsets from a bounded
+    non-equi self-join -- so no dataset-sized single-partition window
+    exists; the grand total rides the same offset table instead of a
+    second scan.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # class key: doc_id range bucket (prefix of the global doc_id order)
+    cls = (F.col("doc_id") / 64).cast("bigint")
+    d = docs.withColumn("cls", cls)
+    wloc = (
+        Window.partitionBy("cls")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("lcum", F.sum("n_chars").over(wloc))
+    hist = d.groupBy("cls").agg(F.sum("n_chars").alias("cls_sum"))
+    x, y = hist.alias("x"), hist.alias("y")
+    off = (
+        x.join(F.broadcast(y), F.col("y.cls") < F.col("x.cls"), "left")
+        .groupBy(F.col("x.cls").alias("cls"))
+        .agg(F.coalesce(F.sum("y.cls_sum"), F.lit(0)).alias("off"))
+    )
+    total = hist.agg(F.sum("cls_sum").alias("total"))
+    return (
+        local.join(F.broadcast(off), "cls")
+        .crossJoin(F.broadcast(total))
+        .filter(F.expr(f"((lcum + off - n_chars) * {_SYS_SAMPLE_K}) div total")
+                < F.expr(f"((lcum + off) * {_SYS_SAMPLE_K}) div total"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                f"((lcum + off - n_chars) * {_SYS_SAMPLE_K}) div total"
+            ).alias("stratum"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Data-quality profiling queries: per-column table statistics.
+
+The reference has no data-profiling surface; its data-quality logic is a
+single conjunctive filter (transformToSilver.py:53). A training-data
+pipeline needs table-level profiling before that filter can even be
+written -- null rates, cardinalities, value ranges per column -- so this
+module adds it as a first-class, oracle-checked operator.
+
+Scale: one full-scan aggregate with map-side partial aggregation; the
+only multi-pass cost is exact COUNT(DISTINCT) over several columns,
+which Spark plans as a single Expand + two-stage aggregate (rows x
+n_profiled_cols intermediate). At 100 TB swap the exact distincts for
+``approx_count_distinct`` (HLL, one pass, no expand) -- the plan keeps
+the same shape; exact is kept here for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flights_etl_pipeline_spark.plans.registry import load, register
+
+# (column, normalized-string expression for min/max) -- doubles are
+# quantized to integer cents so min/max render identically in Spark and
+# DuckDB (double->string formatting differs between engines).
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "plain"),
+    ("o_custkey", "plain"),
+    ("o_orderstatus", "plain"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "plain"),
+    ("o_orderpriority", "plain"),
+)
+
+
+def _norm(col: str, kind: str) -> Column:
+    if kind == "cents":
+        # floor(x*100+0.5) is monotone, so min/max commute with it
+        return (
+            F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint").cast("string")
+        )
+    return F.col(col).cast("string")
+
+
+def _norm_sql(col: str, kind: str) -> str:
+    if kind == "cents":
+        return f"CAST(CAST(FLOOR({col} * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+    return f"CAST({col} AS VARCHAR)"
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({_norm_sql(c, k)}) AS VARCHAR) AS min_val,
+       CAST(MAX({_norm_sql(c, k)}) AS VARCHAR) AS max_val
+FROM orders"""
+    for c, k in _PROFILE_COLS
+)
+
+
+@register(
+    "table_profile",
+    oracle=TABLE_PROFILE_SQL,
+    survey=["profiling", "data-quality", "G1", "G5"],
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders``: null count, exact cardinality,
+    normalized min/max. One aggregate job over a single scan.
+
+    The min/max of the double column are compared on quantized integer
+    cents (monotone transform) because double->string formatting is not
+    engine-portable; every other type renders identically.
+    """
+    df = load(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        n = _norm(c, kind)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(n).alias(f"mn_{c}"),
+            F.max(n).alias(f"mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

@@ -15,7 +15,7 @@ buckets), never the full cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
@@ -643,4 +643,122 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("vec_id").agg(
         *code_cols,
         dround(dsum("dist", 14), 8).alias("quant_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: LSH recall@k vs exact ground truth
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+_RECALL_NQ = 10  # evaluate on query vectors vec_id 0..9
+
+ANN_RECALL_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+  FROM b WHERE vec_id < {_RECALL_NQ}
+),
+scored AS (
+  SELECT q.qid, b.vec_id, b.bucket, q.qb,
+         FLOOR({sql_cosine('b.embedding', 'q.qv')} * 100000000 + 0.5)
+           / 100000000 AS cosine
+  FROM b CROSS JOIN q
+),
+truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {_RECALL_K}
+),
+cand AS (SELECT qid, vec_id, cosine FROM scored WHERE bucket = qb),
+retrieved AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, vec_id) AS r
+    FROM cand
+  ) WHERE r <= {_RECALL_K}
+),
+nc AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid),
+hits AS (
+  SELECT t.qid, COUNT(r.vec_id) AS n_hits
+  FROM truth t LEFT JOIN retrieved r
+    ON t.qid = r.qid AND t.vec_id = r.vec_id
+  GROUP BY t.qid
+)
+SELECT h.qid, nc.n_candidates, h.n_hits,
+       CAST(h.n_hits AS DOUBLE) / {_RECALL_K} AS recall
+FROM hits h JOIN nc ON h.qid = nc.qid
+"""
+
+
+@register(
+    "ann_recall_eval",
+    oracle=ANN_RECALL_SQL,
+    survey=["simsearch-eval", "recall", "window"],
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH index against exact cosine ground
+    truth, per query vector (vec_id 0..9) -- the evaluation loop every
+    ANN deployment needs before trusting the approximate path.
+
+    Scale shape: the exact side is the expensive one by design; in
+    production it runs on a *sampled* query set exactly like this (10
+    broadcast queries x corpus scan, one pass, per-query top-k via a
+    qid-partitioned window -- parallel across queries, no global sort).
+    The LSH side prunes to the query's bucket before scoring, so the
+    candidate join is bucket-equi, not all-pairs. Both top-k cuts break
+    cosine ties by vec_id on quantized scores, so the hit counts are
+    engine-exact.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
+    q = b.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    scored = b.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        "bucket",
+        "qb",
+        dround(cosine_similarity("embedding", "qv"), 8).alias("cosine"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    truth = (
+        scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    cand = scored.filter(F.col("bucket") == F.col("qb"))
+    retrieved = (
+        cand.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    # count matches per qid: left join truth->retrieved on (qid, vec_id)
+    hits = (
+        truth.alias("t")
+        .join(
+            retrieved.alias("r"),
+            (F.col("t.qid") == F.col("r.qid"))
+            & (F.col("t.vec_id") == F.col("r.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("t.qid").alias("qid"))
+        .agg(F.count(F.col("r.vec_id")).alias("n_hits"))
+    )
+    return hits.join(nc, "qid").select(
+        "qid",
+        "n_candidates",
+        "n_hits",
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall"),
     )
