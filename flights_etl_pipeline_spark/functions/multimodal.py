@@ -347,3 +347,37 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "ts_ms": pd.Series(out_ts, dtype="int64"),
             }
         )
+
+
+RESIZE_T = 4  # nearest-neighbor resize target (RESIZE_T x RESIZE_T)
+
+
+def resize_ppm_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize stage: parse each PPM container, nearest-
+    neighbor downsample the DECODED raster to RESIZE_T x RESIZE_T
+    (src = (out_idx * src_dim) // out_dim -- the integer-exact NN map),
+    and compute per-channel byte sums of the resized image. A wrong
+    index map, channel interleave, or raster offset changes the sums.
+    """
+    t = np.arange(RESIZE_T, dtype=np.int64)
+    for pdf in batches:
+        rs, gs, bs, mx = [], [], [], []
+        for payload in pdf["payload"]:
+            w, h, px = parse_ppm(payload)
+            small = px[np.ix_((t * h) // RESIZE_T, (t * w) // RESIZE_T)]
+            s = small.astype(np.int64).sum(axis=(0, 1))
+            rs.append(int(s[0]))
+            gs.append(int(s[1]))
+            bs.append(int(s[2]))
+            mx.append(int(small.max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_w": pd.Series([RESIZE_T] * len(rs), dtype="int32"),
+                "out_h": pd.Series([RESIZE_T] * len(rs), dtype="int32"),
+                "rsum_r": pd.Series(rs, dtype="int64"),
+                "rsum_g": pd.Series(gs, dtype="int64"),
+                "rsum_b": pd.Series(bs, dtype="int64"),
+                "max_byte": pd.Series(mx, dtype="int32"),
+            }
+        )

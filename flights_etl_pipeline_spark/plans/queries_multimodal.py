@@ -211,3 +211,62 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_r LONG, sum_g LONG, sum_b LONG, max_byte INT"
         ),
     )
+
+
+@register(
+    "image_resize_stats",
+    oracle="""
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 16 AS w, 3 + doc_id % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+cell AS (
+  SELECT m.doc_id,
+         c.i AS ch,
+         (m.doc_id * 7
+          + (3 * ((y.i * m.h // 4) * m.w + (x.i * m.w // 4)) + c.i) * 13)
+           % 256 AS v
+  FROM img m, range(0, 4) y(i), range(0, 4) x(i), range(0, 3) c(i)
+)
+SELECT doc_id,
+       4 AS out_w,
+       4 AS out_h,
+       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS rsum_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS rsum_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS rsum_b,
+       CAST(MAX(v) AS INT) AS max_byte
+FROM cell
+GROUP BY doc_id
+""",
+    survey=["multimodal", "image-resize", "mapInPandas"],
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> RESIZE pipeline on real container bytes: P6 PPM parse,
+    then integer-exact nearest-neighbor downsample to 4x4 of the
+    DECODED raster (src = out_idx * src_dim // out_dim), per-channel
+    sums of the resized pixels. The oracle replays the same NN index
+    map arithmetically per cell, so an off-by-one in the resize map or
+    a channel swap fails the hash -- this is the resize stage of an
+    image-training preprocessing pipeline made oracle-checkable.
+
+    Scale shape: two Arrow-batched row-local stages, no shuffle; a real
+    resampler (PIL.Image.resize) swaps in for the numpy index map
+    without touching the plan."""
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        ppm_payloads,
+        resize_ppm_features,
+    )
+
+    imgs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    ppms = imgs.mapInPandas(ppm_payloads, schema="doc_id LONG, payload BINARY")
+    return ppms.mapInPandas(
+        resize_ppm_features,
+        schema=(
+            "doc_id LONG, out_w INT, out_h INT, "
+            "rsum_r LONG, rsum_g LONG, rsum_b LONG, max_byte INT"
+        ),
+    )

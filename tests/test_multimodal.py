@@ -176,3 +176,32 @@ def test_decode_media_image_is_real():
     w, h, px = decode_media("image", synth_ppm(10))
     assert (w, h) == (4 + 10 % 16, 3 + 10 % 8)
     assert px.shape == (h, w, 3)
+
+
+def test_resize_nn_matches_reference_model():
+    """resize stage == brute-force per-pixel NN reference on decoded bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        RESIZE_T,
+        parse_ppm,
+        resize_ppm_features,
+        synth_ppm,
+    )
+
+    doc_ids = [0, 3, 21, 48]
+    pdf = pd.DataFrame(
+        {"doc_id": doc_ids, "payload": [synth_ppm(d) for d in doc_ids]}
+    )
+    out = next(resize_ppm_features(iter([pdf])))
+    for row, d in zip(out.itertuples(), doc_ids):
+        w, h, px = parse_ppm(synth_ppm(d))
+        ref = np.zeros((RESIZE_T, RESIZE_T, 3), dtype=np.int64)
+        for y in range(RESIZE_T):
+            for x in range(RESIZE_T):
+                ref[y, x] = px[(y * h) // RESIZE_T, (x * w) // RESIZE_T]
+        assert (row.rsum_r, row.rsum_g, row.rsum_b) == tuple(
+            ref.sum(axis=(0, 1))
+        )
+        assert row.max_byte == ref.max()
