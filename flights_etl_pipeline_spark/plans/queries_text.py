@@ -1102,3 +1102,101 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "prev", "tok")
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (iterative tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=None,  # iterative argmax loop; not SQL-expressible. Value-
+    # checked against a pure-Python BPE reference in tests/test_text.py.
+    survey=["tokenizer-training", "bpe", "iterative"],
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first N byte-pair-encoding merges from the corpus --
+    the training half of a BPE tokenizer (vocab_build is the shipping
+    half). Classic algorithm: represent each distinct word as a symbol
+    sequence (initially characters) weighted by corpus frequency; each
+    round counts adjacent symbol pairs, picks the most frequent pair
+    (ties broken lexicographically), and rewrites every word with the
+    pair fused left-to-right.
+
+    Scale shape (same contract as copurchase_pagerank): state lives in
+    a words-distinct DataFrame (vocabulary-sized, NOT corpus-sized --
+    the corpus is touched once to build word frequencies). Per round:
+    one explode->hash-agg pair count (map-side combinable) and ONE
+    driver-side scalar (the argmax pair, the merge-table row every
+    executor needs next round -- broadcast by closure), then a pure
+    column-level array rewrite via F.aggregate. localCheckpoint +
+    paired unpersist truncate lineage so round R does not replay
+    rounds 1..R-1.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    cur = words
+    for rank in range(1, _BPE_N_MERGES + 1):
+        pairs = (
+            cur.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "pos", "a"
+                ),
+                F.col("syms"),
+                F.col("freq"),
+            )
+            .select(
+                "a",
+                F.element_at("syms", F.col("pos") + 2).alias("b"),
+                "freq",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        top = pairs.orderBy(
+            F.col("pair_freq").desc(), F.col("a"), F.col("b")
+        ).first()
+        if top is None:
+            break
+        a, b, pf = top["a"], top["b"], int(top["pair_freq"])
+        merges.append((rank, a, b, pf))
+        fused = a + b
+        la, lb = F.lit(a), F.lit(b)
+        nxt = cur.select(
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS ARRAY<STRING>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.try_element_at(acc, F.lit(-1)) == la)
+                    & (s == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(fused)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, pair_freq LONG"
+    )
