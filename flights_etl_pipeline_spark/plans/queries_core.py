@@ -1160,3 +1160,157 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_RULES_MIN_SUPPORT = 3
+_RULES_TOPK = 25
+
+ASSOCIATION_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM baskets),
+singles AS (SELECT pk, COUNT(*) AS n_single FROM baskets GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING COUNT(*) >= {_RULES_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_pair,
+       CAST(n_pair AS DOUBLE) / sa.n_single AS confidence,
+       CAST(n_pair * n.n_baskets AS DOUBLE)
+         / CAST(sa.n_single * sb.n_single AS DOUBLE) AS lift
+FROM pairs
+JOIN singles sa ON sa.pk = part_a
+JOIN singles sb ON sb.pk = part_b
+CROSS JOIN n
+ORDER BY n_pair DESC, part_a, part_b
+LIMIT {_RULES_TOPK}
+"""
+
+
+@register(
+    "association_rules",
+    oracle=ASSOCIATION_RULES_SQL,
+    survey=["market-basket", "association-rules", "self-join"],
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A -> B association rules over order baskets: pair support from a
+    basket self-join, confidence = P(B|A), lift = P(AB)/(P(A)P(B)),
+    top-25 by support with deterministic tie-breaks. The ratios are
+    single IEEE divisions of exact integer counts, so both engines
+    produce bit-identical doubles.
+
+    Scale: the self-join is keyed on orderkey (co-partitioned, never
+    all-pairs) and quadratic only in basket size (bounded, ~7 items);
+    min-support pruning happens in the pair aggregate before the
+    part-keyed stat joins. Basket-count and singles tables are
+    part-dimension-sized -- broadcast at this SF, plain hash joins at
+    100 TB."""
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("okey").alias("n_baskets"))
+    singles = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_single"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _RULES_MIN_SUPPORT)
+    )
+    sa = singles.withColumnRenamed("pk", "part_a").withColumnRenamed(
+        "n_single", "n_a"
+    )
+    sb = singles.withColumnRenamed("pk", "part_b").withColumnRenamed(
+        "n_single", "n_b"
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_pair") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
+        .limit(_RULES_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer order inter-arrival gaps (lag + grouped median)
+# ---------------------------------------------------------------------------
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         DATE_DIFF('day',
+           LAG(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       COUNT(gap_days) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+       quantile_cont(gap_days, 0.5) AS median_gap
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+HAVING COUNT(gap_days) >= 3
+"""
+
+
+@register(
+    "orders_interarrival",
+    oracle=INTERARRIVAL_SQL,
+    survey=["window", "lag", "grouped-percentile"],
+)
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival statistics: lag-computed day
+    gaps between consecutive orders, then count/min/max/median per
+    customer (>= 3 gaps). Integer day gaps make the interpolated median
+    exact in both engines (int midpoints are exactly representable).
+
+    Scale: one shuffle on o_custkey serves both the lag window and the
+    aggregate (co-partitioned); the exact grouped percentile sorts only
+    within each customer's handful of gaps."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_gap"),
+            F.max("gap_days").cast("bigint").alias("max_gap"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_gap"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )

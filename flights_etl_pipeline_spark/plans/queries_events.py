@@ -1264,3 +1264,50 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("conc").alias("peak_concurrent"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-range window (RANGE frame, not ROWS)
+# ---------------------------------------------------------------------------
+
+TRAILING_1H_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w
+         AS BIGINT) AS value_micro_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register(
+    "events_trailing_1h",
+    oracle=TRAILING_1H_SQL,
+    survey=["window", "range-frame", "streaming-batch"],
+)
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing one-hour activity: count and exact micro-unit
+    value sum of the same user's events in (ts - 1h, ts] via a RANGE
+    frame over epoch microseconds -- the value-based frame ROWS cannot
+    express (events are irregularly spaced). Events sharing a timestamp
+    share a frame, so the result is order-independent within ties.
+
+    Scale: one shuffle on user_id; the range frame is evaluated with a
+    sliding two-pointer pass per partition, O(n) amortized, no
+    re-aggregation per row."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    micro = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(micro).over(w).cast("bigint").alias("value_micro_1h"),
+    )
