@@ -172,3 +172,21 @@ def events_view_purchase_outer_stream(spark: SparkSession, sf_dir: str) -> DataF
     views emit NULL purchase_id once the watermark proves no match can
     arrive; exact parity with the batch left join."""
     return jobs.events_view_purchase_left_outer(spark, sf_dir)
+
+
+@register(
+    "events_hopping_stream",
+    oracle="""
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+         AS hop_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k)
+GROUP BY 1
+""",
+    survey=["streaming", "hopping-window"],
+)
+def events_hopping_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hopping_window: 1h/15min sliding windows
+    over the 4-chunk file replay, complete output mode; must equal the
+    batch hop expansion bit-for-bit."""
+    return jobs.events_hopping_stream(spark, sf_dir)

@@ -114,6 +114,22 @@ def events_hourly_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("hour_start") <= F.timestamp_micros(F.lit(max_us)))
 
 
+def events_hopping_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window streaming aggregation: 1-hour windows sliding every
+    15 minutes, complete mode. Each event contributes to 4 overlapping
+    window states; state is sharded on the (window, ...) grouping key
+    exactly like the tumbling job, so the overlap costs a constant 4x
+    state fan-out, never a replay."""
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hop_start"), "n_events")
+    )
+    return _run_to_memory(agg, "complete", "hopping")
+
+
 # ---------------------------------------------------------------------------
 # Stateful sessionization (applyInPandasWithState, event-time timeout)
 # ---------------------------------------------------------------------------
