@@ -1314,3 +1314,94 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto coverage: customers needed for 80% of each nation's revenue
+# ---------------------------------------------------------------------------
+
+PARETO_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+ranked AS (
+  SELECT nationkey, o_custkey, cents,
+         SUM(cents) OVER (
+           PARTITION BY nationkey ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+         SUM(cents) OVER (PARTITION BY nationkey) AS tot_cents,
+         COUNT(*) OVER (PARTITION BY nationkey) AS n_customers
+  FROM rev
+)
+SELECT nationkey,
+       CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+       CAST(MIN(CASE WHEN cum_cents * 5 >= tot_cents * 4
+                     THEN rn END) AS BIGINT) AS n_for_80pct
+FROM (
+  SELECT nationkey, n_customers, cum_cents, tot_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY nationkey ORDER BY cents DESC, o_custkey) AS rn
+  FROM ranked
+)
+GROUP BY nationkey
+"""
+
+
+@register(
+    "nation_pareto_customers",
+    oracle=PARETO_SQL,
+    survey=["pareto", "window", "cumulative-share"],
+)
+def nation_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 analysis per nation: the minimum number of top customers
+    whose cumulative revenue reaches 80% of the nation total. Revenue is
+    quantized to integer cents so the 80% threshold test
+    (cum*5 >= tot*4) is exact integer arithmetic in both engines.
+
+    Scale: per-customer revenue is one orderkey->custkey aggregate; the
+    ranking windows partition by nationkey (parallel across nations).
+    For a single-tenant skewed partition at 100 TB the cumulative rank
+    switches to the histogram-offset pattern (vocab_build)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        orders.select("o_custkey", cents.alias("c0"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c0").alias("cents"))
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("nationkey"),
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    worder = Window.partitionBy("nationkey").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    wall = Window.partitionBy("nationkey")
+    ranked = rev.select(
+        "nationkey",
+        F.sum("cents")
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.sum("cents").over(wall).alias("tot_cents"),
+        F.count(F.lit(1)).over(wall).alias("n_customers"),
+        F.row_number().over(worder).alias("rn"),
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.min(
+            F.when(
+                F.col("cum_cents") * 5 >= F.col("tot_cents") * 4, F.col("rn")
+            )
+        )
+        .cast("bigint")
+        .alias("n_for_80pct"),
+    )

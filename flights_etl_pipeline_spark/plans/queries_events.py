@@ -1311,3 +1311,56 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
         F.sum(micro).over(w).cast("bigint").alias("value_micro_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User-journey transition matrix (Markov next-event probabilities)
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n_pair
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+totals AS (SELECT cur, SUM(n_pair) AS n_cur FROM pairs GROUP BY cur)
+SELECT p.cur, p.nxt, p.n_pair,
+       CAST(p.n_pair AS DOUBLE) / t.n_cur AS p_next
+FROM pairs p JOIN totals t ON p.cur = t.cur
+"""
+
+
+@register(
+    "event_transitions",
+    oracle=TRANSITIONS_SQL,
+    survey=["markov", "user-journey", "window", "lead"],
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    lead() pairs each event with the user's next event, pair counts
+    normalize to P(next | current) by single IEEE divisions of exact
+    counts (engine-identical doubles).
+
+    Scale: one shuffle on user_id for the lead window; the pair/total
+    aggregates are event-type-cardinality-sized (tiny) and the totals
+    join broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = pairs.groupBy("cur").agg(F.sum("n_pair").alias("n_cur"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n_pair",
+        (F.col("n_pair").cast("double") / F.col("n_cur")).alias("p_next"),
+    )

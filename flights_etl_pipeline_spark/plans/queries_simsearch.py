@@ -762,3 +762,69 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / _RECALL_K).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval: ANN top-k joined back to document features
+# ---------------------------------------------------------------------------
+
+RAG_RETRIEVE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT vec_id,
+         FLOOR({sql_cosine('e.embedding', 'q.qv')} * 100000000 + 0.5)
+           / 100000000 AS cosine
+  FROM embeddings e CROSS JOIN q
+  ORDER BY cosine DESC, vec_id
+  LIMIT 10
+)
+SELECT t.vec_id AS doc_id, t.cosine, d.lang, d.source, d.n_chars,
+       LEN(string_split_regex(d.text, '\\s+')) AS n_tokens
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+"""
+
+
+@register(
+    "rag_retrieve",
+    oracle=RAG_RETRIEVE_SQL,
+    survey=["rag", "simsearch-join", "composition"],
+)
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval stage of a RAG pipeline: exact cosine top-10 for the
+    query vector, joined back to the documents table for the context
+    features a generator prompt-builder needs (language, source, size,
+    token count). Exercises the cross-modal doc_id==vec_id join the
+    corpus layout is designed for.
+
+    Scale: the ANN cut happens BEFORE the document join, so the join's
+    left side is k rows (broadcast); the documents side is never
+    scanned beyond the pushed-down join keys at 100 TB when stored
+    bucketed by doc_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
+    cos = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    topk = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", dround(cos, 8).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+    return F.broadcast(topk).join(
+        docs, topk.vec_id == docs.doc_id
+    ).select(
+        F.col("doc_id"),
+        "cosine",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
