@@ -748,3 +748,123 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality evaluation: LSH candidate recall vs exact Jaccard truth
+# ---------------------------------------------------------------------------
+
+DEDUP_RECALL_SQL = f"""
+WITH corpus AS ({CORPUS_SQL}),
+shd AS (
+  SELECT doc_id, LIST_DISTINCT({WORD_SHINGLES_SQL}) AS sh FROM corpus
+),
+ex AS (SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS s FROM shd),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MAX(a.n_sh) AS na, MAX(b.n_sh) AS nb, COUNT(*) AS ninter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE ninter * 2 >= na + nb - ninter
+),
+mh AS ({MINHASH_LSH_SQL}),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM mh),
+hits AS (
+  SELECT COUNT(*) AS n_hits
+  FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       h.n_hits,
+       CAST(h.n_hits AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall
+FROM hits h
+"""
+
+
+@register(
+    "dedup_recall_eval",
+    oracle=DEDUP_RECALL_SQL,
+    survey=["dedup-eval", "recall", "inverted-index"],
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash+LSH candidate generator against exact
+    ground truth: true near-dup pairs are (Jaccard >= 0.5) over the
+    same word-3-gram shingle space, computed WITHOUT an all-pairs scan
+    via an inverted-index self-join (docs sharing at least one shingle
+    are the only pairs with nonzero intersection). The 0.5 threshold is
+    the integer-exact test 2*|Anb| >= |AuB|, so no float compare
+    decides membership.
+
+    Scale: the inverted-index join shuffles on the shingle -- hot
+    shingles (stopword trigrams) are the skew risk; production prunes
+    shingles with document frequency above a cutoff (they cannot
+    certify a 0.5-Jaccard pair on their own but dominate join fan-out).
+    The LSH side reuses the banded candidate pipeline unchanged; this
+    evaluation is the tuning loop for (bands, rows-per-band).
+    """
+    corpus = _corpus(spark, sf_dir)
+    toks_df = corpus.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("toks")
+    )
+    ex = (
+        toks_df.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.try_element_at("toks", F.col("i") + j) for j in range(3)]
+            ).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("ninter") * 2 >= F.col("na") + F.col("nb") - F.col("ninter"))
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true")).alias("recall"),
+        )
+    )
+    ex.unpersist()
+    return out
