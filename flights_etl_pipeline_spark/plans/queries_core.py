@@ -1199,6 +1199,7 @@ LIMIT {_RULES_TOPK}
     "association_rules",
     oracle=ASSOCIATION_RULES_SQL,
     survey=["market-basket", "association-rules", "self-join"],
+    bench=True,
 )
 def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A -> B association rules over order baskets: pair support from a
@@ -1404,4 +1405,119 @@ def nation_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_for_80pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front) per order priority
+# ---------------------------------------------------------------------------
+
+SKYLINE_SQL = """
+WITH pts AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1, 2, 3
+),
+stair AS (
+  SELECT o_orderpriority, cents, d, n_orders,
+         MAX(d) OVER (
+           PARTITION BY o_orderpriority ORDER BY cents DESC, d DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_d
+  FROM pts
+)
+SELECT o_orderpriority, cents, d AS orderdate, n_orders
+FROM stair
+WHERE best_d IS NULL OR d > best_d
+"""
+
+
+@register(
+    "priority_skyline",
+    oracle=SKYLINE_SQL,
+    survey=["skyline", "pareto-front", "window"],
+)
+def priority_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: per priority, the orders not dominated on
+    (totalprice, orderdate) -- maximize both. Staircase algorithm over
+    distinct points: sorted by (price desc, date desc), a point is on
+    the front iff its date beats the best date among all strictly
+    preceding points (equal points are pre-grouped so they never
+    self-dominate). Prices are integer cents, so ordering and the
+    domination test are exact in both engines.
+
+    Scale: domination is evaluated in one ROWS-framed running max per
+    priority partition -- O(n log n) for the sort, no pairwise
+    comparison; the distinct-point pre-aggregate shrinks the window
+    input first."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    pts = (
+        orders.select(
+            "o_orderpriority",
+            cents.alias("cents"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .groupBy("o_orderpriority", "cents", "d")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("cents").desc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stair = pts.withColumn("best_d", F.max("d").over(w))
+    return stair.filter(
+        F.col("best_d").isNull() | (F.col("d") > F.col("best_d"))
+    ).select(
+        "o_orderpriority", "cents", F.col("d").alias("orderdate"), "n_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling (hash-ranked k per key)
+# ---------------------------------------------------------------------------
+
+_GROUP_SAMPLE_K = 3
+
+GROUP_SAMPLE_SQL = f"""
+SELECT o_orderpriority, o_orderkey, rk
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= {_GROUP_SAMPLE_K}
+"""
+
+
+@register(
+    "group_sample_orders",
+    oracle=GROUP_SAMPLE_SQL,
+    survey=["sampling", "per-group", "deterministic"],
+)
+def group_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sample with no RNG: rank rows inside each
+    priority by the md5 of their key (a fixed uniform permutation,
+    identical in every engine and on every rerun) and keep the first k.
+    The audit-friendly alternative to TABLESAMPLE / rand() sampling --
+    reruns, backfills, and engine swaps all pick the same rows.
+
+    Scale: one shuffle on the group key; each task keeps a k-heap via
+    the windowed rank filter (AQE prunes the rest)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _GROUP_SAMPLE_K)
     )

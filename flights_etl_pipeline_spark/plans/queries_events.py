@@ -1287,6 +1287,7 @@ WINDOW w AS (
     "events_trailing_1h",
     oracle=TRAILING_1H_SQL,
     survey=["window", "range-frame", "streaming-batch"],
+    bench=True,
 )
 def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing one-hour activity: count and exact micro-unit

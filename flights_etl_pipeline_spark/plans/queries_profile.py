@@ -65,32 +65,45 @@ FROM orders"""
     "table_profile",
     oracle=TABLE_PROFILE_SQL,
     survey=["profiling", "data-quality", "G1", "G5"],
+    bench=True,
 )
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of ``orders``: null count, exact cardinality,
-    normalized min/max. One aggregate job over a single scan.
+    normalized min/max.
+
+    One independent aggregate branch per column, unioned (the same
+    shape as the oracle): each branch reads ONLY its column from
+    parquet and plans as a partial hash aggregate + one exchange.
+    A single multi-`countDistinct` aggregate looks tidier but plans as
+    an Expand x(k+1) feeding a SortAggregate keyed on all k columns --
+    measured 4.6 s vs 0.4 s for this formulation at sf0.1. Branches
+    share nothing, so Spark runs them as parallel stages.
 
     The min/max of the double column are compared on quantized integer
     cents (monotone transform) because double->string formatting is not
     engine-portable; every other type renders identically.
     """
     df = load(spark, sf_dir, "orders")
-    aggs = []
+    parts = []
     for c, kind in _PROFILE_COLS:
         n = _norm(c, kind)
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(n).alias(f"mn_{c}"),
-            F.max(n).alias(f"mx_{c}"),
-        ]
-    one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
-            "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        parts.append(
+            df.select(F.col(c))
+            .agg(
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(n).alias("min_val"),
+                F.max(n).alias("max_val"),
+            )
+            .select(
+                F.lit(c).alias("col_name"),
+                "n_nulls",
+                "n_distinct",
+                "min_val",
+                "max_val",
+            )
         )
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
