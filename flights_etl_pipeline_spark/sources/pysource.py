@@ -1,0 +1,78 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference ingests its OLTP table over JDBC (ingestToBronze.py:43-74);
+this module demonstrates the *other* way a PySpark-native engine grows a
+new source: a first-class ``DataSource`` implementation registered under
+``format("flights_synth")``. It generates the flight-itinerary shape
+deterministically, so queries over it are oracle-checkable by replaying
+the same arithmetic in SQL.
+
+Scale: ``partitions()`` returns one ``InputPartition`` per requested
+split, so the scan parallelizes across executors exactly like a JDBC
+``partitionColumn`` read; each partition streams its rows, never
+materializing the table on the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+AIRLINES = ("AA", "DL", "UA", "WN", "B6", "AS", "NK")
+_EPOCH = dt.date(2022, 4, 16)
+
+DEFAULT_ROWS_PER_PARTITION = 1000
+DEFAULT_NUM_PARTITIONS = 8
+
+SCHEMA = (
+    "leg_id BIGINT, airline STRING, fare_cents BIGINT, "
+    "seats INT, search_date DATE"
+)
+
+
+def synth_row(i: int) -> tuple:
+    """Deterministic row i of the synthetic itineraries table. The SQL
+    twin of this arithmetic lives in SYNTH_SOURCE_SQL (queries_synth)."""
+    return (
+        i,
+        AIRLINES[i % 7],
+        (i * 37 + 11) % 1_000_000,
+        i % 10,
+        _EPOCH + dt.timedelta(days=i % 365),
+    )
+
+
+class FlightsSynthReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.rows_per_partition = int(
+            options.get("rows_per_partition", DEFAULT_ROWS_PER_PARTITION)
+        )
+        self.num_partitions = int(
+            options.get("num_partitions", DEFAULT_NUM_PARTITIONS)
+        )
+
+    def partitions(self):
+        return [InputPartition(p) for p in range(self.num_partitions)]
+
+    def read(self, partition: InputPartition):
+        base = partition.value * self.rows_per_partition
+        for j in range(self.rows_per_partition):
+            yield synth_row(base + j)
+
+
+class FlightsSynthSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "flights_synth"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> FlightsSynthReader:
+        return FlightsSynthReader(self.options)
+
+
+def register_flights_synth(spark) -> None:
+    """Idempotently register the source with this session."""
+    spark.dataSource.register(FlightsSynthSource)
