@@ -70,3 +70,61 @@ def synth_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("search_date").alias("first_date"),
         F.max("search_date").alias("last_date"),
     )
+
+
+@register(
+    "synth_source_stream",
+    oracle=SYNTH_SOURCE_SQL,
+    survey=["python-datasource", "streaming", "offset-resume"],
+)
+def synth_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of synth_source_revenue through the custom Python
+    STREAMING DataSource: the reader serves 2000-row micro-batches keyed
+    by a global-row-index offset, and the query runs FOUR separate
+    AvailableNow drains against one checkpoint -- each restart resumes
+    from the committed offset (the reference's high-watermark pattern,
+    ingestToBronze.py:59-66, as a first-class source contract). The
+    complete-mode aggregate state survives the restarts, so the final
+    table equals the batch oracle over all 8000 rows; a duplicated or
+    skipped offset range fails the hash.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from flights_etl_pipeline_spark.sources.pysource import (
+        register_flights_synth_stream,
+    )
+
+    register_flights_synth_stream(spark)
+    qname = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join("/tmp", f"ckpt_{qname}")
+    src = (
+        spark.readStream.format("flights_synth_stream")
+        .option("chunk", _ROWS_PER_PART * 2)
+        .option("n_rows", _N)
+        .load()
+    )
+    agg = src.groupBy("airline").agg(
+        F.count(F.lit(1)).alias("n_itineraries"),
+        F.sum("fare_cents").alias("total_fare_cents"),
+        F.min("search_date").alias("first_date"),
+        F.max("search_date").alias("last_date"),
+    )
+    try:
+        for _ in range(4):  # 4 restarts x 2000-row prefetch = all 8000 rows
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # materialize before the checkpoint (incl. state store) is removed
+        out = spark.table(qname)
+        out.count()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 AIRLINES = ("AA", "DL", "UA", "WN", "B6", "AS", "NK")
 _EPOCH = dt.date(2022, 4, 16)
@@ -76,3 +81,42 @@ class FlightsSynthSource(DataSource):
 def register_flights_synth(spark) -> None:
     """Idempotently register the source with this session."""
     spark.dataSource.register(FlightsSynthSource)
+
+
+class FlightsSynthStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming reader: each micro-batch serves the next
+    ``chunk`` of the deterministic generator; the offset is the global
+    row index, so a restart from a checkpoint resumes exactly where the
+    previous run committed (no duplicates, no gaps -- the high-watermark
+    pattern of ingestToBronze.py:59-66 as a first-class source)."""
+
+    def __init__(self, options: dict) -> None:
+        self.chunk = int(options.get("chunk", 2000))
+        self.n_rows = int(options.get("n_rows", 8000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        s = start["i"]
+        e = min(s + self.chunk, self.n_rows)
+        return iter([synth_row(i) for i in range(s, e)]), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(start["i"], end["i"])])
+
+
+class FlightsSynthStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "flights_synth_stream"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema) -> FlightsSynthStreamReader:
+        return FlightsSynthStreamReader(self.options)
+
+
+def register_flights_synth_stream(spark) -> None:
+    spark.dataSource.register(FlightsSynthStreamSource)
