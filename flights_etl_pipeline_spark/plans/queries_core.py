@@ -1521,3 +1521,48 @@ def group_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _GROUP_SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (SQL surface, Q1-family)
+# ---------------------------------------------------------------------------
+
+LATERAL_TOP2_SQL = """
+SELECT n.n_nationkey, n.n_name, t.c_custkey, t.bal_cents, t.rk
+FROM nation n,
+LATERAL (
+  SELECT c_custkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         ROW_NUMBER() OVER (
+           ORDER BY FLOOR(c_acctbal * 100 + 0.5) DESC, c_custkey) AS rk
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_cents DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "nation_top2_lateral",
+    oracle=LATERAL_TOP2_SQL,
+    survey=["sql-lateral", "correlated-subquery", "Q1-family", "top-k"],
+)
+def nation_top2_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation, written as a SQL
+    LATERAL correlated subquery over temp views -- the reference's
+    SQL-over-views surface (transformToSilver.py:105-112) exercised with
+    a modern correlated construct both engines parse natively. Balances
+    compare as integer cents, ties break on custkey.
+
+    Scale: Catalyst decorrelates the lateral into a ranked window over
+    the customer table partitioned by nationkey (one shuffle, parallel
+    across nations) -- semantically identical to the window formulation,
+    here exercised through the SQL parser path."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        LATERAL_TOP2_SQL.replace("nation n", "nation_v n").replace(
+            "customer c", "customer_v c"
+        )
+    )
