@@ -1214,22 +1214,28 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-keyed stat joins. Basket-count and singles tables are
     part-dimension-sized -- broadcast at this SF, plain hash joins at
     100 TB."""
+    # one wide shuffle total: baskets as arrays (groupBy orderkey), then
+    # pair expansion is ROW-LOCAL (explode x explode over the bounded
+    # basket array) -- cheaper than a basket self-join, which would
+    # re-shuffle both sides on okey after the distinct
     baskets = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy("okey")
+        .agg(F.collect_set("pk").alias("pks"))
+        .persist()
     )
-    n = baskets.agg(F.countDistinct("okey").alias("n_baskets"))
-    singles = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_single"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    singles = (
+        baskets.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_single"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(
-            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
-        )
+        baskets.select(F.explode("pks").alias("part_a"), "pks")
+        .select("part_a", F.explode("pks").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= _RULES_MIN_SUPPORT)
     )
@@ -1239,7 +1245,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = singles.withColumnRenamed("pk", "part_b").withColumnRenamed(
         "n_single", "n_b"
     )
-    return (
+    out = (
         pairs.join(F.broadcast(sa), "part_a")
         .join(F.broadcast(sb), "part_b")
         .crossJoin(F.broadcast(n))
@@ -1255,7 +1261,12 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
         .limit(_RULES_TOPK)
+        # k-row result; eager checkpoint lets the basket cache release
+        # instead of leaking across harness calls
+        .localCheckpoint()
     )
+    baskets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
