@@ -165,3 +165,27 @@ def test_second_run_is_idempotent(result, spark):
     assert res2.dim_airline_rows == res1.dim_airline_rows
     assert res2.dim_airport_rows == res1.dim_airport_rows
     assert res2.fact_rows == res1.fact_rows
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """Many tiny appended files -> one compacted generation, same rows."""
+    from pyspark.sql import functions as F
+
+    from flights_etl_pipeline_spark.sources.sinks import compact_parquet_dir
+
+    path = str(tmp_path / "smallfiles")
+    for batch in range(6):  # simulate drip appends: 6 writes x 4 files
+        (
+            spark.range(batch * 400, (batch + 1) * 400)
+            .repartition(4)
+            .select(F.col("id"), (F.col("id") % 7).alias("g"))
+            .write.mode("append")
+            .parquet(path)
+        )
+    expected = spark.read.parquet(path).agg(F.sum("id")).first()[0]
+    before, after = compact_parquet_dir(spark, path, target_records_per_file=10_000)
+    assert before >= 24
+    assert after < before
+    assert after <= 4  # 2400 rows at 10k/file -> a handful of AQE splits
+    got = spark.read.parquet(path).agg(F.sum("id")).first()[0]
+    assert got == expected
