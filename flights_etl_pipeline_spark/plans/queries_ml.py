@@ -969,3 +969,51 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stratum"),
         )
     )
+
+
+@register(
+    "decontaminated_train",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS sh,
+         {_SPLIT_CASE_SQL} AS split
+  FROM documents
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE {_SPLIT_CASE_SQL.replace('doc_id', 'd.doc_id')} = 'train'
+  AND NOT EXISTS (
+    SELECT 1 FROM sh t
+    JOIN sh tr ON t.sh = tr.sh
+    WHERE tr.doc_id = d.doc_id AND t.split = 'test' AND tr.split = 'train'
+  )
+""",
+    survey=["decontamination", "left-anti", "J1-family", "training-prep"],
+)
+def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of decontamination (split_contamination is the
+    report): train-split documents that share NO word-trigram shingle
+    with any test document survive; contaminated ones are dropped via a
+    left-anti join -- the same J1 anti-join family as the reference's
+    incremental dim load, applied to eval hygiene.
+
+    Plan: shingle explode -> distinct -> shingle-keyed semi-join from
+    train to test shingles (contaminated ids), then a broadcast-able
+    anti-join back to the train docs. Never doc x doc; linear in the
+    shingle space like split_contamination."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "split", split_assign("doc_id")
+    )
+    sh = shingle_rows(docs, ["doc_id", "split"]).distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("sh")
+    contaminated = (
+        sh.filter(F.col("split") == "train")
+        .join(test_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("split") == "train")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
