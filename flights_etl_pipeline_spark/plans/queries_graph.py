@@ -352,3 +352,91 @@ def copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")
         .limit(_LINKPRED_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS levels (bounded single-source shortest hops)
+# ---------------------------------------------------------------------------
+
+_BFS_SRC = 1  # customer node 1
+_BFS_MAX_DEPTH = 4
+
+BFS_SQL = f"""
+WITH RECURSIVE
+{_GRAPH_SQL.strip().rstrip(",")},
+walk(node, lvl) AS (
+  SELECT CAST({_BFS_SRC} AS BIGINT) AS node, 0 AS lvl
+  UNION
+  SELECT e.dst AS node, w.lvl + 1 AS lvl
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lvl < {_BFS_MAX_DEPTH}
+)
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier'
+            ELSE 'customer' END AS node_type,
+       CAST(MIN(lvl) AS INT) AS level
+FROM walk
+GROUP BY node
+"""
+
+
+@register(
+    "copurchase_bfs_levels",
+    oracle=BFS_SQL,
+    survey=["bfs", "graph", "iterative", "shortest-path"],
+)
+def copurchase_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS levels (shortest hop counts, bounded at 4) from
+    customer node 1 over the symmetric co-purchase graph -- frontier
+    expansion as a driver loop of joins, the level-synchronous BFS a
+    distributed engine actually runs.
+
+    Each round: frontier joins edges (one shuffle on the edge key),
+    discovered nodes anti-join the visited set, and ONLY an isEmpty
+    flag crosses to the driver. Bounding the depth makes the recursive-
+    CTE oracle safe on a cyclic graph (UNION dedups (node, lvl) rows,
+    not nodes, so unbounded recursion would walk cycles forever); both
+    sides take MIN(lvl) per node at the end. Visited state persists per
+    round with localCheckpoint lineage truncation, like PageRank.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist()
+    )
+    visited = (
+        edges.sparkSession.createDataFrame(
+            [(_BFS_SRC, 0)], "node LONG, level INT"
+        ).localCheckpoint()
+    )
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        discovered = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).cast("int").alias("level"))
+            .localCheckpoint()
+        )
+        if discovered.isEmpty():
+            break
+        visited = visited.unionAll(discovered).localCheckpoint()
+        frontier = discovered
+    edges.unpersist()
+    return visited.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.col("level"),
+    )
