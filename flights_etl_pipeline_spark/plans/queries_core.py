@@ -1577,3 +1577,54 @@ def nation_top2_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer c", "customer_v c"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue change (lag over a small aggregate)
+# ---------------------------------------------------------------------------
+
+MOM_SQL = """
+WITH m AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month_start AS DATE) AS month_start,
+       rev_cents,
+       CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY month_start)
+            AS BIGINT) AS delta_cents,
+       CAST(rev_cents AS DOUBLE)
+         / LAG(rev_cents) OVER (ORDER BY month_start) - 1 AS mom_pct
+FROM m
+"""
+
+
+@register(
+    "revenue_mom_change",
+    oracle=MOM_SQL,
+    survey=["window", "lag", "kpi"],
+)
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta and growth rate: integer-cent
+    monthly sums, then lag over the months axis. The global window is
+    deliberate and safe -- it runs over the ~80-row post-aggregate
+    month table, never the base table (same discipline as
+    event_type_shares); the growth ratio is one IEEE division of exact
+    integers."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = (
+        orders.groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start")
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month_start",
+        "rev_cents",
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+        (F.col("rev_cents").cast("double") / prev - 1).alias("mom_pct"),
+    )

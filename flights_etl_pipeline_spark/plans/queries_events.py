@@ -1365,3 +1365,56 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pair",
         (F.col("n_pair").cast("double") / F.col("n_cur")).alias("p_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+NULLSAFE_JOIN_SQL = """
+WITH a AS (
+  SELECT NULLIF(user_id % 50, 0) AS k, COUNT(*) AS n_a
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(user_id % 50, 0) AS k, COUNT(*) AS n_b
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT a.k, a.n_a, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register(
+    "events_nullsafe_join",
+    oracle=NULLSAFE_JOIN_SQL,
+    survey=["join-nullsafe", "semantics"],
+)
+def events_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark ``eqNullSafe`` / SQL ``<=>``): the
+    NULL bucket (user_id % 50 == 0, nulled via NULLIF) joins to itself
+    instead of being dropped as it would be under ``=``. The semantics
+    every keyed backfill needs when the key is nullable -- and a
+    one-row-different result from the plain join, so the hash check
+    pins the distinction.
+
+    Scale: Spark plans <=> as an ordinary hash join with the null bucket
+    as a regular key value (no skew concern beyond the bucket's own
+    size)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 50, F.lit(0)).alias("k")
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .select(k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "n_b"
+    )
