@@ -1628,3 +1628,47 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_cents") - prev).alias("delta_cents"),
         (F.col("rev_cents").cast("double") / prev - 1).alias("mom_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (explicit set list; rollup/cube's general form)
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_SQL = """
+SELECT n_name,
+       CAST(DATE_TRUNC('year', o_orderdate) AS DATE) AS year_start,
+       GROUPING(n_name) AS g_nation,
+       GROUPING(DATE_TRUNC('year', o_orderdate)) AS g_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n_name), (DATE_TRUNC('year', o_orderdate)), ())
+"""
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle=GROUPING_SETS_SQL,
+    survey=["grouping-sets", "G3", "sql"],
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((nation), (year), ()) -- the general form
+    rollup/cube specialize, producing per-nation totals, per-year
+    totals, and the grand total in ONE pass. GROUPING() flags
+    disambiguate aggregate-nulls from data-nulls. Exercised through the
+    SQL parser (the DataFrame API exposes only rollup/cube).
+
+    Scale: Spark plans grouping sets as an Expand x|sets| + one hash
+    aggregate -- a constant 3x row fan-out here, still one shuffle; the
+    dim joins broadcast."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_gs")
+    return spark.sql(
+        GROUPING_SETS_SQL.replace("FROM orders o", "FROM orders_gs o")
+        .replace("JOIN customer c", "JOIN customer_gs c")
+        .replace("JOIN nation n", "JOIN nation_gs n")
+    )
