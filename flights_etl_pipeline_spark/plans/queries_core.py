@@ -1672,3 +1672,65 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("JOIN customer c", "JOIN customer_gs c")
         .replace("JOIN nation n", "JOIN nation_gs n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-clause join predicate (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+DISJUNCTIVE_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "disjunctive_promo_revenue",
+    oracle=DISJUNCTIVE_SQL,
+    survey=["Q19-shape", "disjunctive-predicate", "pushdown"],
+)
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of conjunctive clauses mixing columns from
+    both join sides. Catalyst factors the single-side conjuncts out of
+    the disjunction (CNF extraction): the p_brand IN (...) and
+    l_quantity range envelopes push below the join into each scan, so
+    the broadcast-hash join sees pre-filtered inputs and only the mixed
+    residual evaluates post-join. Revenue folds through exact decimals.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    ).cast("double")
+    return j.filter(clause).agg(
+        rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
