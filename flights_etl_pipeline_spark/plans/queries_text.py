@@ -1200,3 +1200,54 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, pair_freq LONG"
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier eval as a pivot)
+# ---------------------------------------------------------------------------
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL})
+SELECT labeled_lang,
+       COUNT(*) FILTER (WHERE predicted_lang = 'en') AS pred_en,
+       COUNT(*) FILTER (WHERE predicted_lang = 'es') AS pred_es,
+       COUNT(*) FILTER (WHERE predicted_lang = 'fr') AS pred_fr,
+       COUNT(*) FILTER (WHERE predicted_lang = 'de') AS pred_de,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE predicted_lang = labeled_lang)
+            AS DOUBLE) / COUNT(*) AS accuracy
+FROM pred
+GROUP BY labeled_lang
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=LANG_CONFUSION_SQL,
+    survey=["lang-id", "eval", "pivot", "confusion-matrix"],
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID classifier against
+    the labeled language, as a pivoted conditional-count aggregate plus
+    per-class accuracy (one IEEE division of exact counts) -- the eval
+    artifact any classifier in a data pipeline ships with.
+
+    Scale: the per-doc scoring is row-local column work; the confusion
+    aggregate is language-cardinality-sized with map-side partials."""
+    pred = doc_lang_id(spark, sf_dir)
+    hit = lambda lang: F.count(  # noqa: E731
+        F.when(F.col("predicted_lang") == lang, 1)
+    )
+    return pred.groupBy("labeled_lang").agg(
+        hit("en").alias("pred_en"),
+        hit("es").alias("pred_es"),
+        hit("fr").alias("pred_fr"),
+        hit("de").alias("pred_de"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.count(
+                F.when(F.col("predicted_lang") == F.col("labeled_lang"), 1)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )
