@@ -313,3 +313,30 @@ def test_unigram_logprob_broadcasts_total_no_python(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total crossJoin
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_disjunctive_predicate_pushes_both_sides(spark):
+    """Q19 shape: Catalyst must extract each side's disjunct envelope out
+    of the OR-of-conjuncts and push it below the join into BOTH scans."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        disjunctive_promo_revenue,
+    )
+
+    plan = plan_str(disjunctive_promo_revenue(spark, SF_DIR))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert any("l_quantity" in ln for ln in pushed), pushed
+    assert any("p_brand" in ln for ln in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rag_retrieve_broadcasts_topk_side(spark):
+    """The k-row ANN cut must be the broadcast side of the document join
+    (a shuffle join here would drag the whole corpus through an
+    exchange for 10 rows)."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import rag_retrieve
+
+    plan = plan_str(rag_retrieve(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
