@@ -1734,3 +1734,67 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(clause).agg(
         rev.alias("revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation-to-nation trade flows (TPC-H Q7 family: double-dim star join)
+# ---------------------------------------------------------------------------
+
+TRADE_FLOWS_SQL = """
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name
+"""
+
+
+@register(
+    "nation_trade_flows",
+    oracle=TRADE_FLOWS_SQL,
+    survey=["Q7-shape", "multi-join", "star-schema", "G3"],
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border revenue matrix: customer nation x supplier nation
+    (TPC-H Q7 family) over a five-way star join with the nation dim
+    joined twice under different roles. Exactly the query shape the
+    warehouse's star schema exists for.
+
+    Scale: customer/supplier/nation broadcast (dims); the only wide
+    shuffle is lineitem->orders on orderkey -- at 100 TB both written
+    bucketed on orderkey, making this plan shuffle-free up to the final
+    25x25-key aggregate. Revenue folds through exact decimals."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.count(F.lit(1)).alias("n_lines"), rev.alias("revenue"))
+    )
