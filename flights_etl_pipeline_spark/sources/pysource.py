@@ -78,8 +78,26 @@ class FlightsSynthSource(DataSource):
         return FlightsSynthReader(self.options)
 
 
+def _pickle_module_by_value() -> None:
+    """Streaming Python data sources run in a dedicated source-runner
+    process that has neither the driver's sys.path nor addPyFile's
+    SparkFiles on its import path, so classes pickled BY REFERENCE to
+    this module fail to deserialize there. Registering the module for
+    by-value pickling makes the source self-contained wherever it lands
+    (task worker, source runner, or a future connect client)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: batch path still works via addPyFile
+
+
 def register_flights_synth(spark) -> None:
     """Idempotently register the source with this session."""
+    _pickle_module_by_value()
     spark.dataSource.register(FlightsSynthSource)
 
 
@@ -119,4 +137,5 @@ class FlightsSynthStreamSource(DataSource):
 
 
 def register_flights_synth_stream(spark) -> None:
+    _pickle_module_by_value()
     spark.dataSource.register(FlightsSynthStreamSource)
