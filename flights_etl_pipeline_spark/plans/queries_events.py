@@ -1418,3 +1418,42 @@ def events_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_a", "n_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour activity heatmap (engine-portable dow arithmetic)
+# ---------------------------------------------------------------------------
+
+HEATMAP_SQL = """
+SELECT (DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+         AS dow,
+       EXTRACT(hour FROM ts) AS hour_of_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle=HEATMAP_SQL,
+    survey=["heatmap", "date-part", "P13-family"],
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by (day-of-week, hour-of-day). The dow is
+    computed as (days_since_epoch + 4) % 7 (epoch day zero was a
+    Thursday; 0 = Sunday) because engines disagree on dayofweek
+    numbering (Spark 1=Sunday, DuckDB dow 0=Sunday, ISO 1=Monday) --
+    integer arithmetic sidesteps the convention entirely, the P13
+    date-part-suite lesson (reference defect D5) applied cross-engine.
+
+    Scale: one aggregate over a 7x24 key space, map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    dow = (
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    ).alias("dow")
+    return ev.groupBy(dow, F.hour("ts").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

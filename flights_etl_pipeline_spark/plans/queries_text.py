@@ -1251,3 +1251,46 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucketed document length histogram (integer-exact buckets)
+# ---------------------------------------------------------------------------
+
+LEN_HIST_SQL = """
+SELECT LENGTH(format('{:b}', n_chars)) - 1 AS log2_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY 1
+"""
+
+
+@register(
+    "doc_length_log2_histogram",
+    oracle=LEN_HIST_SQL,
+    survey=["histogram", "profiling", "text"],
+)
+def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document length histogram: the bucket is the bit
+    length of n_chars minus one (floor(log2) computed on INTEGER
+    representation -- no float log whose last-ulp could flip a bucket at
+    exact powers of two). The size-distribution profile every corpus
+    report starts with.
+
+    Scale: one map-side-combinable aggregate over a ~12-bucket key."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.length(F.expr("bin(n_chars)")) - 1).alias("log2_bucket")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
