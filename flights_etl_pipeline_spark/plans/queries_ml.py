@@ -1017,3 +1017,97 @@ def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift: per-label centroid shift between data halves
+# ---------------------------------------------------------------------------
+
+CENTROID_SHIFT_SQL = """
+WITH e AS (
+  SELECT label,
+         CASE WHEN vec_id < (SELECT (MAX(vec_id) + 1) // 2 FROM embeddings)
+              THEN 'a' ELSE 'b' END AS half,
+         UNNEST(LIST_ZIP(embedding, generate_series(1, LEN(embedding)))) AS z
+  FROM embeddings
+),
+cent AS (
+  SELECT label, half, z[2] AS pos,
+         FLOOR((CAST(SUM(CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(38,14)))
+                     AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS c,
+         COUNT(*) AS n
+  FROM e GROUP BY label, half, z[2]
+),
+pivoted AS (
+  SELECT a.label, a.pos, a.c AS ca, b.c AS cb,
+         a.n AS n_a, b.n AS n_b
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos
+   AND a.half = 'a' AND b.half = 'b'
+)
+SELECT label,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM(CAST(FLOOR((ca - cb) * (ca - cb) * 1000000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS dist_sq_nano
+FROM pivoted
+GROUP BY label
+"""
+
+
+@register(
+    "embedding_centroid_shift",
+    oracle=CENTROID_SHIFT_SQL,
+    survey=["drift-monitoring", "embedding-centroid", "eval"],
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: squared L2 distance between each label's
+    centroid computed on the first and second half of the id range (a
+    stand-in for yesterday-vs-today snapshots). Centroids use exact
+    decimal means quantized to micro-units; per-dimension squared gaps
+    are quantized to integer nano-units before the final sum, so the
+    drift score is bit-identical in any engine and under any
+    partitioning.
+
+    Scale: same wire profile as label_centroids -- the shuffle carries
+    (label, half, pos) partial sums, never vectors; the distance join
+    is label x dim sized (tiny)."""
+    emb = load(spark, sf_dir, "embeddings")
+    mid = emb.agg(((F.max("vec_id") + 1) / 2).cast("bigint").alias("mid"))
+    e = emb.crossJoin(F.broadcast(mid)).select(
+        "label",
+        F.when(F.col("vec_id") < F.col("mid"), "a").otherwise("b").alias("half"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    )
+    cent = (
+        e.groupBy("label", "half", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            dround(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(38,14)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = cent.filter(F.col("half") == "a").select(
+        "label", "pos", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("half") == "b").select(
+        "label", "pos", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    gap_nano = F.floor(
+        (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum(gap_nano).cast("bigint").alias("dist_sq_nano"),
+        )
+    )
