@@ -247,3 +247,66 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.o_totalprice").alias("old_price"),
         F.col("n.o_totalprice").alias("new_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: merged partial aggregates == recompute
+# ---------------------------------------------------------------------------
+
+IVM_SQL = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "ivm_revenue_by_month",
+    oracle=IVM_SQL,
+    survey=["incremental-view-maintenance", "merge", "G3-family"],
+)
+def ivm_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a monthly revenue aggregate: the
+    standing view is built from the base partition (90% of orders), a
+    delta batch (the remaining 10%) is aggregated separately, and the
+    two PARTIAL aggregates merge with a full-outer coalescing sum --
+    never rescanning the base. The oracle recomputes from scratch, so
+    the hash check IS the IVM correctness theorem (merge(partials) ==
+    recompute) for this query family; count and exact-integer sum are
+    self-maintainable aggregates.
+
+    Scale: this is how a 100 TB nightly rollup absorbs a daily delta --
+    the merge join is aggregate-sized (months), not fact-sized; at
+    higher key cardinality both sides are bucketed on the group key."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    month = F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start")
+
+    def agg(df):
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("rev_cents"),
+        )
+
+    base = agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % 10 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.month_start") == F.col("d.month_start"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.month_start"), F.col("d.month_start")).alias(
+                "month_start"
+            ),
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.rev_cents"), F.lit(0))
+                + F.coalesce(F.col("d.rev_cents"), F.lit(0))
+            ).alias("rev_cents"),
+        )
+    )
