@@ -1798,3 +1798,117 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation")
         .agg(F.count(F.lit(1)).alias("n_lines"), rev.alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index (month-of-year revenue vs overall monthly average)
+# ---------------------------------------------------------------------------
+
+SEASONAL_SQL = """
+WITH m AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+         EXTRACT(month FROM o_orderdate) AS month_of_year,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2
+),
+moy AS (
+  SELECT month_of_year,
+         CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+         COUNT(*) AS n_months
+  FROM m GROUP BY month_of_year
+),
+overall AS (
+  SELECT CAST(SUM(total_cents) AS BIGINT) AS grand_cents,
+         CAST(SUM(n_months) AS BIGINT) AS grand_months
+  FROM moy
+)
+SELECT month_of_year, total_cents, n_months,
+       (CAST(total_cents AS DOUBLE) / n_months)
+         / (CAST(grand_cents AS DOUBLE) / grand_months) AS seasonal_index
+FROM moy CROSS JOIN overall
+"""
+
+
+@register(
+    "revenue_seasonal_index",
+    oracle=SEASONAL_SQL,
+    survey=["seasonality", "kpi", "G3-family"],
+)
+def revenue_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index: average revenue of each calendar
+    month across years, relative to the overall monthly average (>1 =
+    seasonally strong month). All inputs are exact integer cents; the
+    index is a ratio of two IEEE divisions evaluated in the same order
+    in both engines.
+
+    Scale: two tiny aggregates stacked on one orders scan; the overall
+    row broadcasts via a 1-row cross join (no second scan, no
+    collect)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.month("o_orderdate").alias("month_of_year"),
+    ).agg(F.sum(cents).alias("rev_cents"))
+    moy = m.groupBy("month_of_year").agg(
+        F.sum("rev_cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    overall = moy.agg(
+        F.sum("total_cents").cast("bigint").alias("grand_cents"),
+        F.sum("n_months").cast("bigint").alias("grand_months"),
+    )
+    return moy.crossJoin(F.broadcast(overall)).select(
+        "month_of_year",
+        "total_cents",
+        "n_months",
+        (
+            (F.col("total_cents").cast("double") / F.col("n_months"))
+            / (F.col("grand_cents").cast("double") / F.col("grand_months"))
+        ).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist window surface
+# ---------------------------------------------------------------------------
+
+PERCENTRANK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
+FROM orders
+WHERE o_orderkey % 37 = 0
+WINDOW w AS (
+  PARTITION BY o_orderpriority
+  ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey
+)
+"""
+
+
+@register(
+    "order_price_percentrank",
+    oracle=PERCENTRANK_SQL,
+    survey=["window", "percent-rank", "cume-dist"],
+)
+def order_price_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist within priority groups over an
+    integer-cent total order (rank arithmetic is (rank-1)/(n-1) and
+    peers/n -- exact-int divisions, engine-identical). The %37 filter
+    keeps the checked surface small without changing the shape.
+
+    Scale: windows partition by priority -- parallel; each partition
+    sorts once and serves both rank functions."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents, "o_orderkey")
+    return (
+        orders.filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+    )

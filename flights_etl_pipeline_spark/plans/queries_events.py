@@ -1457,3 +1457,62 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-day retention (DAU returning the following day)
+# ---------------------------------------------------------------------------
+
+RETENTION_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+ret AS (
+  SELECT a.d, COUNT(*) AS dau,
+         COUNT(b.user_id) AS returned
+  FROM du a LEFT JOIN du b
+    ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+  GROUP BY a.d
+)
+SELECT d, dau, returned,
+       CAST(returned AS DOUBLE) / dau AS d1_retention
+FROM ret
+"""
+
+
+@register(
+    "events_d1_retention",
+    oracle=RETENTION_SQL,
+    survey=["retention", "self-join", "kpi"],
+)
+def events_d1_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-1 retention: of each day's active users, the share active
+    again the next day -- the product KPI behind every cohort chart.
+    Exact-count ratio via one IEEE division.
+
+    Scale: the (day, user) distinct is one shuffle; the self-join keys
+    on user_id (co-partitioned with the distinct's output), so the
+    retention pass adds no new wide exchange at scale when the activity
+    table is bucketed by user."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    a, b = du.alias("a"), du.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
+            "left",
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.count(F.col("b.user_id")).alias("returned"),
+        )
+    )
+    return ret.select(
+        "d",
+        "dau",
+        "returned",
+        (F.col("returned").cast("double") / F.col("dau")).alias("d1_retention"),
+    )
