@@ -20,8 +20,10 @@ import datetime as dt
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 AIRLINES = ("AA", "DL", "UA", "WN", "B6", "AS", "NK")
@@ -139,3 +141,84 @@ class FlightsSynthStreamSource(DataSource):
 def register_flights_synth_stream(spark) -> None:
     _pickle_module_by_value()
     spark.dataSource.register(FlightsSynthStreamSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python SINK: partition-parallel JSONL writer with commit protocol
+# ---------------------------------------------------------------------------
+
+
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    def __init__(self, file: str, n_rows: int) -> None:
+        self.file = file
+        self.n_rows = n_rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """Executor-side writer: each task streams its partition to a
+    uniquely-named staged ``.jsonl.tmp`` file and reports it in a commit
+    message; the driver-side ``commit`` renames every staged file into
+    place and writes a ``_SUCCESS`` manifest with the total row count,
+    ``abort`` deletes the staged files. That two-phase protocol is what
+    makes the write atomic-per-job on task retries (a retried task
+    stages a NEW uuid file; only messages from winning tasks commit) --
+    the same contract FileFormatWriter implements for parquet.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        staged = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp"
+        )
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        total = 0
+        for m in messages:
+            os.rename(m.file, m.file[: -len(".tmp")])
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"rows": total, "files": len(messages)}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.file)
+            except OSError:
+                pass
+
+
+class JsonlSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    _pickle_module_by_value()
+    spark.dataSource.register(JsonlSink)
