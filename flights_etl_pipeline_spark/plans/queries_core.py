@@ -1912,3 +1912,155 @@ def order_price_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (cumulative-weight threshold, integer-exact)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_MEDIAN_SQL = """
+WITH x AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag
+           ORDER BY cents, w
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM x
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN cw * 2 >= tw THEN cents END) AS BIGINT)
+         AS weighted_median_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM c
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "weighted_median_price",
+    oracle=WEIGHTED_MEDIAN_SQL,
+    survey=["weighted-median", "window", "statistics"],
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the group total --
+    integer cents and integer weights, so the threshold test
+    (2*cum >= total) never touches a float.
+
+    Scale: one shuffle on the group key; the cumulative window streams
+    each partition once. For a single giant group the cumsum switches
+    to the histogram-offset pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = x.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wrun).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents")))
+        .cast("bigint")
+        .alias("weighted_median_cents"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per nation
+# ---------------------------------------------------------------------------
+
+GINI_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+           ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY nationkey) AS n,
+         SUM(cents) OVER (PARTITION BY nationkey) AS tot
+  FROM rev
+)
+SELECT nationkey,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(2 * SUM(i * cents) - (MAX(n) + 1) * MAX(tot) AS DOUBLE)
+         / (MAX(n) * CAST(MAX(tot) AS DOUBLE)) AS gini
+FROM r
+GROUP BY nationkey
+"""
+
+
+@register(
+    "nation_revenue_gini",
+    oracle=GINI_SQL,
+    survey=["gini", "inequality", "window", "statistics"],
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each nation
+    (inequality of spend -- the statistical companion to the Pareto
+    query): G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    ascending ranks. Everything up to the final ratio is exact integer
+    arithmetic on cents.
+
+    Scale: rank/total windows partition by nation (parallel); the
+    closed-form avoids the pairwise |x_i - x_j| formulation's quadratic
+    join entirely."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents0 = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        orders.select("o_custkey", cents0.alias("c0"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c0").cast("bigint").alias("cents"))
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("nationkey"),
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    wr = Window.partitionBy("nationkey").orderBy("cents", "o_custkey")
+    wall = Window.partitionBy("nationkey")
+    r = rev.select(
+        "nationkey",
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    return r.groupBy("nationkey").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("cents"))
+                - (F.max("n") + 1) * F.max("tot")
+            ).cast("double")
+            / (F.max("n") * F.max("tot").cast("double"))
+        ).alias("gini"),
+    )
