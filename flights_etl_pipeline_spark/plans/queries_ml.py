@@ -1111,3 +1111,174 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(gap_nano).cast("bigint").alias("dist_sq_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed K-means (Lloyd's algorithm, fixed rounds, engine-exact)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ROUNDS = 3
+
+_EMB_POS_SQL = (
+    "SELECT vec_id, z[2] AS pos, CAST(z[1] AS DOUBLE) AS v FROM "
+    "(SELECT vec_id, UNNEST(LIST_ZIP(embedding, "
+    "generate_series(1, LEN(embedding)))) AS z FROM embeddings)"
+)
+
+
+def _sqdist_micro_sql(a: str, b: str) -> str:
+    diff = f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    return (
+        f"CAST(FLOOR(CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+        f"p -> CAST({diff} * {diff} AS DECIMAL(38,14)))) AS DOUBLE) "
+        f"* 1000000 + 0.5) AS BIGINT)"
+    )
+
+
+def _km_round_sql(r: int) -> str:
+    """CTEs for one Lloyd round: assignment under c{r}, then c{r+1}."""
+    dm = _sqdist_micro_sql("e.embedding", "c.cv")
+    return f"""
+cl{r} AS (SELECT cid, LIST(val ORDER BY pos) AS cv FROM c{r} GROUP BY cid),
+a{r} AS (
+  SELECT vec_id, cid, dm FROM (
+    SELECT e.vec_id, c.cid, {dm} AS dm,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {dm}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cl{r} c
+  ) WHERE rn = 1
+),
+n{r + 1} AS (
+  SELECT a.cid, ep.pos,
+         FLOOR((CAST(SUM(CAST(ep.v AS DECIMAL(38,14))) AS DOUBLE)
+                / COUNT(*)) * 1000000 + 0.5) / 1000000 AS val
+  FROM a{r} a JOIN ({_EMB_POS_SQL}) ep ON ep.vec_id = a.vec_id
+  GROUP BY a.cid, ep.pos
+),
+c{r + 1} AS (
+  SELECT p.cid, p.pos, COALESCE(n.val, p.val) AS val
+  FROM c{r} p LEFT JOIN n{r + 1} n ON n.cid = p.cid AND n.pos = p.pos
+)"""
+
+
+KMEANS_SQL = (
+    f"""
+WITH c0 AS (
+  SELECT vec_id AS cid, z[2] AS pos, CAST(z[1] AS DOUBLE) AS val
+  FROM (SELECT vec_id, UNNEST(LIST_ZIP(embedding,
+          generate_series(1, LEN(embedding)))) AS z
+        FROM embeddings WHERE vec_id < {_KM_K})
+),"""
+    + ",".join(_km_round_sql(r) for r in range(_KM_ROUNDS))
+    + f""",
+clF AS (SELECT cid, LIST(val ORDER BY pos) AS cv
+        FROM c{_KM_ROUNDS} GROUP BY cid),
+aF AS (
+  SELECT vec_id, cid, dm FROM (
+    SELECT e.vec_id, c.cid,
+           {_sqdist_micro_sql("e.embedding", "c.cv")} AS dm,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_micro_sql("e.embedding", "c.cv")}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN clF c
+  ) WHERE rn = 1
+)
+SELECT cid, COUNT(*) AS n_vecs,
+       CAST(SUM(dm) AS BIGINT) AS inertia_micro,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM aF GROUP BY cid
+"""
+)
+
+
+def _km_sqdist_micro(v, cv) -> "F.Column":
+    diffs = F.zip_with(
+        v,
+        cv,
+        lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(
+            "decimal(38,14)"
+        ),
+    )
+    total = F.aggregate(
+        diffs,
+        F.lit(0).cast("decimal(38,14)"),
+        lambda acc, x: (acc + x).cast("decimal(38,14)"),
+    ).cast("double")
+    return F.floor(total * 1_000_000 + F.lit(0.5)).cast("bigint")
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=KMEANS_SQL,
+    survey=["kmeans", "clustering", "iterative", "simsearch"],
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's K-means (K=8, 3 update rounds) over the embeddings --
+    the iterative-ML flagship alongside PageRank. Determinism across
+    engines, the hard part, comes from (a) squared distances folded as
+    exact decimals and QUANTIZED to integer micro-units before the
+    argmin (ties break on cid), and (b) centroid updates as exact
+    decimal means quantized to micro-units -- so every round's state is
+    bit-identical in Spark and in the oracle's unrolled CTE chain.
+    Empty clusters keep their previous centroid (COALESCE in both
+    engines).
+
+    Scale shape: centroids are a K x dim table that rides the driver
+    (collected once per round -- K*dim scalars, the sanctioned scalar
+    channel, exactly how production KMeans broadcasts its model);
+    assignment is a broadcast cross join + row-local fold, linear in
+    the corpus with no vector shuffle; the update shuffles (cid, pos)
+    partial decimal sums only. Rounds are fixed (3), so the oracle
+    unrolls like PageRank's."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .collect()
+    )
+    # centroid state: {cid: {pos(1-based): double}}
+    cents: dict[int, dict[int, float]] = {}
+    for row in init:
+        cents.setdefault(row["vec_id"], {})[row["pos0"] + 1] = float(row["val"])
+
+    def cent_df():
+        rows = [
+            (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(cents.items())
+        ]
+        return spark.createDataFrame(rows, "cid INT, cv ARRAY<DOUBLE>")
+
+    def assign(cdf):
+        dm = _km_sqdist_micro(F.col("embedding"), F.col("cv"))
+        scored = emb.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", F.col("cid"), dm.alias("dm")
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("dm", "cid")).alias("cid"),
+            F.min(F.struct("dm", "cid")).getField("dm").alias("dm"),
+        )
+
+    epos = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+    for _ in range(_KM_ROUNDS):
+        a = assign(cent_df())
+        new_rows = (
+            a.join(epos, "vec_id")
+            .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+            .agg(
+                dround(
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(38,14)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("val")
+            )
+            .collect()
+        )
+        for row in new_rows:  # empty clusters keep previous centroids
+            cents[row["cid"]][row["pos"]] = float(row["val"])
+    final = assign(cent_df())
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dm").cast("bigint").alias("inertia_micro"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )
