@@ -399,12 +399,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = F.size(F.array_union("sha", "shb"))
     jac = inter / union
-    return joined.select(
+    out = joined.select(
         "a",
         "b",
         dround(jac, 4).alias("jaccard"),
         (jac >= 0.8).alias("is_near_dup"),
-    )
+    ).localCheckpoint()  # candidate-pair-sized; lets the shingle cache go
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
