@@ -2064,3 +2064,42 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.max("tot").cast("double"))
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operator chain)
+# ---------------------------------------------------------------------------
+
+PIPE_ORACLE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders
+WHERE o_totalprice > 1000
+GROUP BY o_orderpriority
+"""
+
+PIPE_SPARK_SQL = """
+FROM {view}
+|> WHERE o_totalprice > 1000
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+   GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "pipe_syntax_revenue",
+    oracle=PIPE_ORACLE_SQL,
+    survey=["sql-pipe-syntax", "Q1-family", "spark4"],
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority revenue through Spark 4's SQL pipe syntax (`|>` chains:
+    FROM |> WHERE |> AGGREGATE) -- the linear query-authoring surface
+    added in Spark 4.0, parsed to the identical logical plan as the
+    nested form; the oracle is that nested form in standard SQL.
+    Exercises the parser path alongside LATERAL and GROUPING SETS."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(PIPE_SPARK_SQL.format(view="orders_pipe"))

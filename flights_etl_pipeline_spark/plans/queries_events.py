@@ -1516,3 +1516,92 @@ def events_d1_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returned",
         (F.col("returned").cast("double") / F.col("dau")).alias("d1_retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-bucketed percentiles (mergeable, integer-exact)
+# ---------------------------------------------------------------------------
+
+HDR_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM events WHERE value > 0
+),
+b AS (
+  SELECT event_type,
+         LENGTH(format('{:b}', micro)) - 1 AS bucket,
+         COUNT(*) AS n
+  FROM m GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN cum * 2 >= total THEN bucket END) AS INT)
+         AS p50_bucket,
+       CAST(MIN(CASE WHEN cum * 20 >= total * 19 THEN bucket END) AS INT)
+         AS p95_bucket,
+       CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN bucket END) AS INT)
+         AS p99_bucket,
+       CAST(MAX(total) AS BIGINT) AS n_events
+FROM c GROUP BY event_type
+"""
+
+
+@register(
+    "events_hdr_percentiles",
+    oracle=HDR_SQL,
+    survey=["percentile-sketch", "hdr-histogram", "mergeable"],
+)
+def events_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style percentiles: values bucket by the bit length
+    of their integer micro representation (log2 buckets, <=2x relative
+    error), cumulative counts locate p50/p95/p99 buckets with integer
+    threshold tests. This is the MERGEABLE percentile path for 100 TB --
+    per-partition bucket counts combine map-side (unlike exact
+    percentiles, which sort), daily histograms merge by addition, and
+    nothing in the pipeline touches a float.
+
+    The exact twin is price_percentiles; this one trades bounded
+    relative error for a shuffle payload of ~40 buckets per key."""
+    ev = load(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    b = (
+        ev.filter(F.col("value") > 0)
+        .select("event_type", micro.alias("micro"))
+        .select(
+            "event_type",
+            (F.length(F.expr("bin(micro)")) - 1).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+
+    def pick(mult_c: int, mult_t: int):
+        return F.min(
+            F.when(F.col("cum") * mult_c >= F.col("total") * mult_t, F.col("bucket"))
+        ).cast("int")
+
+    return c.groupBy("event_type").agg(
+        pick(2, 1).alias("p50_bucket"),
+        pick(20, 19).alias("p95_bucket"),
+        pick(100, 99).alias("p99_bucket"),
+        F.max("total").cast("bigint").alias("n_events"),
+    )
