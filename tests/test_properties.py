@@ -131,3 +131,54 @@ def test_deletion_canopy_lossless_for_lev2(names):
                     f"canopy dropped true pair {a!r}~{b!r} "
                     f"(lev={_lev(a, b)})"
                 )
+
+
+# ---------------------------------------------------------------------------
+# Systematic weighted sampling invariants (pure-model properties)
+# ---------------------------------------------------------------------------
+
+
+def _systematic_picks_model(weights: list[int], k: int):
+    """Reference model of weighted_systematic_sample's selection rule."""
+    total = sum(weights)
+    picks, cum = [], 0
+    for i, w in enumerate(weights):
+        lo, cum = cum, cum + w
+        if (lo * k) // total < (cum * k) // total:
+            picks.append(i)
+    return picks
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_systematic_sample_crosses_each_boundary_once(weights, k):
+    """Exactly k stratum boundaries exist and each is crossed by exactly
+    one row, so the pick count is <= k, > 0, and the total number of
+    boundaries crossed over all picks is exactly k."""
+    total = sum(weights)
+    picks = _systematic_picks_model(weights, k)
+    assert 0 < len(picks) <= k
+    crossings = 0
+    cum = 0
+    for i, w in enumerate(weights):
+        lo, cum = cum, cum + w
+        if i in dict.fromkeys(picks):
+            crossings += (cum * k) // total - (lo * k) // total
+    assert crossings == k
+    # a row heavier than one stratum MUST be picked (PPS property)
+    for i, w in enumerate(weights):
+        if w * k > total:
+            assert i in picks, f"row {i} (w={w}) spans a stratum but missed"
+
+
+@given(st.integers(min_value=1, max_value=2**62))
+@settings(max_examples=500, deadline=None)
+def test_bit_length_bucket_is_floor_log2(v):
+    """The log2 bucket used by doc_length_log2_histogram and
+    events_hdr_percentiles (bit length - 1) equals exact floor(log2)."""
+    assert len(bin(v)) - 2 - 1 == v.bit_length() - 1
+    lo, hi = 2 ** (v.bit_length() - 1), 2 ** v.bit_length()
+    assert lo <= v < hi
