@@ -1294,3 +1294,79 @@ def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer application: text -> token-id sequence under the built vocab
+# ---------------------------------------------------------------------------
+
+TOKENIZER_APPLY_SQL = f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  HAVING COUNT(*) >= {VOCAB_MIN_FREQ}
+),
+vocab AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC)
+           + {_N_SPECIALS - 1} AS token_id
+  FROM tf
+),
+toks AS (
+  SELECT doc_id, arr[i] AS tok, i
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       UNNEST(generate_series(1, LEN(arr))) AS g(i)
+),
+ids AS (
+  SELECT tk.doc_id, tk.i,
+         COALESCE(v.token_id, 1) AS tid,
+         CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS is_unk
+  FROM toks tk LEFT JOIN vocab v ON v.token = tk.tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(is_unk) AS BIGINT) AS n_unk,
+       MD5(STRING_AGG(CAST(tid AS VARCHAR), ' ' ORDER BY i)) AS ids_fp
+FROM ids
+GROUP BY doc_id
+"""
+
+
+@register(
+    "tokenizer_apply",
+    oracle=TOKENIZER_APPLY_SQL,
+    survey=["tokenizer-apply", "vocab-build", "training-prep"],
+)
+def tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer lifecycle (bpe_learn_merges
+    learns, vocab_build ships the table, this encodes): every document
+    becomes its token-id sequence under the built vocabulary, OOV
+    tokens map to <unk>=1. Output carries the sequence as an md5
+    fingerprint of the ordered ids (position-exact -- a swapped or
+    dropped id changes the hash) plus token/unk counts.
+
+    Scale: the vocabulary is broadcast (vocab-sized); encoding is one
+    explode -> broadcast join -> per-doc ordered reassembly, shuffling
+    (doc_id, pos, id) triples once. At 100 TB the ids array would write
+    straight to the training shard sink instead of fingerprinting."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = vocab_build(spark, sf_dir).select("token", "token_id")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "token")
+    )
+    ids = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "i",
+        F.coalesce(F.col("token_id"), F.lit(1)).cast("int").alias("tid"),
+        F.when(F.col("token_id").isNull(), 1).otherwise(0).alias("is_unk"),
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "tid"))),
+        lambda s: s.getField("tid").cast("string"),
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_unk").cast("bigint").alias("n_unk"),
+        F.md5(F.array_join(seq, " ")).alias("ids_fp"),
+    )
