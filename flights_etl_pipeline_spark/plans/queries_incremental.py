@@ -18,7 +18,7 @@ full-outer-join MERGE; on Delta/Iceberg the same plan feeds MERGE INTO.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.plans.registry import load, register
@@ -308,5 +308,97 @@ def ivm_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("b.rev_cents"), F.lit(0))
                 + F.coalesce(F.col("d.rev_cents"), F.lit(0))
             ).alias("rev_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against a validity-windowed (SCD2-style) dimension
+# ---------------------------------------------------------------------------
+
+PIT_SQL = """
+WITH v1 AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         DATE '1992-01-01' AS valid_from
+  FROM customer
+),
+v2 AS (
+  SELECT c_custkey, 'MIGRATED' AS segment,
+         DATE '1996-01-01' AS valid_from
+  FROM customer WHERE c_custkey % 3 = 0
+),
+dim AS (
+  SELECT c_custkey, segment, valid_from,
+         COALESCE(LEAD(valid_from) OVER (
+           PARTITION BY c_custkey ORDER BY valid_from),
+           DATE '9999-12-31') AS valid_to
+  FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+)
+SELECT d.segment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+          AND CAST(o.o_orderdate AS DATE) < d.valid_to
+GROUP BY d.segment
+"""
+
+
+@register(
+    "orders_pit_segment",
+    oracle=PIT_SQL,
+    survey=["point-in-time-join", "scd2", "temporal", "range-join"],
+)
+def orders_pit_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order picks the customer-segment VERSION
+    that was valid on its order date from an SCD2-style validity-
+    windowed dimension (v1 from 1992, a deterministic v2 'MIGRATED'
+    wave from 1996 for every third customer; valid_to = next version's
+    valid_from). The fact-to-dim-as-of-date query every temporal
+    warehouse must answer.
+
+    Scale: versions-per-key is tiny, so the PIT join is an equi-join on
+    custkey with the validity predicate as a residual filter -- no
+    range-join machinery needed (Spark plans exactly this); the
+    dimension broadcasts. The valid_to derivation is a per-key lead
+    window (parallel)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("MIGRATED").alias("segment"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    dim = (
+        v1.unionAll(v2)
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from").over(w),
+                F.lit("9999-12-31").cast("date"),
+            ),
+        )
+    )
+    od = F.to_date("o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        orders.join(
+            F.broadcast(dim),
+            (orders.o_custkey == dim.c_custkey)
+            & (od >= dim.valid_from)
+            & (od < dim.valid_to),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("rev_cents"),
         )
     )
