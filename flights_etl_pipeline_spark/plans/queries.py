@@ -54,6 +54,10 @@ try:
 except ImportError:
     pass
 try:
+    import flights_etl_pipeline_spark.plans.queries_tpch  # noqa: F401
+except ImportError:
+    pass
+try:
     import flights_etl_pipeline_spark.plans.queries_core  # noqa: F401
 except ImportError:
     pass

@@ -1,0 +1,521 @@
+"""TPC-H decision-support query shapes (SURVEY.md section 2.6 family).
+
+The reference's analytics surface is a medallion ETL (four jobs over one
+flights table); its *query semantics* — filtered joins, grouped
+aggregates, existence tests — generalize to the canonical TPC-H
+decision-support shapes. This module re-expresses the ones the driver's
+star schema supports (no partsupp table, so Q2/Q11/Q16/Q20 are out of
+scope; Q1/Q7/Q17/Q19 shapes already exist as ``pricing_summary``,
+``nation_trade_flows``, ``smallqty_part_revenue``,
+``disjunctive_promo_revenue``) with the correlation patterns Catalyst
+must decorrelate: EXISTS / NOT EXISTS semi- and anti-joins (Q4, Q21,
+Q22), scalar subqueries (Q22), HAVING-subquery IN (Q18), and outer-join
+aggregate distributions (Q13).
+
+Scale notes (100 TB): every existence test is expressed as a left-semi /
+left-anti join (no decorrelation left to chance); dims (customer,
+supplier, nation, region at their TPC-H ratios) are broadcast; the only
+wide shuffles key on l_orderkey / o_orderkey / o_custkey, which are
+uniform. Top-k outputs go through TakeOrderedAndProject (no global
+sort). Q21's double self-reference scans lineitem twice but both sides
+reduce to distinct (orderkey, suppkey) pairs *before* the non-equi
+semi/anti conditions, so the join inputs are order-sized, not
+line-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flights_etl_pipeline_spark.functions.scalar import davg, dsum
+from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.sqlfrag import sql_davg as _sql_davg
+from flights_etl_pipeline_spark.plans.sqlfrag import sql_dsum as _sql_dsum
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority — segment filter, date-split join, top-10 revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT o.o_orderkey,
+       {_sql_dsum(_REV, 4)} AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-07-01'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-07-01'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    survey=["tpch-q3", "topk", "join", "G3"],
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-revenue shipping priority. Customer segment
+    filter (broadcast), date-disjoint orders/lineitem join, grouped
+    revenue, global top-10.
+
+    Scale shape: both date filters push to the parquet scans; customer
+    is broadcast so the only shuffle keys on o_orderkey for the group;
+    the final top-10 is TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a full sort."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-07-01")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(_rev_col(), 4).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4: order priority checking — EXISTS decorrelated to a left-semi join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+""",
+    survey=["tpch-q4", "exists", "semi-join"],
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders in a window that have at least one returned
+    line, counted per priority. The correlated EXISTS is expressed
+    directly as a left-semi join (the decorrelation Catalyst would have
+    to find), so no per-order subquery ever executes.
+
+    (Q4's original predicate is l_commitdate < l_receiptdate; the
+    driver's lineitem carries neither, so the existence predicate is
+    l_returnflag = 'R' — same shape, same selectivity class.)
+
+    Scale shape: the date filter pushes to the orders scan; the semi
+    join shuffles only (l_orderkey) pairs after a distinct-free semi
+    (semi join needs no dedup — first match wins); the final agg is a
+    5-group hash agg with map-side combine."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: local supplier volume — 6-table join with a cross-table key equality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name, {_sql_dsum(_REV, 4)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n.n_name
+""",
+    survey=["tpch-q5", "multi-join", "broadcast", "G3"],
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where the supplier and the customer
+    share a nation, restricted to one region and one year.
+
+    Scale shape: at TPC-H ratios supplier (SF*10k), nation and region
+    are broadcast; customer (SF*150k) is broadcast at bench scale and
+    becomes a shuffled hash join at 100 TB — the plan keys that join on
+    o_custkey which is uniform. The cross-table equality
+    (s_nationkey = c_nationkey) rides as a post-join filter on
+    broadcast rows, never a shuffle key, so no skew surface. The only
+    wide exchange is lineitem→orders on l_orderkey."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(_rev_col(), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting — top-20 customers by returned revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {_sql_dsum(_REV, 4)} AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    survey=["tpch-q10", "topk", "join", "G3"],
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a
+    two-quarter window.
+
+    Scale shape: returnflag + date filters push to the scans; the
+    group keys on c_custkey (uniform); nation broadcast; top-20 via
+    TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev_col(), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution — outer join under an ON-filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    survey=["tpch-q13", "outer-join", "distribution"],
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed 0, 1, 2, ... qualifying
+    orders. The filter lives in the join's ON clause (not WHERE), so
+    customers with only disqualified orders still appear with count 0 —
+    the semantic trap Q13 exists to test.
+
+    Scale shape: the filter is applied to orders *before* the join
+    (equivalent to the ON-clause placement for a left join, and
+    pushable); the outer join and first agg share the custkey
+    partitioning so AQE coalesces to one exchange; the second agg is a
+    tiny distribution (≤ max order count groups)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    qual = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(qual, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume customers — HAVING-subquery IN as a semi join
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_totalprice,
+       SUM(l.l_quantity) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {_Q18_QTY}
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+         CAST(o.o_orderdate AS DATE), o.o_totalprice
+""",
+    survey=["tpch-q18", "having-subquery", "semi-join"],
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customer. The IN-subquery over a grouped HAVING is computed
+    once as an aggregate and semi-joined — and because the outer query
+    re-aggregates the same table on the same key, the plan *reuses* the
+    per-order quantity aggregate for both roles instead of scanning
+    lineitem twice.
+
+    Scale shape: one lineitem scan → per-orderkey partial+final agg →
+    filter (the HAVING) → join to orders on orderkey → broadcast
+    customer. sum_qty is a sum of small integral doubles, exact in IEEE
+    on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+    big = per_order.filter(F.col("sum_qty") > _Q18_QTY)
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS on self
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_single_return_supplier",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_returnflag = 'R'
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+    )
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM pairs p
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+GROUP BY s.s_name
+""",
+    survey=["tpch-q21", "exists", "not-exists", "anti-join", "semi-join"],
+)
+def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: per supplier, the finalized multi-supplier orders
+    where that supplier's lines were the *only* returned ones — EXISTS
+    (another supplier participated) plus NOT EXISTS (another supplier
+    also returned), both correlated on the outer row's orderkey AND
+    suppkey.
+
+    (Q21's original lateness predicate uses l_receiptdate >
+    l_commitdate; the driver's lineitem carries neither, so
+    l_returnflag = 'R' stands in — identical correlation structure.)
+
+    Scale shape: both self-references first reduce lineitem to DISTINCT
+    (orderkey, suppkey) pairs — order-sized inputs — then run as a
+    left-semi and a left-anti join whose equi-part keys on l_orderkey
+    and whose suppkey inequality rides as the join's extra condition.
+    Orders('F') is a semi join (no payload), supplier is broadcast for
+    the name lookup, and the final agg has one group per supplier."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ord_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    base = r_pairs.join(
+        ord_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    other_participates = base.alias("a").join(
+        all_pairs.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole_returner = other_participates.alias("a").join(
+        r_pairs.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_returner.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22: global sales opportunity — scalar subquery + NOT EXISTS anti join
+# ---------------------------------------------------------------------------
+
+_Q22_SEGMENTS = ("AUTOMOBILE", "HOUSEHOLD", "BUILDING")
+_Q22_SEG_SQL = ", ".join(f"'{s}'" for s in _Q22_SEGMENTS)
+
+
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS numcust,
+       {_sql_dsum('c.c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c.c_mktsegment IN ({_Q22_SEG_SQL})
+  AND c.c_acctbal > (
+    SELECT {_sql_davg('c2.c_acctbal')}
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0
+      AND c2.c_mktsegment IN ({_Q22_SEG_SQL})
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'
+  )
+GROUP BY c.c_mktsegment
+""",
+    survey=["tpch-q22", "scalar-subquery", "not-exists", "anti-join"],
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded customers (balance above the positive-
+    balance average of their segment class) who never ordered — a
+    scalar aggregate subquery gating a NOT EXISTS anti join.
+
+    (Q22 classes customers by phone country code; the driver's customer
+    has no phone, so c_mktsegment plays the class column. And because
+    every synthetic customer has at least one order, "never ordered"
+    is scoped to the trailing window from 2000-01-01 — the anti join
+    gains a pushed-down date filter, same shape.)
+
+    Scale shape: the scalar average is a one-row aggregate broadcast
+    into the filter (a broadcast nested-loop join over a single row —
+    constant cost); the NOT EXISTS is a left-anti join keyed on
+    c_custkey against only orders' custkey column; the final agg has
+    one group per segment. The average uses the exact decimal
+    davg so the filter boundary is bit-identical across engines."""
+    seg = list(_Q22_SEGMENTS)
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(seg)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    orders_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
