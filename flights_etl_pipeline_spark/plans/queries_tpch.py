@@ -519,3 +519,252 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share — conditional-sum ratio over a 6-table join
+# ---------------------------------------------------------------------------
+
+from flights_etl_pipeline_spark.functions.scalar import dround  # noqa: E402
+from flights_etl_pipeline_spark.plans.sqlfrag import (  # noqa: E402
+    sql_dround as _sql_dround,
+)
+
+_Q8_SUPP_NATION = "NATION_7"  # an ASIA nation (regionkey 2)
+_Q8_RATIO = (
+    f"CAST(SUM(CASE WHEN sn.n_name = '{_Q8_SUPP_NATION}' "
+    f"THEN CAST({_REV} AS DECIMAL(18,4)) "
+    f"ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / "
+    f"CAST(SUM(CAST({_REV} AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT YEAR(o.o_orderdate) AS order_year,
+       {_sql_dround(_Q8_RATIO, 6)} AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY YEAR(o.o_orderdate)
+""",
+    survey=["tpch-q8", "conditional-agg", "ratio", "multi-join"],
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of the revenue ASIA-region
+    customers generated, per order year — a conditional-sum / total-sum
+    ratio computed in one grouped pass (no self-join, no second scan).
+
+    Scale shape: numerator and denominator are two branches of the same
+    decimal hash aggregate, so the ratio costs one agg over the joined
+    rows; every dim is broadcast (nation twice, in customer- and
+    supplier-role); the only wide exchange is lineitem→orders on
+    l_orderkey. The final division is one IEEE double op on exact
+    decimal sums — bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev_dec = _rev_col().cast("decimal(18,4)")
+    cn = nation.select("n_nationkey", "n_regionkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("sn_name"),
+    )
+    num = F.sum(
+        F.when(F.col("sn_name") == _Q8_SUPP_NATION, rev_dec).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    den = F.sum(rev_dec).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(dround(num / den, 6).alias("mkt_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-type profit — profit decomposition by supplier nation / year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+SELECT sn.n_name AS nation_name,
+       YEAR(o.o_orderdate) AS order_year,
+       CAST(SUM(CAST({_REV} AS DECIMAL(18,4))
+              - CAST(p.p_retailprice * l.l_quantity AS DECIMAL(18,4)))
+            AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_type = 'PROMO'
+GROUP BY sn.n_name, YEAR(o.o_orderdate)
+""",
+    survey=["tpch-q9", "multi-join", "profit", "G3"],
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: per supplier-nation, per year, the profit on one
+    product line — revenue minus cost, where the driver's schema has no
+    partsupp so p_retailprice * quantity stands in for
+    ps_supplycost * quantity (same arithmetic shape).
+
+    Scale shape: the p_type filter pushes to the part scan and prunes
+    the join input ~6×; part and supplier broadcast; one wide exchange
+    (lineitem→orders on l_orderkey), then a small (nation × year) hash
+    agg. Both product terms are IEEE doubles cast to exact decimal
+    before the subtraction and sum, so totals are order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _rev_col().cast("decimal(18,4)") - (
+        F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12: shipping-mode priority classes — CASE-WHEN counts inside one agg
+# ---------------------------------------------------------------------------
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+_Q12_HIGH_SQL = ", ".join(f"'{p}'" for p in _Q12_HIGH)
+
+
+@register(
+    "q12_priority_classes",
+    oracle=f"""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ({_Q12_HIGH_SQL})
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ({_Q12_HIGH_SQL})
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'N')
+  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l.l_returnflag
+""",
+    survey=["tpch-q12", "conditional-agg", "join"],
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: lines shipped in a year, classed by returnflag (the
+    schema's stand-in for l_shipmode, which the driver's lineitem does
+    not carry), counting high- vs low-priority orders in one pass —
+    the canonical CASE-WHEN-inside-SUM conditional aggregation.
+
+    Scale shape: returnflag + shipdate filters push to the lineitem
+    scan; the join keys on orderkey (uniform); both counters share one
+    hash agg with map-side combine; 2 output rows."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin(list(("A", "N"))))
+        .filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    is_high = F.col("o_orderpriority").isin(list(_Q12_HIGH))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14: promotion effect — single-row conditional-sum percentage
+# ---------------------------------------------------------------------------
+
+_Q14_RATIO = (
+    f"100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' "
+    f"THEN CAST({_REV} AS DECIMAL(18,4)) "
+    f"ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / "
+    f"CAST(SUM(CAST({_REV} AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+
+@register(
+    "q14_promo_effect",
+    oracle=f"""
+SELECT {_sql_dround(_Q14_RATIO, 4)} AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+""",
+    survey=["tpch-q14", "conditional-agg", "ratio"],
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: the percentage of one month's revenue that came from
+    promotional parts — a global (ungrouped) conditional-sum ratio.
+
+    Scale shape: the shipdate filter pushes to the lineitem scan and
+    prunes ~98% of rows before the broadcast part join; the global agg
+    is a partial+final reduce to a single row (no exchange wider than
+    one row per task)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_dec = _rev_col().cast("decimal(18,4)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_dec).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    total = F.sum(rev_dec).cast("double")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dround(F.lit(100.0) * promo / total, 4).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
