@@ -1,0 +1,98 @@
+"""Physical-plan assertions for the TPC-H decision-support shapes.
+
+The module's docstrings make specific scale claims — EXISTS/NOT EXISTS
+run as semi/anti joins, top-k is TakeOrderedAndProject, Q18 scans
+lineitem once, filters push to scans. Pin them.
+"""
+
+from __future__ import annotations
+
+from tests.test_plans import SF_DIR, plan_str
+
+
+def test_q4_exists_is_semi_join_with_pushed_date_filter(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import q4_order_priority
+
+    plan = plan_str(q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    # the date window reaches the orders parquet scan
+    assert "PushedFilters" in plan
+
+
+def test_q21_has_semi_and_anti_self_joins(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q21_single_return_supplier,
+    )
+
+    plan = plan_str(q21_single_return_supplier(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import q22_idle_customers
+
+    plan = plan_str(q22_idle_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # the one-row scalar average arrives via a broadcast, not a shuffle
+    assert "Broadcast" in plan
+
+
+def test_q3_q10_topk_avoid_global_sort(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q3_shipping_priority,
+        q10_returned_items,
+    )
+
+    for fn in (q3_shipping_priority, q10_returned_items):
+        plan = plan_str(fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_q18_reuses_single_lineitem_scan(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q18_large_volume_customers,
+    )
+
+    plan = plan_str(q18_large_volume_customers(spark, SF_DIR), mode="simple")
+    assert plan.count("lineitem.parquet") <= 1
+
+
+def test_q13_filter_applies_before_outer_join(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q13_customer_distribution,
+    )
+
+    plan = plan_str(q13_customer_distribution(spark, SF_DIR))
+    assert "LeftOuter" in plan
+    # the ON-clause priority filter lands on the orders side pre-join
+    assert "4-NOT SPECIFIED" in plan
+
+
+def test_q5_q8_q9_dims_broadcast(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q5_local_supplier_volume,
+        q8_market_share,
+        q9_profit_by_nation_year,
+    )
+
+    for fn in (
+        q5_local_supplier_volume,
+        q8_market_share,
+        q9_profit_by_nation_year,
+    ):
+        plan = plan_str(fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_q9_part_type_filter_pushes_to_scan(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q9_profit_by_nation_year,
+    )
+
+    plan = plan_str(q9_profit_by_nation_year(spark, SF_DIR))
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("p_type" in p for p in pushed)
