@@ -1215,14 +1215,14 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-dimension-sized -- broadcast at this SF, plain hash joins at
     100 TB."""
     # one wide shuffle total: baskets as arrays (groupBy orderkey), then
-    # pair expansion is ROW-LOCAL (explode x explode over the bounded
-    # basket array) -- cheaper than a basket self-join, which would
-    # re-shuffle both sides on okey after the distinct
+    # pair expansion is ROW-LOCAL over the bounded basket array --
+    # cheaper than a basket self-join, which would re-shuffle both
+    # sides on okey after the distinct
     baskets = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
         .groupBy("okey")
-        .agg(F.collect_set("pk").alias("pks"))
+        .agg(F.array_sort(F.collect_set("pk")).alias("pks"))
         .persist()
     )
     n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
@@ -1231,10 +1231,26 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_single"))
     )
+    # combination expansion, not cross-product: the sorted array emits
+    # exactly the C(n,2) ordered (a < b) pairs via slice/transform, so
+    # the pair shuffle sees n(n-1)/2 rows per basket instead of the n^2
+    # a double-explode-then-filter would generate
+    pair_structs = F.flatten(
+        F.transform(
+            "pks",
+            lambda x, i: F.transform(
+                F.slice(
+                    "pks", i + F.lit(2), F.size("pks") - i - F.lit(1)
+                ),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        baskets.select(F.explode("pks").alias("part_a"), "pks")
-        .select("part_a", F.explode("pks").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.part_a"), F.col("p.part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= _RULES_MIN_SUPPORT)
