@@ -171,6 +171,7 @@ WHERE s.s_nationkey = c.c_nationkey
 GROUP BY n.n_name
 """,
     survey=["tpch-q5", "multi-join", "broadcast", "G3"],
+    bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue by nation where the supplier and the customer
@@ -324,6 +325,7 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
          CAST(o.o_orderdate AS DATE), o.o_totalprice
 """,
     survey=["tpch-q18", "having-subquery", "semi-join"],
+    bench=True,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds a threshold, with
@@ -390,6 +392,7 @@ JOIN supplier s ON s.s_suppkey = p.l_suppkey
 GROUP BY s.s_name
 """,
     survey=["tpch-q21", "exists", "not-exists", "anti-join", "semi-join"],
+    bench=True,
 )
 def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: per supplier, the finalized multi-supplier orders
