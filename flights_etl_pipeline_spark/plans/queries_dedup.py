@@ -870,3 +870,98 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (suffix-style dedup, Lee et al. 2022 class)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per span
+_SPAN_MIN_SHARED = 3  # pair survives with >= this many shared spans
+_SPAN_MAX_DF = 50  # spans in more docs than this are boilerplate, not dup
+
+
+@register(
+    "substring_dup_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {_SPAN_K - 1}), ' ') AS span
+  FROM toks, UNNEST(range(1, len(t) - {_SPAN_K - 2})) AS u(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+keep AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING COUNT(*) <= {_SPAN_MAX_DF} AND COUNT(*) >= 2
+),
+hits AS (SELECT s.doc_id, s.span FROM spans s JOIN keep k ON s.span = k.span)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_spans
+FROM hits a
+JOIN hits b ON a.span = b.span AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_SPAN_MIN_SHARED}
+""",
+    survey=["exact-substring-dedup", "ngram", "bucketed-join", "dedup"],
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection: document pairs sharing at
+    least {min_shared} verbatim {k}-token spans — the contiguous-overlap
+    signal suffix-array dedup pipelines use (vs MinHash's bag-of-shingles
+    similarity), found without any suffix structure: each doc emits its
+    distinct {k}-gram spans and pairs form through a span-keyed
+    equi-join.
+
+    Scale design: span emission is row-local (split + slice/transform,
+    no shuffle); the only wide operations key on the span itself — a
+    doc-frequency aggregate and the pair join — i.e. bucketed by
+    content-hash exactly like MinHash banding, never all-pairs. The
+    doc-frequency gate (df in [2, {max_df}]) drops both singleton spans
+    (cannot form a pair; typically ~95% of volume) *and* boilerplate
+    spans — the skew defense: a span shared by thousands of docs would
+    otherwise contribute O(df^2) join rows. At 100 TB the span string
+    would be replaced by its 128-bit hash before the shuffle (same
+    join, fixed-width key); here the string keeps the oracle exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _SPAN_K
+    )
+    span_arr = F.expr(
+        f"transform(sequence(1, size(t) - {_SPAN_K - 1}), "
+        f"i -> array_join(slice(t, i, {_SPAN_K}), ' '))"
+    )
+    spans = (
+        toks.select("doc_id", F.explode(span_arr).alias("span")).distinct()
+    )
+    keep = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= _SPAN_MAX_DF) & (F.col("df") >= 2))
+        .select("span")
+    )
+    hits = spans.join(keep, "span")
+    a = hits.select(
+        F.col("doc_id").alias("doc_a"), F.col("span").alias("span_a")
+    )
+    b = hits.select(
+        F.col("doc_id").alias("doc_b"), F.col("span").alias("span_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("span_a") == F.col("span_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= _SPAN_MIN_SHARED)
+    )
+
+
+substring_dup_spans.__doc__ = substring_dup_spans.__doc__.format(
+    k=_SPAN_K, min_shared=_SPAN_MIN_SHARED, max_df=_SPAN_MAX_DF
+)

@@ -828,3 +828,90 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(F.split("text", r"\s+")).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+_HN_N_ANCHORS = 8
+_HN_TOPK = 5
+
+HARD_NEGATIVES_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+  FROM embeddings WHERE vec_id < {_HN_N_ANCHORS}
+),
+s AS (
+  SELECT a.anchor_id, e.vec_id, e.label,
+         FLOOR({sql_cosine('e.embedding', 'a.av')} * 100000000 + 0.5)
+           / 100000000 AS cosine
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label <> a.anchor_label
+)
+SELECT anchor_id, vec_id, label, cosine, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id ORDER BY cosine DESC, vec_id
+  ) AS rn
+  FROM s
+)
+WHERE rn <= {_HN_TOPK}
+"""
+
+
+@register(
+    "hard_negative_mining",
+    oracle=HARD_NEGATIVES_SQL,
+    survey=["contrastive", "hard-negatives", "ann", "training-prep"],
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-5 most-cosine-similar vectors carrying a *different* label —
+    the negatives that sit closest to the decision boundary, which is
+    what embedding-model training loops (triplet / InfoNCE) sample.
+
+    Scale shape: the anchor set is broadcast (vec_id < 8 here; in
+    production the current training batch), scoring is one row-local
+    decimal fold per (row, anchor), and per-anchor top-k runs as a
+    rank window PARTITIONED BY anchor — parallel across anchors, never
+    a global sort. The label-mismatch filter prunes before ranking. At
+    100 TB the corpus side would first prune through the IVF/LSH bucket
+    route (see ann_ivf_topk) so each anchor scores only its probed
+    cells; the brute-force form here is the exactness baseline."""
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.filter(F.col("vec_id") < _HN_N_ANCHORS)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("av"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "av",
+            decimal_dot("av", "av").alias("anorm"),
+        )
+    )
+    cos = cosine_from_parts(
+        decimal_dot("embedding", "av"),
+        decimal_dot("embedding", "embedding"),
+        "anorm",
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            dround(cos, 8).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _HN_TOPK
+    )
