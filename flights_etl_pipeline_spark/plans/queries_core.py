@@ -2119,3 +2119,58 @@ def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises the parser path alongside LATERAL and GROUPING SETS."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
     return spark.sql(PIPE_SPARK_SQL.format(view="orders_pipe"))
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): capped running-balance state machine
+# ---------------------------------------------------------------------------
+
+LOYALTY_RECURSIVE_SQL = """
+WITH RECURSIVE
+ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS rn
+  FROM orders
+),
+rec(custkey, rn, bal) AS (
+  SELECT o_custkey, 1,
+         LEAST(500, GREATEST(0,
+           CASE WHEN o_totalprice > 200000 THEN 100 ELSE -30 END))
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.o_custkey, r.rn,
+         LEAST(500, GREATEST(0,
+           rec.bal + CASE WHEN r.o_totalprice > 200000 THEN 100 ELSE -30 END))
+  FROM rec JOIN ranked r
+    ON r.o_custkey = rec.custkey AND r.rn = rec.rn + 1
+)
+SELECT custkey, CAST(rn AS BIGINT) AS rn, CAST(bal AS INT) AS bal FROM rec
+"""
+
+
+@register(
+    "loyalty_balance_recursive",
+    oracle=LOYALTY_RECURSIVE_SQL,
+    survey=["recursive-cte", "sql-surface", "state-machine", "Q1"],
+)
+def loyalty_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE`` through the SQL parser (the Q1
+    temp-view surface, upgraded): a capped-and-floored running loyalty
+    balance per customer — bal_t = clamp(bal_{t-1} + earn_t, 0, 500) —
+    which NO window frame can express (the clamp makes each step depend
+    on the *clamped* previous value, not a prefix aggregate). The same
+    SQL text runs verbatim on DuckDB: linear recursion, one row per
+    (customer, order rank), integer arithmetic throughout so both
+    engines are bit-identical.
+
+    Scale shape: each recursion step is one equi-join of the current
+    frontier (|customers| rows) against the ranked orders on
+    (custkey, rn) — all customers advance in parallel per step; steps =
+    max orders per customer (~30 at TPC-H ratios), not table size. For
+    deep sequences the applyInPandasWithState sessionizer pattern
+    (streaming/jobs.py) is the per-key state-machine alternative; this
+    is the declarative one."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(LOYALTY_RECURSIVE_SQL)
