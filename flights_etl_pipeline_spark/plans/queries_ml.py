@@ -26,8 +26,11 @@ from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
 from flights_etl_pipeline_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
     shingle_hash_long,
     shingle_rows,
+    stopword_score,
     tokenize,
 )
 from flights_etl_pipeline_spark.plans.registry import load, register
@@ -1282,3 +1285,125 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dm").cast("bigint").alias("inertia_micro"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM corpus pipeline: quality filter -> exact dedup -> split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_corpus_pipeline",
+    oracle=None,  # set just below (composed from the stage oracles)
+    survey=[
+        "llm-pipeline", "composition", "quality-filter", "dedup",
+        "train-split", "training-prep",
+    ],
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM pretraining data pipeline END-TO-END as ONE lazy plan:
+    corpus (with known duplicates) → quality filter (drop 'low') →
+    exact dedup (keep-first per normalized-md5 fingerprint) →
+    deterministic md5 train/val/test split → per-(split, bucket) corpus
+    accounting. Every stage is the same column logic its standalone
+    query uses (doc_quality, dedup_exact, train_test_split), proving
+    the operators COMPOSE — a user chains them exactly like this.
+
+    Scale shape: quality scoring and split assignment are row-local
+    projections; the only shuffles are the fingerprint window (keyed by
+    content hash — uniform) and the final tiny aggregate. Catalyst
+    fuses the whole chain into one job: filter pushdown runs quality
+    pruning before the dedup shuffle, so duplicate-heavy low-quality
+    mass never reaches the exchange. Decontamination and sequence
+    packing chain on the same way (see decontaminated_train,
+    seq_packing)."""
+    from flights_etl_pipeline_spark.plans.queries_dedup import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    toks = tokenize("text")
+    lower_toks = tokenize(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    stop_ratio = stopword_score(lower_toks, STOPWORDS["en"]).cast(
+        "double"
+    ) / n_tokens
+    bucket = (
+        F.when(
+            (n_tokens >= 40) & (stop_ratio >= 0.02) & (stop_ratio <= 0.6),
+            F.lit("high"),
+        )
+        .when(n_tokens >= 15, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    scored = corpus.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        bucket.alias("quality_bucket"),
+    ).filter(F.col("quality_bucket") != "low")
+    w = Window.partitionBy("fp")
+    deduped = (
+        scored.withColumn("fp", fingerprint("text"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+    )
+    return (
+        deduped.withColumn("split", split_assign("doc_id"))
+        .groupBy("split", "quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def _llm_pipeline_oracle() -> str:
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        CORPUS_SQL,
+        NORM_SQL,
+    )
+
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+m AS (
+  SELECT doc_id, text,
+         LEN(string_split_regex(text, '\\s+')) AS n_tokens,
+         LEN(LIST_FILTER(string_split_regex(LOWER(text), '\\s+'),
+             t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+  FROM corpus
+),
+b AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN n_tokens >= 40
+                AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6
+              THEN 'high'
+              WHEN n_tokens >= 15 THEN 'medium'
+              ELSE 'low' END AS quality_bucket
+  FROM m
+),
+f AS (SELECT * FROM b WHERE quality_bucket <> 'low'),
+d AS (
+  SELECT doc_id, n_tokens, quality_bucket,
+         MIN(doc_id) OVER (PARTITION BY MD5({NORM_SQL})) AS canonical_id
+  FROM f
+),
+k AS (
+  SELECT doc_id, n_tokens, quality_bucket FROM d
+  WHERE doc_id = canonical_id
+)
+SELECT {_SPLIT_CASE_SQL} AS split, quality_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM k
+GROUP BY 1, 2
+"""
+
+
+# late-bind the composed oracle (CORPUS_SQL/NORM_SQL live in queries_dedup)
+from flights_etl_pipeline_spark.plans import registry as _registry  # noqa: E402
+
+_registry.REGISTRY["llm_corpus_pipeline"] = _registry.QuerySpec(
+    fn=_registry.REGISTRY["llm_corpus_pipeline"].fn,
+    oracle=_llm_pipeline_oracle(),
+    survey=_registry.REGISTRY["llm_corpus_pipeline"].survey,
+    bench=True,
+)
