@@ -107,3 +107,78 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test over a contingency table (log-free statistic)
+# ---------------------------------------------------------------------------
+
+CHI2_SQL = """
+WITH joined AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (SELECT seg, prio, COUNT(*) AS obs FROM joined GROUP BY seg, prio),
+rows_m AS (SELECT seg, SUM(obs) AS row_n FROM cells GROUP BY seg),
+cols_m AS (SELECT prio, SUM(obs) AS col_n FROM cells GROUP BY prio),
+tot AS (SELECT SUM(obs) AS n FROM cells),
+terms AS (
+  SELECT CAST(FLOOR(
+           POWER(obs - CAST(row_n * col_n AS DOUBLE) / n, 2)
+             / (CAST(row_n * col_n AS DOUBLE) / n) * 100000000 + 0.5
+         ) AS DECIMAL(18,0)) AS t8
+  FROM cells
+  JOIN rows_m USING (seg)
+  JOIN cols_m USING (prio)
+  CROSS JOIN tot
+)
+SELECT CAST(SUM(t8) AS DOUBLE) / 100000000 AS chi2,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM terms
+"""
+
+
+@register(
+    "segment_priority_chi2",
+    oracle=CHI2_SQL,
+    survey=["chi-square", "statistics", "contingency", "data-quality"],
+)
+def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for (market segment × order
+    priority) — the data-quality / drift test for categorical columns.
+    Log-free, so it is exactly portable across engines: each cell's
+    (obs − exp)²/exp term is a deterministic IEEE sequence on integer
+    margins, quantized to 1e-8 and summed EXACTLY as integers (the sum
+    is order-independent — no float accumulation drift at any
+    partitioning).
+
+    Scale shape: one shuffle for the contingency cells (bounded:
+    |segments| × |priorities|); margins derive from the cells (never a
+    second scan); everything after the cell aggregate is dim-sized.
+    The customer join is broadcast."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rows_m = cells.groupBy("seg").agg(F.sum("obs").alias("row_n"))
+    cols_m = cells.groupBy("prio").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")
+    term = F.pow(F.col("obs") - exp, F.lit(2)) / exp
+    t8 = F.floor(term * 100000000 + F.lit(0.5)).cast("decimal(18,0)")
+    return (
+        cells.join(F.broadcast(rows_m), "seg")
+        .join(F.broadcast(cols_m), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(t8.alias("t8"))
+        .agg(
+            (F.sum("t8").cast("double") / 100000000).alias("chi2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
