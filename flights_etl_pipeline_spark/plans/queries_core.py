@@ -2174,3 +2174,56 @@ def loyalty_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the declarative one."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(LOYALTY_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# EWMA revenue smoothing (recursive; per-step quantization for bit-equality)
+# ---------------------------------------------------------------------------
+
+EWMA_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+         {_sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+),
+seq AS (
+  SELECT y, m, rev, ROW_NUMBER() OVER (ORDER BY y, m) AS t FROM monthly
+),
+ew(t, y, m, rev, s) AS (
+  SELECT t, y, m, rev, FLOOR(rev * 1000000 + 0.5) / 1000000
+  FROM seq WHERE t = 1
+  UNION ALL
+  SELECT s2.t, s2.y, s2.m, s2.rev,
+         FLOOR((0.2 * s2.rev + 0.8 * ew.s) * 1000000 + 0.5) / 1000000
+  FROM ew JOIN seq s2 ON s2.t = ew.t + 1
+)
+SELECT CAST(t AS BIGINT) AS t, y AS order_year, m AS order_month,
+       rev AS revenue, s AS ewma
+FROM ew
+"""
+
+
+@register(
+    "revenue_ewma_recursive",
+    oracle=EWMA_SQL,
+    survey=["ewma", "time-series", "recursive-cte", "smoothing"],
+)
+def revenue_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue
+    (alpha = 0.2) — true EWMA recurrence s_t = a*x_t + (1-a)*s_{t-1},
+    which no window frame expresses (every step feeds the *computed*
+    previous smoothed value forward). Runs as a Spark 4 recursive CTE;
+    the same SQL text runs verbatim on DuckDB. Each step's result is
+    quantized to 1e-6 (floor-round, the dround contract) so the chained
+    float recurrence is bit-identical across engines — the same
+    technique the 10-round PageRank uses.
+
+    Scale shape: the corpus-sized work is the monthly aggregate (one
+    map-side-combinable pass over orders); recursion then walks the
+    ~80-row month spine — series-length steps over series-sized rows,
+    independent of table size. For millions of independent series the
+    same recurrence shards by key (every series advances in parallel
+    per step, cf. loyalty_balance_recursive); for one very long series
+    use applyInPandasWithState."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(EWMA_SQL)
