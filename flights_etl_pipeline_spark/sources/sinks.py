@@ -154,3 +154,60 @@ def write_with_metrics(
     obs = Observation()
     df.observe(obs, *aggs).write.mode(mode).parquet(path)
     return {k: int(v) for k, v in obs.get.items()}
+
+
+def retention_delete(
+    spark: SparkSession,
+    path: str,
+    cutoff: dict[str, int],
+    dry_run: bool = True,
+) -> list[str]:
+    """Partition-retention GC for a hive-layout directory: drop every
+    leaf partition strictly OLDER than ``cutoff`` (e.g. ``{"year":
+    2024, "month": 3}`` keeps 2024-03 onward), comparing the partition
+    tuple lexicographically. Returns the affected partition paths;
+    with ``dry_run=True`` (the default) nothing is deleted.
+
+    This is the other half of warehouse maintenance next to
+    ``compact_parquet_dir``: retention works on partition DIRECTORIES
+    (an O(partitions) metadata walk + directory deletes), never by
+    scanning rows — a row-level ``DELETE WHERE ts < cutoff`` would read
+    and rewrite 100 TB to drop the oldest 5%. The dry-run default plus
+    returned path list is the operator-safety contract: inspect, then
+    re-invoke with dry_run=False.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
+
+    keys = list(cutoff.keys())
+    cut = tuple(int(cutoff[k]) for k in keys)
+
+    def _walk(p, depth: int, vals: tuple[int, ...]) -> list:
+        if depth == len(keys):
+            return [(vals, p)]
+        out = []
+        for st in fs.listStatus(p):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            prefix = f"{keys[depth]}="
+            if not name.startswith(prefix):
+                continue
+            out.extend(
+                _walk(
+                    st.getPath(),
+                    depth + 1,
+                    vals + (int(name[len(prefix):]),),
+                )
+            )
+        return out
+
+    doomed = [
+        (vals, p) for vals, p in _walk(root, 0, ()) if vals < cut
+    ]
+    if not dry_run:
+        for _vals, p in doomed:
+            fs.delete(p, True)
+    return [p.toString() for _vals, p in doomed]
