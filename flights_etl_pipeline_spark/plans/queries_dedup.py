@@ -965,3 +965,108 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 substring_dup_spans.__doc__ = substring_dup_spans.__doc__.format(
     k=_SPAN_K, min_shared=_SPAN_MIN_SHARED, max_df=_SPAN_MAX_DF
 )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: nibble banding + hamming verify (closes the loop)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MAX_HAMMING = 2  # banding into 4 nibbles is LOSSLESS for <= 3
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=f"""
+WITH sig AS ({SIMHASH_SQL}),
+nib AS (
+  SELECT doc_id, simhash, j,
+         CAST(FLOOR(simhash / POWER(16, j)) % 16 AS INT) AS v
+  FROM sig, UNNEST(range(0, 4)) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM nib a JOIN nib b
+    ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_MAX_HAMMING}
+""",
+    survey=["dedup-simhash", "banding", "hamming", "near-dup"],
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash taken all the way to PAIRS: band each 16-bit signature
+    into 4 nibbles, candidate pairs share any (band, nibble), verify
+    with exact hamming distance <= 2. Pigeonhole makes the banding
+    LOSSLESS here: <= 3 differing bits can touch at most 3 of the 4
+    nibbles, so every qualifying pair shares one intact nibble — no
+    recall loss, unlike probabilistic MinHash banding.
+
+    Scale shape: the signature is one hash-agg per doc (simhash_docs);
+    banding explodes 4 small rows per doc and the candidate join keys
+    on (band, nibble) — the only wide operation, content-bucketed like
+    LSH, never all-pairs. The verify (xor + bit_count) is a pure
+    integer op on candidate survivors. At 64-bit signatures the same
+    plan uses 8-bit bands; skewed bands (a nibble value shared by a
+    huge doc population) salt exactly like any hot join key."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("h"),
+    )
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(*[F.expr(e) for e in _BIT_SUM_EXPRS])
+        .select("doc_id", F.expr(_ASSEMBLE_EXPR).alias("simhash"))
+        .persist()
+    )
+    nib = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        (
+            F.floor(F.col("simhash") / F.pow(F.lit(16), F.col("j"))) % 16
+        ).cast("int").alias("v"),
+    )
+    a = nib.select(
+        F.col("doc_id").alias("doc_a"), "j", F.col("v").alias("va")
+    )
+    b = nib.select(
+        F.col("doc_id").alias("doc_b"), "j", F.col("v").alias("vb")
+    )
+    cand = (
+        a.join(
+            b,
+            (a["j"] == b["j"])
+            & (F.col("va") == F.col("vb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    ham = F.expr("bit_count(sh_a ^ sh_b)").cast("int")
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .localCheckpoint()
+    )
+    sig.unpersist()
+    return out
