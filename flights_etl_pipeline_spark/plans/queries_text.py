@@ -1370,3 +1370,75 @@ def tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_unk").cast("bigint").alias("n_unk"),
         F.md5(F.array_join(seq, " ")).alias("ids_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document cleanup: collapse adjacent duplicate tokens (stutter scrub)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_scrub_adjacent_dups",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS t0 FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, text || ' ' || t0[len(t0)] AS text
+  FROM base
+),
+tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM corpus
+),
+cl AS (
+  SELECT doc_id, t,
+         list_filter(t, (x, i) -> i = 1 OR x <> t[i - 1]) AS c
+  FROM tok
+)
+SELECT doc_id,
+       CAST(LEN(t) AS INT) AS n_before,
+       CAST(LEN(c) AS INT) AS n_after,
+       MD5(array_to_string(c, ' ')) AS cleaned_fp
+FROM cl
+""",
+    survey=["text-scrub", "intra-doc-dedup", "higher-order", "A8"],
+)
+def doc_scrub_adjacent_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document stutter scrub: collapse runs of ADJACENT duplicate
+    tokens to one occurrence — the cheap cleanup pass crawled corpora
+    get before dedup (OCR stutter, scraped-menu repetition). doc_repetition
+    *detects* repeated content; this TRANSFORMS it, keeping everything
+    row-local: a higher-order ``filter`` with the (element, index)
+    lambda comparing each token to its predecessor — order-aware array
+    logic no join or explode is needed for.
+
+    Because the driver's synthetic docs rarely stutter, the corpus
+    appends per-doc twins (doc_id+30000) whose text repeats its final
+    token — both engines build the same corpus, so the scrub provably
+    fires (every twin loses exactly one token) while originals pass
+    through byte-identical (verified by the cleaned md5).
+
+    Scale shape: pure per-row column work, zero shuffles, whole plan in
+    codegen; out-of-bounds predecessor access yields NULL (Spark
+    ``get``, DuckDB ``t[0]``) so the first token needs no special-case
+    branch that would break vectorization."""
+    docs = load(spark, sf_dir, "documents")
+    t0 = F.split("text", r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.element_at(t0, -1)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(twins)
+    tok = corpus.select("doc_id", F.split("text", r"\s+").alias("t"))
+    cleaned = F.filter(
+        F.col("t"),
+        lambda x, i: (i == F.lit(0)) | (x != F.get(F.col("t"), i - 1)),
+    )
+    return tok.select(
+        "doc_id",
+        F.size("t").alias("n_before"),
+        F.size(cleaned).alias("n_after"),
+        F.md5(F.array_join(cleaned, " ")).alias("cleaned_fp"),
+    )
