@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flights_etl_pipeline_spark.functions.scalar import davg, dsum
 from flights_etl_pipeline_spark.plans.registry import load, register
@@ -405,12 +406,17 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_commitdate; the driver's lineitem carries neither, so
     l_returnflag = 'R' stands in — identical correlation structure.)
 
-    Scale shape: both self-references first reduce lineitem to DISTINCT
-    (orderkey, suppkey) pairs — order-sized inputs — then run as a
-    left-semi and a left-anti join whose equi-part keys on l_orderkey
-    and whose suppkey inequality rides as the join's extra condition.
-    Orders('F') is a semi join (no payload), supplier is broadcast for
-    the name lookup, and the final agg has one group per supplier."""
+    Scale shape: both correlated subqueries DECORRELATE TO COUNTS —
+    "another supplier participated" is per-order supplier count >= 2,
+    "no other supplier returned" is per-order returning-supplier count
+    = 1 — so the whole double-EXISTS collapses into one aggregation
+    chain: lineitem → per-(orderkey, suppkey) has_r flag (one shuffle,
+    keyed on orderkey) → per-order counts via a window over the SAME
+    orderkey partitioning (no second exchange) → filter. No self-join
+    exists in the plan at all, which beats the literal semi+anti form
+    that ships order-sized pair sets through two more shuffles.
+    Orders('F') rides as a semi join (no payload), supplier broadcasts
+    for the name lookup, and the final agg has one group per supplier."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
@@ -419,30 +425,25 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    r_pairs = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("has_r")
     )
-    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    base = r_pairs.join(
-        ord_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
-    )
-    other_participates = base.alias("a").join(
-        all_pairs.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        "left_semi",
-    )
-    sole_returner = other_participates.alias("a").join(
-        r_pairs.alias("c"),
-        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
-        "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        per_pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_r_supp", F.sum("has_r").over(w))
+        .filter(
+            (F.col("has_r") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_r_supp") == 1)
+        )
+        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_returner.join(
+        qualified.join(
             F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")

@@ -19,14 +19,18 @@ def test_q4_exists_is_semi_join_with_pushed_date_filter(spark):
     assert "PushedFilters" in plan
 
 
-def test_q21_has_semi_and_anti_self_joins(spark):
+def test_q21_decorrelates_to_counts_no_self_join(spark):
     from flights_etl_pipeline_spark.plans.queries_tpch import (
         q21_single_return_supplier,
     )
 
-    plan = plan_str(q21_single_return_supplier(spark, SF_DIR))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    plan = plan_str(q21_single_return_supplier(spark, SF_DIR), mode="simple")
+    # double-EXISTS collapses to per-order counts: one lineitem scan,
+    # a window over the agg's own partitioning, no semi/anti SELF-join
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "LeftSemi" in plan  # the orders('F') existence check remains
+    assert "LeftAnti" not in plan
 
 
 def test_q22_not_exists_is_anti_join(spark):
