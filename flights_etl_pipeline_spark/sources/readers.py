@@ -103,3 +103,34 @@ def read_json_table(
 def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan: same columnar pushdown/pruning contract as parquet."""
     return spark.read.orc(path)
+
+
+def read_with_evolution(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType,
+) -> DataFrame:
+    """Schema-evolution read: merge footers across file generations
+    (``mergeSchema``) then CONFORM to ``target_schema`` — columns the
+    old files lack become typed NULLs, columns the target dropped are
+    pruned, and types are cast to the target's.
+
+    This is how a lake survives schema change without rewriting 100 TB:
+    old generations stay as written; evolution happens at read time.
+    mergeSchema costs one footer read per file (a driver-side metadata
+    pass, no data scan) and the conform projection is row-local. Writers
+    only ever ADD nullable columns (rename/retype = new column + backfill)
+    so every generation stays forward-readable; the conform step is what
+    guarantees a stable contract to downstream code regardless of which
+    generations a scan touches.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
