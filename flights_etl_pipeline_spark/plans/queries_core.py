@@ -2227,3 +2227,86 @@ def revenue_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     use applyInPandasWithState."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(EWMA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-nation revenue trend: closed-form OLS on exact decimal moments
+# ---------------------------------------------------------------------------
+
+OLS_TREND_SQL = f"""
+WITH monthly AS (
+  SELECT n.n_name AS nation_name,
+         (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) AS t,
+         {_sql_dsum('o.o_totalprice')} AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate)
+),
+mom AS (
+  SELECT nation_name,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(t) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(rev * t AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(t * t) AS DOUBLE) AS sxx
+  FROM monthly GROUP BY nation_name
+)
+SELECT nation_name,
+       CAST(n AS BIGINT) AS n_months,
+       {_sql_dround('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 4)}
+         AS slope,
+       {_sql_dround('(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n', 2)}
+         AS intercept
+FROM mom
+"""
+
+
+@register(
+    "nation_revenue_trend_ols",
+    oracle=OLS_TREND_SQL,
+    survey=["ols", "regression", "trend", "statistics"],
+)
+def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend line: closed-form least-squares slope and
+    intercept of monthly revenue against a month index — regression as
+    a MOMENTS problem, the only form that distributes: each group needs
+    just (n, Σx, Σy, Σxy, Σx²) from one partial+final hash aggregate,
+    then a fixed IEEE op sequence combines them (same technique as
+    corr_price_qty; x is an integer index and the y-moments are exact
+    decimal sums, so both engines agree bit-for-bit).
+
+    Scale shape: two chained aggregates — (nation, month) then
+    (nation) — both map-side combinable; customer/nation broadcast;
+    no window, no sort, no per-group iteration. The same moment shape
+    extends to multivariate OLS via the normal-equations matrix (k²
+    moments per group)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+    monthly = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"), t.alias("t"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    mom = monthly.groupBy("nation_name").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("sx"),
+        F.sum(F.col("rev").cast("decimal(38,4)")).cast("double").alias("sy"),
+        F.sum((F.col("rev") * F.col("t")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return mom.select(
+        "nation_name",
+        n.cast("bigint").alias("n_months"),
+        dround(slope, 4).alias("slope"),
+        dround(intercept, 2).alias("intercept"),
+    )
