@@ -1442,3 +1442,61 @@ def doc_scrub_adjacent_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(cleaned).alias("n_after"),
         F.md5(F.array_join(cleaned, " ")).alias("cleaned_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search: exact adjacent-term match (positional retrieval)
+# ---------------------------------------------------------------------------
+
+_PHRASE = "table hash"
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg
+  FROM toks WHERE len(t) >= 2
+)
+SELECT doc_id,
+       CAST(len(list_filter(bg, x -> x = '{_PHRASE}')) AS INT) AS n_hits
+FROM big
+WHERE list_contains(bg, '{_PHRASE}')
+""",
+    survey=["phrase-search", "retrieval", "positional", "text"],
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ("{phrase}"): documents where the terms
+    occur ADJACENT and in order, with the occurrence count — what a
+    positional inverted index answers after the boolean index
+    (inverted_index / bm25_scores) has matched the bag of terms.
+
+    Implemented row-locally: the bigram expansion is a higher-order
+    transform over the token array (no explode, no join) and matching
+    is an array scan — the right shape when the phrase is short and
+    selective. For ad-hoc phrase workloads at 100 TB the same bigrams
+    become the posting keys of a positional index (doc_id, bigram)
+    written once and semi-joined per query, trading one corpus pass
+    for per-query index lookups; both forms share this expansion."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    hits = F.size(
+        F.filter(bigrams, lambda x: x == F.lit(_PHRASE))
+    )
+    return (
+        tok.select("doc_id", hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+phrase_search.__doc__ = phrase_search.__doc__.format(phrase=_PHRASE)
