@@ -44,13 +44,22 @@ def test_listener_reports_input_rows(spark):
     try:
         out = events_hourly_stream(spark, SF_DIR)
         assert out.count() > 0
-        # listener events are delivered asynchronously on the JVM bus
-        deadline = time.time() + 30
-        while time.time() < deadline and not listener.progress:
+        n_events = load(spark, SF_DIR, "events").count()
+        # listener events are delivered asynchronously on the JVM bus;
+        # the shared session may carry queries from other tests, so
+        # count only progress of queries whose START we observed (the
+        # listener attached just before this job ran)
+        def _mine():
+            started = {str(i) for i in listener.started}
+            return [p for p in listener.progress if str(p.id) in started]
+
+        deadline = time.time() + 60
+        while time.time() < deadline and (
+            sum(p.numInputRows for p in _mine()) < n_events
+        ):
             time.sleep(0.5)
         assert listener.started, "no started event"
-        total_in = sum(p.numInputRows for p in listener.progress)
-        n_events = load(spark, SF_DIR, "events").count()
+        total_in = sum(p.numInputRows for p in _mine())
         assert total_in == n_events, (total_in, n_events)
     finally:
         spark.streams.removeListener(listener)
