@@ -101,3 +101,45 @@ def validate(df: DataFrame, rules: list[Rule]) -> dict[str, int]:
         )
         out[r.name] = int(dup["n"])
     return out
+
+
+def validate_df(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Lazy twin of :func:`validate`: returns a (rule, violations)
+    DataFrame instead of a driver-side dict — composable into pipelines
+    and sinks (write the quality report next to the data it describes).
+    Row-local rules still share one aggregate pass; the per-rule rows
+    come from ONE agg followed by a stack (unpivot), not N scans."""
+    rowlocal = [r for r in rules if r.kind != "unique"]
+    uniques = [r for r in rules if r.kind == "unique"]
+    parts = []
+    if rowlocal:
+        aggs = [
+            F.sum(F.when(_violation(r), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, r in enumerate(rowlocal)
+        ]
+        stack = ", ".join(
+            f"'{r.name}', c{i}" for i, r in enumerate(rowlocal)
+        )
+        parts.append(
+            df.agg(*aggs).selectExpr(
+                f"stack({len(rowlocal)}, {stack}) AS (rule, violations)"
+            )
+        )
+    for r in uniques:
+        parts.append(
+            df.groupBy(r.column)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(
+                F.lit(r.name).alias("rule"),
+                F.coalesce(F.sum("n"), F.lit(0))
+                .cast("bigint")
+                .alias("violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

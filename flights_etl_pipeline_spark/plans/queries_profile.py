@@ -182,3 +182,73 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations as a query (the dbt-test / GE shape, one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_expectations",
+    oracle="""
+SELECT 'not_null:o_custkey' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations
+FROM orders
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('F', 'O', 'P')
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL
+                       OR o_totalprice < 0.0 OR o_totalprice > 1000000000.0
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'predicate:order_in_epoch',
+       CAST(SUM(CASE WHEN NOT COALESCE(YEAR(o_orderdate) >= 1990, FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(COALESCE((
+         SELECT SUM(n) FROM (
+           SELECT COUNT(*) AS n FROM orders
+           GROUP BY o_orderkey HAVING COUNT(*) > 1
+         )
+       ), 0) AS BIGINT)
+""",
+    survey=["expectations", "data-quality", "P4", "validation"],
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hard-coded quality predicate
+    (transformToSilver.py:66) generalized to a DECLARATIVE rule list
+    evaluated in one pass (functions/validate.py): N row-local rules
+    compile to branches of a single conditional aggregate + stack
+    (unpivot), uniqueness adds one keyed count — rule count never adds
+    scans. Returns the (rule, violations) report as a DataFrame, so the
+    quality gate composes into pipelines and writes like any dataset."""
+    from flights_etl_pipeline_spark.functions.validate import (
+        accepted_values,
+        in_range,
+        not_null,
+        predicate,
+        unique,
+        validate_df,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return validate_df(
+        orders,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ("F", "O", "P")),
+            in_range("o_totalprice", 0.0, 1e9),
+            predicate("order_in_epoch", F.year("o_orderdate") >= 1990),
+            unique("o_orderkey"),
+        ],
+    )
