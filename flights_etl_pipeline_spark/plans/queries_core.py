@@ -2310,3 +2310,91 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(slope, 4).alias("slope"),
         dround(intercept, 2).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (deterministic NTILE quintiles)
+# ---------------------------------------------------------------------------
+
+RFM_SQL = f"""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         COUNT(*) AS freq,
+         {_sql_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+scored AS (
+  SELECT o_custkey, freq, monetary,
+         NTILE(5) OVER (
+           ORDER BY DATE_DIFF('day', last_d, maxd), o_custkey) AS r_q,
+         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM base CROSS JOIN mx
+)
+SELECT r_q * 100 + f_q * 10 + m_q AS rfm_cell,
+       COUNT(*) AS n_customers,
+       {_sql_dround(_sql_davg('monetary', 2), 2)} AS avg_monetary
+FROM scored GROUP BY r_q * 100 + f_q * 10 + m_q
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=RFM_SQL,
+    survey=["rfm", "ntile", "segmentation", "window", "G3"],
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (NTILE) composed into a 3-digit cell, with the customer
+    count and average spend per cell — the classic CRM rollup. NTILE is
+    deterministic here because every ORDER BY carries c_custkey as the
+    total-order tie-break (without it, equal metrics straddle quintile
+    boundaries engine-dependently).
+
+    Scale shape: the per-customer base aggregate is one custkey-keyed
+    hash agg; the corpus max date is a 1-row broadcast. The three NTILE
+    windows are deliberately GLOBAL (customer-population ranking is the
+    semantic) — at 10⁹ customers each becomes the two-phase
+    histogram-offset rank vocab_build demonstrates; at the reference's
+    scale the single-partition window over the customer-dim-sized
+    aggregate is the right trade."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    recency = F.datediff(F.col("maxd"), F.col("last_d"))
+    scored = (
+        base.crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            "freq",
+            "monetary",
+            F.ntile(5)
+            .over(Window.orderBy(recency.asc(), F.col("o_custkey")))
+            .alias("r_q"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey")))
+            .alias("f_q"),
+            F.ntile(5)
+            .over(
+                Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+            )
+            .alias("m_q"),
+        )
+    )
+    return (
+        scored.groupBy(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias(
+                "rfm_cell"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(davg("monetary", 2), 2).alias("avg_monetary"),
+        )
+    )
