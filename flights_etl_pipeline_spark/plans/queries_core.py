@@ -2398,3 +2398,78 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(davg("monetary", 2), 2).alias("avg_monetary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded theta-join: |balance difference| < eps via bucket probing
+# ---------------------------------------------------------------------------
+
+_BAND_EPS = 10.0
+
+
+@register(
+    "acctbal_band_pairs",
+    oracle=f"""
+SELECT s.s_suppkey, c.c_custkey, s.s_nationkey AS nationkey,
+       {{dr}} AS bal_gap
+FROM supplier s
+JOIN customer c
+  ON s.s_nationkey = c.c_nationkey
+ AND ABS(s.s_acctbal - c.c_acctbal) < {_BAND_EPS}
+""".format(
+        dr="(FLOOR(ABS(s.s_acctbal - c.c_acctbal) * 100 + 0.5) / 100)"
+    ),
+    survey=["band-join", "theta-join", "bucketing", "J1"],
+)
+def acctbal_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded theta-join: (supplier, customer) pairs in the same nation
+    whose account balances differ by less than {eps} — an inequality
+    join predicate no hash join accepts directly. Re-expressed as an
+    EQUI-join by bucketing both sides at the band width: the probe side
+    emits its bucket and both neighbors (any |Δ|<eps pair shares one of
+    the three), the join keys on (nation, bucket), and the exact band
+    predicate filters survivors. Each qualifying pair matches exactly
+    once (the build row's bucket is fixed), so no dedup pass.
+
+    Scale shape: the alternative — Spark's fallback for pure-theta
+    joins — is a broadcast-nested-loop scanning |S|×|C| pairs; the
+    bucket probe costs 3 rows per probe-side row and the join stays a
+    hash join on a composite key. Same trick as the time-bucketed range
+    join (events_range_join_pairs), generalized to any metric band;
+    bucket width tunes candidate density exactly like LSH band size."""
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    sb = F.floor(F.col("s_acctbal") / _BAND_EPS).cast("long")
+    cbkt = F.floor(F.col("c_acctbal") / _BAND_EPS).cast("long")
+    probe = supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.explode(
+            F.array(sb - 1, sb, sb + 1)
+        ).alias("bkt"),
+    )
+    build = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        cbkt.alias("bkt"),
+    )
+    gap = F.abs(F.col("s_acctbal") - F.col("c_acctbal"))
+    return (
+        probe.join(
+            build,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (probe["bkt"] == build["bkt"]),
+        )
+        .filter(gap < _BAND_EPS)
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.col("s_nationkey").alias("nationkey"),
+            dround(gap, 2).alias("bal_gap"),
+        )
+    )
+
+
+acctbal_band_pairs.__doc__ = acctbal_band_pairs.__doc__.format(eps=_BAND_EPS)
