@@ -252,3 +252,56 @@ def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             unique("o_orderkey"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers (privacy gate for releases)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "kanonymity_report",
+    oracle=f"""
+WITH qid AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+)
+SELECT c_nationkey, c_mktsegment, bal_band, n
+FROM qid
+WHERE n < {_KANON_K}
+""",
+    survey=["k-anonymity", "privacy", "audit", "data-quality"],
+)
+def kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: quasi-identifier combinations (nation, market
+    segment, coarse balance band) whose group size is below k={k} — the
+    rows a privacy-preserving release must suppress or generalize,
+    because an attacker joining on those attributes pins them to fewer
+    than k candidates. The audit half of the PII story (doc_pii_scrub
+    redacts direct identifiers; this finds *indirect* identification).
+
+    Scale shape: one hash aggregate over the quasi-identifier tuple
+    (map-side combinable), then a size filter — the report is
+    small-cell-sized by definition. Generalization search (coarsening
+    bands until all cells pass) iterates this same aggregate over a
+    band-width ladder, each pass independent and parallel."""
+    cust = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            band.alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < _KANON_K)
+    )
+
+
+kanonymity_report.__doc__ = kanonymity_report.__doc__.format(k=_KANON_K)
