@@ -305,3 +305,85 @@ def kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 kanonymity_report.__doc__ = kanonymity_report.__doc__.format(k=_KANON_K)
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index per nation (log-free statistic)
+# ---------------------------------------------------------------------------
+
+HHI_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+tot AS (
+  SELECT nationkey,
+         CAST(SUM(CAST(r AS DECIMAL(18,2))) AS DOUBLE) AS t,
+         COUNT(*) AS n_sellers
+  FROM rev GROUP BY nationkey
+),
+terms AS (
+  SELECT rev.nationkey, tot.n_sellers,
+         CAST(FLOOR(POWER(rev.r / tot.t, 2) * 1000000000000 + 0.5)
+              AS DECIMAL(18,0)) AS t12
+  FROM rev JOIN tot ON rev.nationkey = tot.nationkey
+)
+SELECT nationkey,
+       CAST(MAX(n_sellers) AS BIGINT) AS n_sellers,
+       CAST(SUM(t12) AS DOUBLE) / 1000000000000 AS hhi
+FROM terms GROUP BY nationkey
+"""
+
+
+@register(
+    "nation_revenue_hhi",
+    oracle=HHI_SQL,
+    survey=["hhi", "concentration", "statistics", "ratio"],
+)
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl–Hirschman index of
+    customer revenue shares within each nation (Σ shareᵢ² — 1/N for
+    perfect competition, 1.0 for monopoly) — the dataset-balance twin
+    of source_mixture_sample: the same statistic over training-data
+    source shares tells you when one source dominates a mixture.
+
+    Log-free and engine-exact: shares divide exact decimal sums, each
+    squared share is one deterministic IEEE sequence quantized to
+    1e-12, and the per-nation total sums those as integers — order
+    independent under any partitioning.
+
+    Scale shape: two chained hash aggregates (custkey then nationkey)
+    plus a broadcast-back of the per-nation totals; no windows, no
+    sorts. Skew-safe: the per-customer pre-aggregate bounds any hot
+    nation's fan-in to its customer count."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), F.col("o_custkey")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(
+        F.sum(F.col("r").cast("decimal(18,2)")).cast("double").alias("t"),
+        F.count(F.lit(1)).alias("n_sellers"),
+    )
+    t12 = F.floor(
+        F.pow(F.col("r") / F.col("t"), F.lit(2)) * 1000000000000 + F.lit(0.5)
+    ).cast("decimal(18,0)")
+    return (
+        rev.join(F.broadcast(tot), "nationkey")
+        .select("nationkey", "n_sellers", t12.alias("t12"))
+        .groupBy("nationkey")
+        .agg(
+            F.max("n_sellers").cast("bigint").alias("n_sellers"),
+            (F.sum("t12").cast("double") / 1000000000000).alias("hhi"),
+        )
+    )
