@@ -1605,3 +1605,85 @@ def events_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(100, 99).alias("p99_bucket"),
         F.max("total").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (per-event-type inactivity horizon)
+# ---------------------------------------------------------------------------
+
+_DYN_GAP_PURCHASE_US = 600_000_000  # 10 min after a purchase
+_DYN_GAP_DEFAULT_US = 1_800_000_000  # 30 min otherwise
+
+DYNAMIC_SESSIONS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                             THEN {_DYN_GAP_PURCHASE_US}
+                             ELSE {_DYN_GAP_DEFAULT_US} END AS end_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, t_us, end_us,
+         CASE WHEN MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR t_us >= MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sessions AS (
+  SELECT user_id, t_us, end_us,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM flagged
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       make_timestamp(MIN(t_us)) AS session_start,
+       make_timestamp(MAX(end_us)) AS session_end
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "events_dynamic_sessions",
+    oracle=DYNAMIC_SESSIONS_SQL,
+    survey=["session-window", "dynamic-gap", "streaming-twin", "windows"],
+)
+def events_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT — 10
+    minutes after a purchase (intent completed), 30 minutes otherwise —
+    via ``session_window``'s dynamic gap-duration column. Fixed-gap
+    sessionization (events_session_window / events_sessionize) can't
+    express this; the per-event horizon is what real engagement
+    analytics uses.
+
+    The oracle is the sweep-line formulation: each event claims
+    [t, t+gap(type)); a session breaks where an event starts at-or-
+    after the running max end of everything before it. Integer
+    microseconds end-to-end, so both engines agree exactly.
+
+    Scale shape: one shuffle on user_id; Spark's native session_window
+    does the merge inside the aggregate (streaming-ready — the same
+    expression works under a watermark in streaming mode); the oracle's
+    running-max window is the batch equivalent."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.lit(f"{_DYN_GAP_PURCHASE_US // 1_000_000} seconds"),
+    ).otherwise(F.lit(f"{_DYN_GAP_DEFAULT_US // 1_000_000} seconds"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
