@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flights_etl_pipeline_spark.functions.scalar import dround
 from flights_etl_pipeline_spark.plans.registry import load, register
 
 # (column, normalized-string expression for min/max) -- doubles are
@@ -386,4 +387,121 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_sellers").cast("bigint").alias("n_sellers"),
             (F.sum("t12").cast("double") / 1000000000000).alias("hhi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS via normal equations on exact decimal moments
+# ---------------------------------------------------------------------------
+
+_OLS2_MOM = """
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           AS s11,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE)
+           AS s22,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE)
+           AS s12,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,8)))
+              AS DOUBLE) AS s2y
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+OLS2_SQL = f"""
+WITH mom AS ({_OLS2_MOM}),
+cent AS (
+  SELECT l_returnflag, n, sx1, sx2, sy,
+         (s11 - sx1 * sx1 / n) AS c11,
+         (s22 - sx2 * sx2 / n) AS c22,
+         (s12 - sx1 * sx2 / n) AS c12,
+         (s1y - sx1 * sy / n) AS c1y,
+         (s2y - sx2 * sy / n) AS c2y
+  FROM mom
+),
+beta AS (
+  SELECT l_returnflag, n, sx1, sx2, sy,
+         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+  FROM cent
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (FLOOR(((sy - b1 * sx1 - b2 * sx2) / n) * 1000000 + 0.5) / 1000000)
+         AS intercept,
+       (FLOOR(b1 * 1000000 + 0.5) / 1000000) AS beta_quantity,
+       (FLOOR(b2 * 1000000 + 0.5) / 1000000) AS beta_discount
+FROM beta
+"""
+
+
+@register(
+    "price_ols2_normal_equations",
+    oracle=OLS2_SQL,
+    survey=["ols", "multivariate", "normal-equations", "statistics", "ml"],
+)
+def price_ols2_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate least squares, distributed: regress extendedprice on
+    (quantity, discount) per returnflag by solving the 2-feature NORMAL
+    EQUATIONS in closed form from nine decimal-exact raw moments — the
+    k²-moments generalization nation_revenue_trend_ols promises. One
+    partial+final hash aggregate is the only data pass; the 2×2 solve
+    is a fixed IEEE op sequence on the aggregated scalars, identical in
+    both engines (same centering, same determinant expression, same
+    quantization), so coefficients match bit-for-bit.
+
+    Scale shape: moments are map-side combinable; nothing after the agg
+    touches more than |groups| rows. At k features this is the k×k
+    Gram-matrix pattern every distributed linear solver (and the
+    closed-form ridge variant) reduces to; iterative GD would instead
+    need one pass per step — moments win whenever k² fits in a row."""
+    li = load(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+
+    def dm(expr, scale):
+        return F.sum(expr.cast(f"decimal(38,{scale})")).cast("double")
+
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dm(x1, 4).alias("sx1"),
+        dm(x2, 6).alias("sx2"),
+        dm(y, 4).alias("sy"),
+        dm(x1 * x1, 6).alias("s11"),
+        dm(x2 * x2, 8).alias("s22"),
+        dm(x1 * x2, 8).alias("s12"),
+        dm(x1 * y, 6).alias("s1y"),
+        dm(x2 * y, 8).alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("sx1") * F.col("sx1") / n
+    c22 = F.col("s22") - F.col("sx2") * F.col("sx2") / n
+    c12 = F.col("s12") - F.col("sx1") * F.col("sx2") / n
+    c1y = F.col("s1y") - F.col("sx1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("sx2") * F.col("sy") / n
+    cent = mom.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy",
+        c11.alias("c11"), c22.alias("c22"), c12.alias("c12"),
+        c1y.alias("c1y"), c2y.alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    beta = cent.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    intercept = (
+        F.col("sy") - F.col("b1") * F.col("sx1") - F.col("b2") * F.col("sx2")
+    ) / F.col("n")
+    return beta.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        dround(intercept, 6).alias("intercept"),
+        dround(F.col("b1"), 6).alias("beta_quantity"),
+        dround(F.col("b2"), 6).alias("beta_discount"),
     )
