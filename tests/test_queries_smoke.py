@@ -13,7 +13,10 @@ from flights_etl_pipeline_spark.plans.queries import oracle_sql, queries
 from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
 # queries where an empty result at the tiny sf0.001 scale is legitimate
-MAY_BE_EMPTY: set[str] = set()
+# sf0.001's supplier table is too sparse for any |Δbal| < 10 pair to
+# exist (the band predicate is the point of the query, not its hit
+# rate); sf0.01 — the driver's correctness SF — yields 7 matched rows
+MAY_BE_EMPTY: set[str] = {"acctbal_band_pairs"}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
