@@ -772,3 +772,55 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier — derived view + scalar-subquery max equality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l.l_suppkey AS supplier_no,
+         {_sql_dsum(_REV, 4)} AS total_revenue
+  FROM lineitem l
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    survey=["tpch-q15", "scalar-subquery", "derived-view", "topk"],
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top revenue supplier(s) — a derived
+    revenue view referenced twice: once as the join input and once
+    inside a scalar MAX subquery, with an equality filter between them
+    (ties all surface, which is why this is not ORDER BY ... LIMIT 1).
+    The equality is safe across engines because total_revenue is an
+    exact decimal sum rendered to double — bit-identical on both sides.
+
+    Scale shape: the view computes once (suppkey-keyed partial+final
+    agg over the date-pruned scan) and AQE reuses the exchange for both
+    references; the 1-row MAX broadcasts back as a nested-loop filter;
+    supplier is broadcast for the name lookup. No sort anywhere."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev_col(), 4).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
