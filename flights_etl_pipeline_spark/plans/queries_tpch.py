@@ -5,12 +5,15 @@ flights table); its *query semantics* — filtered joins, grouped
 aggregates, existence tests — generalize to the canonical TPC-H
 decision-support shapes. This module re-expresses the ones the driver's
 star schema supports (no partsupp table, so Q2/Q11/Q16/Q20 are out of
-scope; Q1/Q7/Q17/Q19 shapes already exist as ``pricing_summary``,
-``nation_trade_flows``, ``smallqty_part_revenue``,
+scope; Q1/Q6/Q7/Q17/Q19 shapes already exist as ``pricing_summary``,
+``filtered_revenue``, ``nation_trade_flows``, ``smallqty_part_revenue``,
 ``disjunctive_promo_revenue``) with the correlation patterns Catalyst
 must decorrelate: EXISTS / NOT EXISTS semi- and anti-joins (Q4, Q21,
-Q22), scalar subqueries (Q22), HAVING-subquery IN (Q18), and outer-join
-aggregate distributions (Q13).
+Q22), scalar subqueries (Q15, Q22), HAVING-subquery IN (Q18),
+outer-join aggregate distributions (Q13), conditional-sum ratios
+(Q8, Q12, Q14), and multi-dim profit rollups (Q5, Q9) — 18 of the 22
+TPC-H queries have their shape covered between this module and the
+core set.
 
 Scale notes (100 TB): every existence test is expressed as a left-semi /
 left-anti join (no decorrelation left to chance); dims (customer,
