@@ -86,18 +86,19 @@ def with_blob(docs: DataFrame) -> DataFrame:
 def decode_media(media_type: str, payload: bytes) -> object:
     """Decode an opaque payload into pixels / samples / frames.
 
-    Audio and image are REAL: :func:`parse_wav` decodes RIFF/WAVE PCM16
-    containers and :func:`parse_ppm` decodes binary P6 PPM images, both
-    with dependency-free parsers. Video remains a stub — its codecs
-    (av/ffmpeg) are not in this container; the pipeline's tested path
-    uses :func:`blob_features` as the deterministic stand-in.
+    All three modalities are REAL: :func:`parse_wav` decodes RIFF/WAVE
+    PCM16 containers, :func:`parse_ppm` decodes binary P6 PPM images,
+    and :func:`parse_vppm` demuxes the length-prefixed multi-frame VPPM
+    video container — all with dependency-free parsers. External-codec
+    formats (mp4/jpeg/mp3 via av/PIL) are not in this environment and
+    raise honestly.
     """
     if media_type == "audio":
         return parse_wav(payload)
     if media_type == "image":
         return parse_ppm(payload)
-    if media_type in _CODEC_DEPS:  # pragma: no cover - codec not installed
-        raise NotImplementedError("codec present but decode path not wired")
+    if media_type == "video":
+        return parse_vppm(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
         "use blob_features() as the deterministic fake decoder"
@@ -378,6 +379,106 @@ def resize_ppm_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "rsum_r": pd.Series(rs, dtype="int64"),
                 "rsum_g": pd.Series(gs, dtype="int64"),
                 "rsum_b": pd.Series(bs, dtype="int64"),
+                "max_byte": pd.Series(mx, dtype="int32"),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Real video path: VPPM (length-prefixed P6 frame container) synth + parse
+# ---------------------------------------------------------------------------
+
+_VPPM_MAGIC = b"VPPM"
+
+
+def _video_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 6
+
+
+def synth_vppm(doc_id: int) -> bytes:
+    """A real multi-frame video container: ``VPPM`` magic, a 2-byte
+    big-endian frame count, then each frame as a 4-byte big-endian
+    length prefix + a complete, spec-conforming binary P6 PPM image
+    (all frames share the doc's dimensions). Frame f's pixel bytes are
+    integer-exact: pixel_byte[i] = (doc_id*7 + f*11 + i*13) % 256 — so
+    a SQL oracle can re-derive every byte of every frame.
+    """
+    w, h = _ppm_dims(doc_id)
+    n_frames = _video_n_frames(doc_id)
+    out = [_VPPM_MAGIC, n_frames.to_bytes(2, "big")]
+    i = np.arange(3 * w * h, dtype=np.int64)
+    header = f"P6\n# frame of {doc_id}\n{w} {h}\n255\n".encode("ascii")
+    for f in range(n_frames):
+        pixels = ((doc_id * 7 + f * 11 + i * 13) % 256).astype(np.uint8)
+        frame = header + pixels.tobytes()
+        out.append(len(frame).to_bytes(4, "big"))
+        out.append(frame)
+    return b"".join(out)
+
+
+def parse_vppm(payload: bytes) -> list[tuple[int, int, "np.ndarray"]]:
+    """Decode a VPPM container -> list of (width, height, HxWx3 uint8)
+    frames. A real demux: validates the magic, walks the length-prefixed
+    frame records, and hands each frame blob to the P6 parser
+    (:func:`parse_ppm`). Raises on truncation or trailing garbage."""
+    if payload[:4] != _VPPM_MAGIC:
+        raise ValueError("not a VPPM container")
+    n_frames = int.from_bytes(payload[4:6], "big")
+    pos, frames = 6, []
+    for _ in range(n_frames):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated VPPM frame table")
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        pos += 4
+        blob = payload[pos : pos + ln]
+        if len(blob) != ln:
+            raise ValueError("truncated VPPM frame")
+        frames.append(parse_ppm(blob))
+        pos += ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after final VPPM frame")
+    return frames
+
+
+def vppm_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas ingest stage: doc_id -> real VPPM container bytes."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth_vppm(int(d))),
+            }
+        )
+
+
+def decode_vppm_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage: demux + decode every frame and compute
+    integer-exact features from the DECODED rasters (never from the
+    generator's parameters): frame count, dimensions, total byte sum
+    across all frames, the first frame's byte sum, and the global max
+    byte."""
+    for pdf in batches:
+        nf, ws, hs, tot, f0, mx = [], [], [], [], [], []
+        for payload in pdf["payload"]:
+            frames = parse_vppm(payload)
+            sums = [int(px.astype(np.int64).sum()) for _w, _h, px in frames]
+            w, h, _ = frames[0]
+            nf.append(len(frames))
+            ws.append(w)
+            hs.append(h)
+            tot.append(sum(sums))
+            f0.append(sums[0])
+            mx.append(max(int(px.max()) for _w, _h, px in frames))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": pd.Series(nf, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "total_sum": pd.Series(tot, dtype="int64"),
+                "frame0_sum": pd.Series(f0, dtype="int64"),
                 "max_byte": pd.Series(mx, dtype="int32"),
             }
         )

@@ -270,3 +270,69 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rsum_r LONG, rsum_g LONG, rsum_b LONG, max_byte INT"
         ),
     )
+
+
+@register(
+    "video_decode_stats",
+    oracle="""
+WITH vid AS (
+  SELECT doc_id, 2 + doc_id % 6 AS n_frames,
+         4 + doc_id % 16 AS w, 3 + doc_id % 8 AS h
+  FROM documents WHERE doc_id % 3 = 2
+),
+px AS (
+  SELECT v.doc_id, v.n_frames, v.w, v.h, f.f AS fi,
+         (v.doc_id * 7 + f.f * 11 + t.i * 13) % 256 AS b
+  FROM vid v
+  JOIN range(0, 8) f(f) ON f.f < v.n_frames
+  JOIN range(0, 570) t(i) ON t.i < 3 * v.w * v.h
+)
+SELECT doc_id,
+       CAST(MAX(n_frames) AS INT) AS n_frames,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(b) AS BIGINT) AS total_sum,
+       CAST(SUM(CASE WHEN fi = 0 THEN b END) AS BIGINT) AS frame0_sum,
+       CAST(MAX(b) AS INT) AS max_byte
+FROM px
+GROUP BY doc_id
+""",
+    survey=["multimodal", "video-decode", "demux", "mapInPandas"],
+)
+def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode path, end to end on actual container bytes:
+    video rows get a multi-frame VPPM container (magic + frame count +
+    length-prefixed spec-conforming P6 frames; mapInPandas ingest
+    stage), then a dependency-free demuxer walks the frame table and
+    decodes every frame through the P6 parser, computing integer-exact
+    features from the DECODED rasters (second mapInPandas stage). The
+    oracle re-derives every byte of every frame arithmetically in SQL,
+    so a demux bug (wrong prefix width, off-by-one frame walk,
+    truncation mishandling) or a frame-parse bug fails the hash — this
+    closes the last stubbed modality: audio, image, AND video all
+    decode real containers now.
+
+    Scale shape: both stages are Arrow-batched and row-local (no
+    shuffle anywhere); payload size is bounded per row, so executor
+    memory is flat. Swapping VPPM for mp4 swaps the parser, not the
+    plan."""
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        decode_vppm_features,
+        vppm_payloads,
+    )
+
+    vids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+    blobs = vids.mapInPandas(
+        vppm_payloads, schema="doc_id LONG, payload BINARY"
+    )
+    return blobs.mapInPandas(
+        decode_vppm_features,
+        schema=(
+            "doc_id LONG, n_frames INT, width INT, height INT, "
+            "total_sum LONG, frame0_sum LONG, max_byte INT"
+        ),
+    )

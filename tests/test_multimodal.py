@@ -63,9 +63,20 @@ def test_frame_sampling_arithmetic(spark):
     assert idxs == list(range(0, idxs[-1] + 1, FRAME_STRIDE))
 
 
-def test_decode_media_video_is_stubbed():
-    # video codecs are absent from this container: an honest stub
-    with pytest.raises(NotImplementedError):
+def test_decode_media_video_decodes_vppm():
+    from flights_etl_pipeline_spark.functions.multimodal import synth_vppm
+
+    frames = decode_media("video", synth_vppm(5))
+    assert len(frames) == 2 + 5 % 6
+    w, h, px = frames[0]
+    assert px.shape == (h, w, 3)
+    # byte 0 of frame 1: (5*7 + 1*11 + 0*13) % 256
+    assert int(frames[1][2].reshape(-1)[0]) == (5 * 7 + 11) % 256
+
+
+def test_decode_media_video_rejects_foreign_container():
+    # mp4 and friends need external codecs: an honest error, not a guess
+    with pytest.raises(ValueError):
         decode_media("video", b"\x00\x00\x00\x18ftypmp42")
 
 
