@@ -2473,3 +2473,94 @@ def acctbal_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 acctbal_band_pairs.__doc__ = acctbal_band_pairs.__doc__.format(eps=_BAND_EPS)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (STL-lite): trend + seasonal + residual
+# ---------------------------------------------------------------------------
+
+STL_SQL = f"""
+WITH monthly AS (
+  SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+         {_sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+),
+seq AS (
+  SELECT y, m, rev, ROW_NUMBER() OVER (ORDER BY y, m) AS t FROM monthly
+),
+tr AS (
+  SELECT y, m, t, rev,
+         CASE WHEN COUNT(*) OVER w = 12
+              THEN CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER w AS DOUBLE) / 12
+              END AS trend
+  FROM seq
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+),
+de AS (SELECT y, m, t, rev, trend, rev - trend AS detr FROM tr),
+se AS (
+  SELECT y, m, t, rev, trend, detr,
+         CAST(SUM(CAST(detr AS DECIMAL(18,6))) OVER (PARTITION BY m)
+              AS DOUBLE)
+           / NULLIF(COUNT(detr) OVER (PARTITION BY m), 0) AS seasonal
+  FROM de
+)
+SELECT CAST(t AS BIGINT) AS t, y AS order_year, m AS order_month, rev,
+       (FLOOR(trend * 100 + 0.5) / 100) AS trend,
+       (FLOOR(seasonal * 100 + 0.5) / 100) AS seasonal,
+       (FLOOR((detr - seasonal) * 100 + 0.5) / 100) AS residual
+FROM se
+"""
+
+
+@register(
+    "revenue_seasonal_decomposition",
+    oracle=STL_SQL,
+    survey=["stl", "decomposition", "time-series", "window"],
+)
+def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly revenue (STL-lite):
+    trend = centered 12-month moving average (only where the full
+    window exists), seasonal = per-calendar-month mean of the detrended
+    series, residual = what's left — the anomaly-detection baseline for
+    any seasonal KPI. Every average is an exact decimal sum divided by
+    an integer count, so all three components are bit-identical across
+    engines; outputs quantize at 0.01.
+
+    Scale shape: the corpus-sized work is the monthly aggregate; all
+    windows run over the ~80-row month spine (deliberately global —
+    series-length, never table-length). For millions of independent
+    series every window gains a PARTITION BY series_id and the plan is
+    unchanged — that's the gap this op fills next to events_wma /
+    revenue_ewma_recursive / revenue_seasonal_index."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(dsum("o_totalprice").alias("rev"))
+    seq = monthly.withColumn(
+        "t", F.row_number().over(Window.orderBy("y", "m"))
+    )
+    w12 = Window.orderBy("t").rowsBetween(-6, 5)
+    trend = F.when(
+        F.count(F.lit(1)).over(w12) == 12,
+        F.sum(F.col("rev").cast("decimal(18,2)")).over(w12).cast("double")
+        / 12,
+    )
+    de = seq.withColumn("trend", trend).withColumn(
+        "detr", F.col("rev") - F.col("trend")
+    )
+    wm = Window.partitionBy("m")
+    seasonal = F.sum(F.col("detr").cast("decimal(18,6)")).over(wm).cast(
+        "double"
+    ) / F.nullif(F.count("detr").over(wm), F.lit(0))
+    return (
+        de.withColumn("seasonal", seasonal)
+        .select(
+            F.col("t").cast("bigint").alias("t"),
+            F.col("y").alias("order_year"),
+            F.col("m").alias("order_month"),
+            "rev",
+            dround(F.col("trend"), 2).alias("trend"),
+            dround(F.col("seasonal"), 2).alias("seasonal"),
+            dround(F.col("detr") - F.col("seasonal"), 2).alias("residual"),
+        )
+    )
