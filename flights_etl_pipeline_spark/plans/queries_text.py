@@ -456,7 +456,7 @@ postings AS (
 )
 SELECT token, total_tf,
        LEN(docs) AS doc_freq,
-       list_slice(docs, 1, 5) AS posting_head
+       array_to_string(list_slice(docs, 1, 5), ',') AS posting_head
 FROM postings
 WHERE LEN(docs) >= 20
 """,
@@ -464,32 +464,46 @@ WHERE LEN(docs) >= 20
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: token -> (term frequency, document
-    frequency, head of the sorted posting list). One explode and ONE
-    hash aggregate; collect_set de-dups doc ids inside the aggregation
-    buffer, so the shuffle carries per-(partition, token) partial sets.
+    frequency, head of the sorted posting list as a comma-joined
+    string -- a scalar column so downstream hashers never see a list).
 
-    Scale note: full posting lists for stopword-grade tokens are
-    unbounded (a token in every doc of 100 TB is billions of ids) --
-    production sharding keys the aggregate by (token, doc_id range) so
-    each shard's list is bounded, then concatenates shards in order;
-    here the head-slice keeps driver-visible output bounded while the
-    df/tf stats stay exact."""
+    Two exchanges, no join, every buffer bounded:
+      1. hash aggregate keyed (token, doc_id) -> per-pair term
+         frequency (map-side combinable; buffer is one counter per
+         distinct pair in the hash map),
+      2. one token-partitioned window computing row_number over
+         doc_id plus unbounded-frame COUNT/SUM for doc_freq/total_tf
+         (WindowExec spills its partition buffer to disk, so a
+         stopword token degrades to disk bandwidth, never OOM),
+    then rows with row_number <= 5 feed a collect_list whose buffer
+    holds at most 5 elements per token.  This replaces the round-2
+    collect_set design whose in-memory posting set was unbounded for
+    stopword-grade tokens at 100 TB."""
     hits = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token"), "doc_id"
     )
+    pair_tf = hits.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    w_rank = Window.partitionBy("token").orderBy("doc_id")
+    w_all = Window.partitionBy("token")
+    ranked = pair_tf.select(
+        "token",
+        "doc_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("doc_freq"),
+        F.sum("tf").over(w_all).alias("total_tf"),
+    )
     return (
-        hits.groupBy("token")
+        ranked.filter(F.col("rn") <= 5)
+        .filter(F.col("doc_freq") >= 20)
+        .groupBy("token", "total_tf", "doc_freq")
         .agg(
-            F.count(F.lit(1)).alias("total_tf"),
-            F.array_sort(F.collect_set("doc_id")).alias("docs"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("doc_id"))
+            ).alias("posting_head")
         )
-        .filter(F.size("docs") >= 20)
-        .select(
-            "token",
-            "total_tf",
-            F.size("docs").alias("doc_freq"),
-            F.slice("docs", 1, 5).alias("posting_head"),
-        )
+        .select("token", "total_tf", "doc_freq", "posting_head")
     )
 
 

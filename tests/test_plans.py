@@ -183,11 +183,16 @@ def test_seq_packing_single_exchange(spark):
     assert plan.count("Sort (") == 1
 
 
-def test_inverted_index_single_aggregate(spark):
+def test_inverted_index_bounded_two_exchange(spark):
     from flights_etl_pipeline_spark.plans.queries_text import inverted_index
 
     plan = plan_str(inverted_index(spark, SF_DIR))
-    assert plan.count("Exchange (") == 1  # one token-keyed shuffle only
+    # pair-tf hash aggregate shuffle + token-keyed window shuffle; the
+    # final head aggregate reuses the window's token partitioning
+    assert plan.count("Exchange (") == 2
+    # no unbounded posting-set aggregation buffer: collect_list runs
+    # only on the rn<=5 rows, downstream of the window
+    assert "collect_set" not in plan
 
 
 def test_smallqty_broadcasts_part_dim(spark):
