@@ -75,7 +75,9 @@ def validate(df: DataFrame, rules: list[Rule]) -> dict[str, int]:
 
     All row-local rules share one aggregate pass; each ``unique`` rule
     adds one grouped count (rows whose key occurs more than once all
-    count as violations).
+    count as violations). NULL keys are exempt from ``unique`` — the
+    dbt / Great Expectations convention: uniqueness is asserted over
+    present keys, missing keys are ``not_null``'s job.
     """
     out: dict[str, int] = {}
     rowlocal = [r for r in rules if r.kind != "unique"]
@@ -93,7 +95,8 @@ def validate(df: DataFrame, rules: list[Rule]) -> dict[str, int]:
         if r.kind != "unique":
             continue
         dup = (
-            df.groupBy(r.column)
+            df.filter(F.col(r.column).isNotNull())
+            .groupBy(r.column)
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
             .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
@@ -109,6 +112,8 @@ def validate_df(df: DataFrame, rules: list[Rule]) -> DataFrame:
     and sinks (write the quality report next to the data it describes).
     Row-local rules still share one aggregate pass; the per-rule rows
     come from ONE agg followed by a stack (unpivot), not N scans."""
+    if not rules:
+        raise ValueError("validate_df: empty rule list")
     rowlocal = [r for r in rules if r.kind != "unique"]
     uniques = [r for r in rules if r.kind == "unique"]
     parts = []
@@ -129,7 +134,8 @@ def validate_df(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
     for r in uniques:
         parts.append(
-            df.groupBy(r.column)
+            df.filter(F.col(r.column).isNotNull())
+            .groupBy(r.column)
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
             .agg(

@@ -17,6 +17,8 @@ The exact-Jaccard verification runs only on candidate pairs.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -416,6 +418,65 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_THRESHOLD = 0.5
 
 
+def _min_label_propagate(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    pair graph. Input: a 2-column DataFrame of (a, b) edges; output:
+    (id, comp) with comp = the component's minimum node id.
+
+    Each round is one distributed join + a map-side-combinable min
+    aggregate — the label-propagation scheme GraphX's
+    connectedComponents uses; converges in O(component diameter)
+    rounds. ``localCheckpoint`` truncates per-round lineage so the
+    plan does not grow with the round count; only the 1-bit
+    convergence flag crosses to the driver. If a pathological
+    long-chain component exceeds ``max_rounds`` (path diameter >
+    rounds), labels would be only partially propagated — that case
+    warns loudly instead of returning silently-wrong components."""
+    ca, cb = pairs.columns
+    edges = (
+        pairs.union(pairs.select(cb, ca)).toDF("src", "dst").persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+        )
+        labels, prev = new_labels, labels
+        if changed.isEmpty():
+            prev.unpersist()
+            break
+        prev.unpersist()
+    else:
+        warnings.warn(
+            "min-label propagation hit the "
+            f"{max_rounds}-round cap without converging; component "
+            "labels may be partial (component diameter exceeds the "
+            "cap) — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    edges.unpersist()
+    return labels
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -458,38 +519,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= _CLUSTER_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
-    )
-    for _ in range(20):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "comp"
-        )
-        new_labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-        )
-        labels, prev = new_labels, labels
-        if changed.isEmpty():
-            prev.unpersist()
-            break
-        prev.unpersist()
-    edges.unpersist()
+    labels = _min_label_propagate(pairs)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
@@ -1039,15 +1069,19 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("v"),
     )
     a = nib.select(
-        F.col("doc_id").alias("doc_a"), "j", F.col("v").alias("va")
+        F.col("doc_id").alias("doc_a"),
+        F.col("j").alias("ja"),
+        F.col("v").alias("va"),
     )
     b = nib.select(
-        F.col("doc_id").alias("doc_b"), "j", F.col("v").alias("vb")
+        F.col("doc_id").alias("doc_b"),
+        F.col("j").alias("jb"),
+        F.col("v").alias("vb"),
     )
     cand = (
         a.join(
             b,
-            (a["j"] == b["j"])
+            (F.col("ja") == F.col("jb"))
             & (F.col("va") == F.col("vb"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
@@ -1126,36 +1160,7 @@ def fuzzy_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = fuzzy_customer_pairs(spark, sf_dir).select(
         F.col("custkey_a").alias("ka"), F.col("custkey_b").alias("kb")
     )
-    edges = (
-        pairs.union(pairs.select("kb", "ka")).toDF("src", "dst").persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
-    )
-    for _ in range(20):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "comp"
-        )
-        new_labels = (
-            labels.union(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-        )
-        labels, prev = new_labels, labels
-        if changed.isEmpty():
-            prev.unpersist()
-            break
-        prev.unpersist()
-    edges.unpersist()
+    labels = _min_label_propagate(pairs)
     w = Window.partitionBy("entity_id")
     return labels.select(
         F.col("id").alias("c_custkey"), F.col("comp").alias("entity_id")

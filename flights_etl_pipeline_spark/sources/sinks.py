@@ -195,13 +195,14 @@ def retention_delete(
             prefix = f"{keys[depth]}="
             if not name.startswith(prefix):
                 continue
-            out.extend(
-                _walk(
-                    st.getPath(),
-                    depth + 1,
-                    vals + (int(name[len(prefix):]),),
-                )
-            )
+            try:
+                val = int(name[len(prefix):])
+            except ValueError:
+                # non-conforming directory (e.g. month=__HIVE_DEFAULT
+                # or stray data): never a retention candidate — skip,
+                # don't crash the GC sweep
+                continue
+            out.extend(_walk(st.getPath(), depth + 1, vals + (val,)))
         return out
 
     doomed = [
@@ -210,4 +211,15 @@ def retention_delete(
     if not dry_run:
         for _vals, p in doomed:
             fs.delete(p, True)
+        # prune ancestors emptied by the leaf deletes (year=2023/ after
+        # all its months are gone) so listings don't accumulate husks;
+        # walk bottom-up, stop at the table root
+        for _vals, p in doomed:
+            parent = p.getParent()
+            while parent is not None and parent.toString() != root.toString():
+                if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
+                    fs.delete(parent, False)
+                    parent = parent.getParent()
+                else:
+                    break
     return [p.toString() for _vals, p in doomed]

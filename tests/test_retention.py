@@ -50,3 +50,23 @@ def test_delete_prunes_old_partitions_only(spark, tmp_path):
     left = spark.read.parquet(path)
     assert left.count() == 2
     assert left.agg(F.min("v"), F.max("v")).first() == (4.0, 5.0)
+
+
+def test_empty_parent_dirs_pruned_and_garbage_skipped(spark, tmp_path):
+    import os
+
+    from flights_etl_pipeline_spark.sources.sinks import retention_delete
+
+    path = str(tmp_path / "lake3")
+    _write_partitions(spark, path)
+    # non-conforming partition dirs must be skipped, not crash the walk
+    os.makedirs(os.path.join(path, "year=__HIVE_DEFAULT_PARTITION__"))
+    os.makedirs(os.path.join(path, "year=2023", "month=junk"))
+    doomed = retention_delete(
+        spark, path, {"year": 2024, "month": 2}, dry_run=False
+    )
+    assert len(doomed) == 3
+    # year=2023 kept only because month=junk remains inside; a purely
+    # numeric 2023 subtree would be pruned entirely (checked below)
+    retention_delete(spark, path, {"year": 2025, "month": 1}, dry_run=False)
+    assert not os.path.isdir(os.path.join(path, "year=2024"))

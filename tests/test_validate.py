@@ -57,3 +57,30 @@ def test_rules_catch_violations(spark):
     assert report["unique:k"] == 2  # both rows of the duplicated key
     assert report["accepted_values:s"] == 2  # the null + the 'X'
     assert report["in_range:v"] == 2  # -2.0 and 50.0
+
+
+def test_unique_ignores_null_keys(spark):
+    from flights_etl_pipeline_spark.functions.validate import (
+        unique,
+        validate,
+        validate_df,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (7, 3), (7, 4), (8, 5)],
+        "k INT, v INT",
+    )
+    # dbt/GE convention: NULL keys are not duplicates of each other
+    assert validate(df, [unique("k")])["unique:k"] == 2
+    row = validate_df(df, [unique("k")]).first()
+    assert (row["rule"], row["violations"]) == ("unique:k", 2)
+
+
+def test_validate_df_rejects_empty_rules(spark):
+    import pytest
+
+    from flights_etl_pipeline_spark.functions.validate import validate_df
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="empty rule list"):
+        validate_df(df, [])
