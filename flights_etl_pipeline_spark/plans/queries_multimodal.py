@@ -181,21 +181,24 @@ GROUP BY doc_id
 )
 def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode path, end to end on actual container bytes:
-    image rows get a spec-conforming binary P6 PPM payload whose header
-    includes a comment line (mapInPandas ingest stage), then a
-    dependency-free PPM parser decodes header + raster and computes
-    integer-exact per-channel features from the DECODED pixels (second
-    mapInPandas stage). The oracle re-derives every pixel byte
-    arithmetically in SQL, so a parser bug (comment mishandled, wrong
-    raster offset, wrong channel interleave) fails the hash.
+    image rows get a spec-conforming PNG payload (signature, IHDR,
+    CRC-validated chunk walk, ancillary tEXt a parser must skip, the
+    zlib scanline stream split across two IDAT chunks, every scanline
+    filter type 0-4 in use; mapInPandas ingest stage), then a
+    dependency-free PNG decoder inflates and UNFILTERS the raster and
+    computes integer-exact per-channel features from the DECODED
+    pixels (second mapInPandas stage). The oracle re-derives every
+    pixel byte arithmetically in SQL, so a codec bug (wrong Paeth
+    predictor, missed filter case, chunk-walk off-by-one, CRC skip)
+    fails the hash.
 
     Scale shape: both stages are Arrow-batched and row-local (no
-    shuffle); swapping in a real codec (PIL/libjpeg) changes only the
-    parse_ppm body, not the plan. At 100 TB payload columns stream
+    shuffle); swapping in libjpeg for zlib-PNG changes only the
+    parse body, not the plan. At 100 TB payload columns stream
     through executors batch-by-batch with constant memory."""
     from flights_etl_pipeline_spark.functions.multimodal import (
         decode_ppm_features,
-        ppm_payloads,
+        png_payloads,
     )
 
     imgs = (
@@ -203,8 +206,8 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")
     )
-    ppms = imgs.mapInPandas(ppm_payloads, schema="doc_id LONG, payload BINARY")
-    return ppms.mapInPandas(
+    pngs = imgs.mapInPandas(png_payloads, schema="doc_id LONG, payload BINARY")
+    return pngs.mapInPandas(
         decode_ppm_features,
         schema=(
             "doc_id LONG, width INT, height INT, "
@@ -241,19 +244,21 @@ GROUP BY doc_id
     survey=["multimodal", "image-resize", "mapInPandas"],
 )
 def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> RESIZE pipeline on real container bytes: P6 PPM parse,
-    then integer-exact nearest-neighbor downsample to 4x4 of the
-    DECODED raster (src = out_idx * src_dim // out_dim), per-channel
-    sums of the resized pixels. The oracle replays the same NN index
-    map arithmetically per cell, so an off-by-one in the resize map or
-    a channel swap fails the hash -- this is the resize stage of an
-    image-training preprocessing pipeline made oracle-checkable.
+    """Decode -> RESIZE pipeline on real container bytes: full PNG
+    decode (chunk walk, inflate, unfilter), then integer-exact
+    nearest-neighbor downsample to 4x4 of the DECODED raster
+    (src = out_idx * src_dim // out_dim), per-channel sums of the
+    resized pixels. The oracle replays the same NN index map
+    arithmetically per cell, so an off-by-one in the resize map, a
+    channel swap, or any unfilter bug fails the hash -- the resize
+    stage of an image-training preprocessing pipeline made
+    oracle-checkable.
 
     Scale shape: two Arrow-batched row-local stages, no shuffle; a real
     resampler (PIL.Image.resize) swaps in for the numpy index map
     without touching the plan."""
     from flights_etl_pipeline_spark.functions.multimodal import (
-        ppm_payloads,
+        png_payloads,
         resize_ppm_features,
     )
 
@@ -262,8 +267,8 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")
     )
-    ppms = imgs.mapInPandas(ppm_payloads, schema="doc_id LONG, payload BINARY")
-    return ppms.mapInPandas(
+    pngs = imgs.mapInPandas(png_payloads, schema="doc_id LONG, payload BINARY")
+    return pngs.mapInPandas(
         resize_ppm_features,
         schema=(
             "doc_id LONG, out_w INT, out_h INT, "

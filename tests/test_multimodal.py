@@ -80,9 +80,13 @@ def test_decode_media_video_rejects_foreign_container():
         decode_media("video", b"\x00\x00\x00\x18ftypmp42")
 
 
-def test_decode_media_image_rejects_non_ppm():
-    # image decode is real (PPM): a PNG payload is a parse error, not a stub
+def test_decode_media_image_rejects_non_image():
+    # image decode is real (PNG or P6 PPM): anything else is a parse
+    # error, not a stub
     with pytest.raises(ValueError, match="P6 PPM"):
+        decode_media("image", b"GIF89a...")
+    # a bare PNG signature with no chunks is a truncated container
+    with pytest.raises(ValueError, match="IHDR"):
         decode_media("image", b"\x89PNG\r\n\x1a\n")
 
 
