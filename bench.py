@@ -22,6 +22,64 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flights_etl_pipeline_spark.plans.queries import bench_queries
 from flights_etl_pipeline_spark.session import get_spark
 
+# Queries whose round-2 bench deltas were flagged as possible slope (vs
+# fixed-cost noise): re-timed at 10x the documents volume to show the
+# scaling exponent. All three read ONLY the documents table, so the
+# scaled fixture needs just that file.
+_SF1_SPOT = ("vocab_build", "doc_quality", "multimodal_features")
+_SF1_REPLICAS = 10
+
+
+def _sf1_docs_dir(spark, sf_dir: str) -> str:
+    """documents at 10x the bench scale factor (sf0.1 -> sf1-equivalent):
+    each replica shifts doc_id by a multiple of the table size, so id
+    uniqueness and every doc_id-derived modular property hold. Built
+    once, cached in /tmp, reused across bench runs."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/spark_graft_bench_sf1_{os.path.basename(sf_dir.rstrip('/'))}"
+    target = os.path.join(out, "documents.parquet")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n = docs.count()
+        reps = spark.range(_SF1_REPLICAS).select(F.col("id").alias("rep"))
+        cols = [
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id")
+            if c == "doc_id"
+            else c
+            for c in docs.columns
+        ]
+        docs.crossJoin(reps).select(*cols).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(target)
+    return out
+
+
+def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
+    """Time the spot queries on the 10x fixture; scaleup is the wall
+    ratio vs the same query's sf0.1 number this run (1.0 = pure fixed
+    cost, ~10 = linear in data, >>10 = superlinear slope)."""
+    big_dir = _sf1_docs_dir(spark, sf_dir)
+    qs = bench_queries()
+    out = {}
+    for name in _SF1_SPOT:
+        if name not in qs or name not in timings:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, big_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        out[name] = {
+            "sec": round(best, 3),
+            "sec_base": timings[name],
+            "scaleup": round(best / timings[name], 2) if timings[name] else None,
+        }
+    return {"data_ratio": _SF1_REPLICAS, "queries": out}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "sf1_spot": _sf1_spot(spark, sf_dir, timings),
             }
         )
     )
