@@ -58,20 +58,61 @@ def test_hot_path_stays_in_codegen(spark):
     assert "WholeStageCodegen" in plan
 
 
-@pytest.mark.parametrize(
-    "exclude_prefix", [("events_hourly_stream", "events_sessionize_stream")]
-)
-def test_no_rowwise_python_udf_in_any_registered_plan(spark, exclude_prefix):
-    """BatchEvalPython = row-at-a-time Python UDF, the forbidden slow path.
-    Arrow batch nodes (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
-    are the sanctioned Python surface."""
+# Queries allowed to put a Sort/Window over an Exchange SinglePartition,
+# because the single partition holds AGGREGATE OUTPUT bounded by a group
+# domain, never table-sized raw rows. Adding a name here requires the
+# same justification in the query's docstring.
+_SINGLE_PARTITION_SANCTIONED = {
+    "event_type_shares",  # window over 5 event-type aggregate rows
+    "orders_price_histogram",  # window over fixed histogram buckets
+    "revenue_mom_change",  # window over per-month revenue (months-bounded)
+    "revenue_seasonal_decomposition",  # per-month series, months-bounded
+    "table_profile",  # sort over one row per profiled column
+    "customer_rfm_segments",  # documented trade: NTILE over the customer
+    # dim aggregate; at 1e9 customers becomes the histogram-offset rank
+    # (see docstring's scale note)
+}
+
+_STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
+
+
+def test_plan_lint_all_registered_queries(spark):
+    """One sweep, two repo-wide scale invariants, pinned so refactors
+    can't silently regress them:
+
+    1. No BatchEvalPython anywhere — row-at-a-time Python UDFs are the
+       forbidden slow path; ArrowEvalPython / MapInPandas /
+       FlatMapGroupsInPandas are the sanctioned Python surface.
+    2. No Sort/Window sitting on an Exchange SinglePartition unless the
+       query is in the sanctioned list above — a global window over
+       table-sized input is the classic funnel-everything-through-one-
+       task scale killer (the round-1 vocab_build defect). Final global
+       scalar aggregates (HashAggregate over SinglePartition) are fine:
+       their input is per-partition partials, not raw rows.
+    """
     from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
+    violations = []
     for name, spec in REGISTRY.items():
-        if name.startswith(exclude_prefix):  # streaming queries execute on call
+        if name.startswith(_STREAMING_PREFIXES):  # execute on call
             continue
         plan = plan_str(spec.fn(spark, SF_DIR), mode="simple")
-        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+        if "BatchEvalPython" in plan:
+            violations.append(f"{name}: row-wise Python UDF")
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            above = " ".join(lines[max(0, i - 3) : i])
+            funnels_sort_or_window = (
+                "Window" in above or "Sort" in above
+            ) and "Aggregate" not in above
+            if funnels_sort_or_window and name not in _SINGLE_PARTITION_SANCTIONED:
+                violations.append(
+                    f"{name}: Sort/Window over Exchange SinglePartition"
+                )
+                break
+    assert not violations, "\n".join(violations)
 
 
 def test_partition_pruning_on_hive_layout(spark, tmp_path):
