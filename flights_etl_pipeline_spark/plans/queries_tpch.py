@@ -3,17 +3,20 @@
 The reference's analytics surface is a medallion ETL (four jobs over one
 flights table); its *query semantics* — filtered joins, grouped
 aggregates, existence tests — generalize to the canonical TPC-H
-decision-support shapes. This module re-expresses the ones the driver's
-star schema supports (no partsupp table, so Q2/Q11/Q16/Q20 are out of
-scope; Q1/Q6/Q7/Q17/Q19 shapes already exist as ``pricing_summary``,
+decision-support shapes. This module re-expresses all of them
+(Q1/Q6/Q7/Q17/Q19 shapes already exist as ``pricing_summary``,
 ``filtered_revenue``, ``nation_trade_flows``, ``smallqty_part_revenue``,
 ``disjunctive_promo_revenue``) with the correlation patterns Catalyst
 must decorrelate: EXISTS / NOT EXISTS semi- and anti-joins (Q4, Q21,
-Q22), scalar subqueries (Q15, Q22), HAVING-subquery IN (Q18),
-outer-join aggregate distributions (Q13), conditional-sum ratios
-(Q8, Q12, Q14), and multi-dim profit rollups (Q5, Q9) — 18 of the 22
-TPC-H queries have their shape covered between this module and the
-core set.
+Q22), scalar subqueries (Q11, Q15, Q22), correlated MIN (Q2),
+HAVING-subquery IN (Q18), outer-join aggregate distributions (Q13),
+conditional-sum ratios (Q8, Q12, Q14), multi-dim profit rollups
+(Q5, Q9), and nested semi-join chains (Q20) — all 22 TPC-H queries
+have their shape covered between this module and the core set. The
+schema ships no partsupp table, but lineitem carries (l_partkey,
+l_suppkey), so Q2/Q11/Q16/Q20 run over the derived part-supplier
+relation (distinct observed pairs with per-pair cost/quantity
+aggregates standing in for ps_supplycost / ps_availqty).
 
 Scale notes (100 TB): every existence test is expressed as a left-semi /
 left-anti join (no decorrelation left to chance); dims (customer,
@@ -826,4 +829,365 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived part-supplier relation: the star schema ships no partsupp
+# table, but lineitem carries (l_partkey, l_suppkey), so the relation
+# TPC-H Q2/Q11/Q16/Q20 aggregate over is derivable as the distinct
+# part-supplier pairs observed in sales — with per-pair cost/quantity
+# aggregates standing in for ps_supplycost / ps_availqty. This closes
+# the four shapes the module header previously scoped out: all 22
+# TPC-H query shapes are now covered.
+# ---------------------------------------------------------------------------
+
+
+_Q2_SIZE = 15
+_Q2_REGION = "EUROPE"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ({_sql_dsum('l_extendedprice', 4)}
+          / {_sql_dsum('l_quantity', 2)}) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_Q2_REGION}'
+),
+costed AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost,
+         eu.s_name, eu.s_acctbal, eu.n_name
+  FROM ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+),
+mins AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+  FROM costed GROUP BY ps_partkey
+)
+SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey, p.p_name,
+       c.ps_supplycost AS supply_cost
+FROM costed c
+JOIN mins m
+  ON c.ps_partkey = m.ps_partkey AND c.ps_supplycost = m.min_cost
+JOIN part p ON c.ps_partkey = p.p_partkey
+WHERE p.p_size = {_Q2_SIZE}
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+LIMIT 100
+""",
+    survey=["tpch-q2", "correlated-min", "derived-partsupp", "topk"],
+    bench=True,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for each part of one size, the minimum-cost supplier
+    in one region — the correlated-MIN-subquery shape, decorrelated to
+    a per-part MIN aggregate joined back on (part, cost) equality.
+    ps_supplycost is derived as the supplier's quantity-weighted unit
+    price for the part: two exact decimal sums and ONE final double
+    division (no per-row double→decimal rounding, whose half-way ties
+    Spark rounds HALF_UP and DuckDB half-even), so the equality
+    join-back is bit-stable within and across engines. Ties (two
+    suppliers at the same min cost) all surface, as in canonical Q2.
+
+    Scale shape: the per-part MIN only matters for the size-filtered
+    parts, so the broadcast part filter applies BEFORE the derived
+    partsupp aggregate — the (partkey, suppkey) agg runs over the
+    ~1-in-50 surviving lineitem rows, not the full table (pinned in
+    tests/test_tpch_plans.py: the scan-side join precedes the agg).
+    The agg itself is map-side-combinable with uniform keys; the
+    region-filtered supplier dim broadcasts into it; the per-part MIN
+    is a second, narrower agg on partkey joined back
+    partkey-to-partkey (no skew: parts have bounded supplier fan-in).
+    The top-100 goes through TakeOrderedAndProject, never a global
+    sort."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == _Q2_SIZE)
+        .select("p_partkey", "p_name")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        (dsum("l_extendedprice", 4) / dsum("l_quantity", 2)).alias(
+            "ps_supplycost"
+        )
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q2_REGION
+    )
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costed = ps.join(
+        F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    mins = costed.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    mins = mins.withColumnRenamed("ps_partkey", "m_partkey")
+    return (
+        costed.join(
+            mins,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION_DENOM = 2000  # value > total / 2000, compared in exact decimal
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH natl AS (
+  SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = '{_Q11_NATION}'
+),
+grouped AS (
+  SELECT l_partkey AS ps_partkey, SUM(v) AS value_dec
+  FROM natl GROUP BY l_partkey
+),
+total AS (SELECT SUM(v) AS total_dec FROM natl)
+SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM grouped, total
+WHERE value_dec * {_Q11_FRACTION_DENOM} > total_dec
+""",
+    survey=["tpch-q11", "scalar-subquery", "having-threshold"],
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose sales value through one nation's
+    suppliers exceeds a fixed fraction of that nation's total — the
+    HAVING-against-global-scalar-subquery shape. The threshold compare
+    runs entirely in exact decimal (value * 2000 > total), so no
+    engine-float edge can flip a row.
+
+    Scale shape: the nation filter broadcasts into lineitem (4-of-100
+    suppliers at these ratios), then ONE partkey-keyed decimal agg;
+    the global total is a 1-row re-aggregate of the grouped partials
+    broadcast back as a nested-loop filter — the sanctioned scalar
+    channel, same as q15's MAX. Nothing driver-side, no second scan
+    of lineitem."""
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q11_NATION
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    natl = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    grouped = natl.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum("v").alias("value_dec")
+    )
+    total = grouped.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec") * F.lit(_Q11_FRACTION_DENOM)
+            > F.col("total_dec")
+        )
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+_Q16_EXCL_BRAND = "Brand#45"
+_Q16_EXCL_TYPE_PREFIX = "MEDIUM%"
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+@register(
+    "q16_part_supplier_counts",
+    oracle=f"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p.p_type NOT LIKE '{_Q16_EXCL_TYPE_PREFIX}'
+  AND p.p_size IN {_Q16_SIZES}
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    survey=["tpch-q16", "anti-join", "count-distinct", "derived-partsupp"],
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers can supply each
+    (brand, type, size) bucket, excluding flagged suppliers — the
+    NOT-IN-subquery shape expressed as a left-anti join (safe: suppkey
+    is non-null on both sides). Negative account balance stands in for
+    the canonical complaint-comment flag (schema has no s_comment).
+
+    Scale shape: the derived partsupp is DISTINCT (partkey, suppkey) —
+    one exchange keyed on both columns with partial dedup map-side;
+    the flagged-supplier exclusion and the part attribute filter both
+    broadcast. COUNT(DISTINCT suppkey) per attribute bucket re-keys
+    on the low-cardinality (brand, type, size) — Spark plans it as a
+    two-phase expand+agg, no single hot reducer because the distinct
+    pre-aggregates per bucket-and-supplier first."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_EXCL_BRAND)
+        & (~F.col("p_type").like(_Q16_EXCL_TYPE_PREFIX))
+        & (F.col("p_size").isin(*_Q16_SIZES))
+    )
+    return (
+        ps.join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_NAME_PREFIX = "small%"
+_Q20_REGION = "EUROPE"
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle=f"""
+WITH sp AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_NAME_PREFIX}'
+),
+q AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem l
+  JOIN sp ON l.l_partkey = sp.p_partkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS t_partkey, SUM(qty) AS part_qty,
+         COUNT(*) AS n_supp
+  FROM q GROUP BY l_partkey
+),
+qual AS (
+  SELECT DISTINCT q.l_suppkey
+  FROM q JOIN tot ON q.l_partkey = tot.t_partkey
+  WHERE q.qty * tot.n_supp * 2 > tot.part_qty * 3
+)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q20_REGION}'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+""",
+    survey=["tpch-q20", "nested-semi-join", "derived-partsupp"],
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: region suppliers holding an outsized share of a part
+    family's flow — the nested semi-join chain (name-filtered parts →
+    per-(part, supplier) quantity → threshold vs the part's average →
+    semi-join into supplier). ps_availqty is not derivable from sales,
+    so the canonical ``availqty > 0.5 * demand`` becomes ``supplier's
+    year quantity > 1.5x the part's per-supplier average`` — the
+    compare runs as cross-multiplied exact decimals/longs (qty *
+    n_supp * 2 > part_qty * 3), so no float edge.
+
+    Scale shape: the part-family filter broadcasts into the
+    date-pruned lineitem scan; ONE (partkey, suppkey)-keyed decimal
+    agg whose exchange feeds both the per-part totals and the
+    join-back — AQE reuses it (ReusedExchange, pinned in
+    tests/test_tpch_plans.py) instead of re-scanning lineitem; the
+    qualifying suppkey set is DISTINCT-ed (bounded by supplier
+    cardinality) and drives a left-semi join into supplier, dims
+    broadcast."""
+    sp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    )
+    q = (
+        li.join(F.broadcast(sp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    tot = q.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("part_qty"), F.count("*").alias("n_supp")
+    )
+    qual = (
+        q.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(
+            F.col("qty") * F.col("n_supp") * F.lit(2)
+            > F.col("part_qty") * F.lit(3)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q20_REGION
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
     )

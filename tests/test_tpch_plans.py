@@ -100,3 +100,59 @@ def test_q9_part_type_filter_pushes_to_scan(spark):
         for seg in plan.split("PushedFilters: [")[1:]
     ]
     assert any("p_type" in p for p in pushed)
+
+
+def test_q2_topk_and_broadcast_dims(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q2_min_cost_supplier,
+    )
+
+    plan = plan_str(q2_min_cost_supplier(spark, SF_DIR))
+    # correlated MIN decorrelates to agg + join-back, top-100 stays
+    # TakeOrderedAndProject; region-filtered supplier dim broadcasts
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # the size filter reaches the part scan, and the broadcast part
+    # join sits BELOW the derived-partsupp aggregate so the agg runs
+    # over the ~1-in-50 filtered lineitem rows, not the full table
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("p_size" in p for p in pushed)
+    simple = plan_str(q2_min_cost_supplier(spark, SF_DIR), mode="simple")
+    # bottom-most operator order: the deepest BroadcastHashJoin (the
+    # part filter join) prints below the deepest HashAggregate (the
+    # partial partsupp agg)
+    assert simple.rindex("HashAggregate") < simple.rindex("BroadcastHashJoin")
+
+
+def test_q16_not_in_is_anti_join_with_pushed_part_filters(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q16_part_supplier_counts,
+    )
+
+    plan = plan_str(q16_part_supplier_counts(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("p_size" in p for p in pushed)
+
+
+def test_q20_semi_join_and_aqe_reuses_q_exchange(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q20_excess_share_suppliers,
+    )
+
+    df = q20_excess_share_suppliers(spark, SF_DIR)
+    assert "LeftSemi" in plan_str(df)
+    # the (partkey, suppkey) aggregate feeds both `tot` and the join;
+    # AQE must reuse that exchange rather than recompute the scan+agg
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_q11_scalar_total_arrives_by_broadcast(spark):
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q11_important_parts,
+    )
+
+    plan = plan_str(q11_important_parts(spark, SF_DIR))
+    assert "Broadcast" in plan
