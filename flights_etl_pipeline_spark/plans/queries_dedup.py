@@ -1165,3 +1165,134 @@ def fuzzy_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("c_custkey"), F.col("comp").alias("entity_id")
     ).withColumn("entity_size", F.count(F.lit(1)).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Global chunk-level scrub: remove repeated verbatim chunks corpus-wide
+# ---------------------------------------------------------------------------
+
+_SCRUB_CHUNK = 8  # tokens per non-overlapping chunk
+_SCRUB_POS_BASE = 1000000  # cidx < 1e6 by construction (docs are bounded)
+
+CHUNK_SCRUB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS cidx,
+         array_to_string(
+           list_slice(t, i * {_SCRUB_CHUNK} + 1, (i + 1) * {_SCRUB_CHUNK}),
+           ' ') AS chunk
+  FROM toks,
+       UNNEST(range(0, CAST(CEIL(len(t) / {_SCRUB_CHUNK}.0) AS BIGINT)))
+         AS u(i)
+),
+keep AS (
+  SELECT chunk,
+         MIN(doc_id * {_SCRUB_POS_BASE} + cidx) AS keeper
+  FROM chunks GROUP BY chunk
+),
+kept AS (
+  SELECT c.doc_id, c.cidx, c.chunk
+  FROM chunks c JOIN keep k
+    ON c.chunk = k.chunk
+   AND c.doc_id * {_SCRUB_POS_BASE} + c.cidx = k.keeper
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(k.cidx) AS BIGINT) AS n_kept,
+       COALESCE(
+         string_agg(k.chunk, ' ' ORDER BY c.cidx), '') AS text_scrubbed
+FROM chunks c
+LEFT JOIN kept k ON c.doc_id = k.doc_id AND c.cidx = k.cidx
+GROUP BY c.doc_id
+"""
+
+
+@register(
+    "chunk_dedup_scrub",
+    oracle=CHUNK_SCRUB_SQL,
+    survey=["exact-substring-dedup", "scrub", "dedup", "corpus-rewrite"],
+)
+def chunk_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring removal (the scrub variant of Lee et
+    al. 2022's dedup: not just DETECTING repeated spans — substring_
+    dup_spans does that — but REWRITING the corpus): every verbatim
+    {k}-token chunk keeps exactly its globally-first occurrence
+    (smallest (doc_id, position)) and later repeats are dropped; each
+    doc is reassembled from its surviving chunks in order. Emits the
+    rewritten text plus before/after chunk counts per doc.
+
+    Determinism: the keeper is the MIN of an integer (doc_id *
+    {base} + position) encoding, and reassembly sorts the surviving
+    struct array by position before joining — no order-sensitive
+    collect anywhere.
+
+    Scale shape: chunk emission is row-local (split + slice, no
+    shuffle); the keeper election is ONE map-side-combinable MIN
+    aggregate keyed on the chunk string — content-hash bucketing,
+    identical to the exact-dedup shape, boilerplate chunks cost one
+    MIN row no matter their frequency (contrast pair-joins, which are
+    O(df^2) and need a df cap). The keep-test joins back on the chunk
+    key (same partitioning, AQE-reused exchange), and reassembly is
+    one doc_id-keyed aggregate over bounded arrays. At 100 TB chunk
+    strings can be replaced by 128-bit fingerprints to shrink the
+    shuffle payload; the plan is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks_col = F.ceil(F.size("t") / F.lit(float(_SCRUB_CHUNK))).cast(
+        "int"
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks_col - 1)).alias("cidx"),
+        "t",
+    ).select(
+        "doc_id",
+        "cidx",
+        F.array_join(
+            F.slice(
+                "t",
+                F.col("cidx") * _SCRUB_CHUNK + 1,
+                F.lit(_SCRUB_CHUNK),
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    keep = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * _SCRUB_POS_BASE + F.col("cidx")).alias(
+            "keeper"
+        )
+    )
+    flagged = chunks.join(keep, "chunk").select(
+        "doc_id",
+        "cidx",
+        "chunk",
+        (
+            F.col("doc_id") * _SCRUB_POS_BASE + F.col("cidx")
+            == F.col("keeper")
+        ).alias("is_kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_kept"),
+                            F.struct("cidx", "chunk"),
+                        )
+                    )
+                ),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("text_scrubbed"),
+    )
+
+
+chunk_dedup_scrub.__doc__ = chunk_dedup_scrub.__doc__.format(
+    k=_SCRUB_CHUNK, base=_SCRUB_POS_BASE
+)

@@ -835,6 +835,11 @@ def _fh_sql(expr: str) -> str:
     )
 
 
+def _fh(col: F.Column) -> F.Column:
+    """Spark mirror of _fh_sql: 60-bit md5 prefix as a non-negative long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 FEATURE_HASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS token
@@ -1406,4 +1411,232 @@ _registry.REGISTRY["llm_corpus_pipeline"] = _registry.QuerySpec(
     oracle=_llm_pipeline_oracle(),
     survey=_registry.REGISTRY["llm_corpus_pipeline"].survey,
     bench=True,
+)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed n-gram likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_DIM = 256
+_DSIR_TARGET_LANG = "en"
+
+DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         {_fh_sql('tok')} % {_DSIR_DIM} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+    FROM documents
+  )
+),
+raw AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY bucket
+),
+tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+),
+tots AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS nr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt
+),
+lr AS (
+  SELECT r.bucket,
+         CAST(FLOOR(LN(
+             CAST((COALESCE(t.ct, 0) + 1) * (tots.nr + {_DSIR_DIM}) AS DOUBLE)
+             / CAST((r.cr + 1) * (tots.nt + {_DSIR_DIM}) AS DOUBLE)
+           ) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tots
+)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(l.lr_micro) AS BIGINT) AS weight_micro
+FROM toks k JOIN lr l ON k.bucket = l.bucket
+GROUP BY k.doc_id
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=DSIR_SQL,
+    survey=["dsir", "importance-resampling", "data-selection", "ml-prep"],
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every document by the log-likelihood ratio of a target-domain
+    unigram model over the raw-corpus model, both estimated on hashed
+    token buckets (dim {dim}, add-one smoothed). Docs whose token mix
+    resembles the target (here: the '{lang}'-labeled slice) get
+    positive weight; downstream selection samples proportionally. The
+    per-bucket log-ratio is quantized to integer micro-units before
+    the per-doc sum (BM25/pagerank discipline), so the sum is
+    associative and bit-identical across engines and partitionings.
+
+    Scale shape: the two bucket histograms are ONE pass over the
+    exploded tokens (the target count is a conditional branch of the
+    same aggregate at 100 TB; here a filtered second agg over the same
+    shuffle, AQE-reused), both {dim}-row tables broadcast back; the
+    per-doc weight is one map-side-combinable integer aggregate keyed
+    on doc_id. No vocabulary pass, no dictionary state — the hashing
+    trick keeps model estimation O(dim) per executor."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize(F.lower(F.col("text")))).alias("tok"),
+    ).select("doc_id", "lang", (_fh(F.col("tok")) % _DSIR_DIM).alias("bucket"))
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("nr") + _DSIR_DIM)
+                    ).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_DIM)).cast(
+                        "double"
+                    )
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("weight_micro"),
+        )
+    )
+
+
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
+    dim=_DSIR_DIM, lang=_DSIR_TARGET_LANG
+)
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier inference: linear model over hashed token features
+# ---------------------------------------------------------------------------
+
+_QLR_DIM = 128
+_QLR_INTERCEPT_MILLI = -100
+
+QLR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_fh_sql('tok')} % {_QLR_DIM} AS bucket
+  FROM (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+    FROM documents
+  )
+),
+w AS (
+  SELECT bucket,
+         ({_fh_sql("concat('w:', CAST(bucket AS VARCHAR))")} % 2001) - 1000
+           AS w_milli
+  FROM (SELECT DISTINCT bucket FROM toks)
+),
+agg AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST({_QLR_INTERCEPT_MILLI} + SUM(w.w_milli) AS BIGINT)
+           AS logit_sum_milli
+  FROM toks t JOIN w ON t.bucket = w.bucket
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, logit_sum_milli,
+       CAST(FLOOR(1000000.0 / (1.0 + EXP(
+         -(CAST(logit_sum_milli AS DOUBLE) / (1000.0 * n_tokens))
+       )) + 0.5) AS BIGINT) AS prob_micro
+FROM agg
+"""
+
+
+@register(
+    "quality_logreg_score",
+    oracle=QLR_SQL,
+    survey=["quality-classifier", "inference", "fasttext-style", "ml-prep"],
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference (the fastText/CCNet-style gate LLM
+    pipelines run over every crawled page): a linear model over hashed
+    token features, scored as mean token weight + intercept through a
+    sigmoid. Weights here are derived deterministically from the
+    bucket hash (a stand-in for fitted coefficients — the container
+    has no model artifact), which keeps the oracle exact while
+    exercising the real inference plan: broadcast weight vector,
+    integer-milli dot product, one transcendental per doc.
+
+    Scale shape: inference is embarrassingly parallel — explode →
+    bucket hash (codegen'd md5) → ONE map-side-combinable integer
+    aggregate per doc_id; the {dim}-row weight table broadcasts. The
+    per-doc logit sum is exact integer milli-units, so only the final
+    per-row sigmoid touches floats (quantized to 1e-6, BM25
+    discipline). At 100 TB this is a single pass with no state but
+    the broadcast weights — the shape a real fitted model would use
+    verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("tok")
+    ).select("doc_id", (_fh(F.col("tok")) % _QLR_DIM).alias("bucket"))
+    w = toks.select("bucket").distinct().select(
+        "bucket",
+        (
+            _fh(F.concat(F.lit("w:"), F.col("bucket").cast("string"))) % 2001
+            - 1000
+        ).alias("w_milli"),
+    )
+    agg = (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.lit(_QLR_INTERCEPT_MILLI) + F.sum("w_milli")).alias(
+                "logit_sum_milli"
+            ),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "logit_sum_milli",
+        F.floor(
+            F.lit(1000000.0)
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.col("logit_sum_milli").cast("double")
+                        / (1000.0 * F.col("n_tokens"))
+                    )
+                )
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("prob_micro"),
+    )
+
+
+quality_logreg_score.__doc__ = quality_logreg_score.__doc__.format(
+    dim=_QLR_DIM
 )

@@ -1,0 +1,90 @@
+"""Semantic invariants for the round-3 LLM-pipeline additions.
+
+Parity (tools/check_parity.py) pins exact values; these tests pin the
+*meaning*: DSIR weights separate the target domain, the logreg scorer
+is a proper probability, and the chunk scrub really removes every
+corpus-wide repeat exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.test_plans import SF_DIR
+
+
+def test_dsir_weights_separate_target_language(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        _DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    w = dsir_importance_weights(spark, SF_DIR)
+    langs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    by_lang = (
+        w.join(langs, "doc_id")
+        .withColumn("is_tgt", F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("is_tgt")
+        .agg(
+            (F.sum("weight_micro") / F.sum("n_tokens")).alias(
+                "mean_lr_micro"
+            )
+        )
+        .collect()
+    )
+    means = {r["is_tgt"]: r["mean_lr_micro"] for r in by_lang}
+    # importance weights must rank the target slice above the rest --
+    # that is the whole point of the likelihood ratio
+    assert means[True] > means[False]
+
+
+def test_quality_logreg_prob_is_valid_and_monotone_in_logit(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        quality_logreg_score,
+    )
+
+    rows = quality_logreg_score(spark, SF_DIR).collect()
+    assert all(0 <= r["prob_micro"] <= 1_000_000 for r in rows)
+    # sigmoid is monotone: sort by mean logit, probs must be sorted too
+    srt = sorted(
+        rows, key=lambda r: (r["logit_sum_milli"] / r["n_tokens"])
+    )
+    probs = [r["prob_micro"] for r in srt]
+    assert probs == sorted(probs)
+
+
+def test_chunk_scrub_keeps_each_distinct_chunk_exactly_once(spark):
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        _SCRUB_CHUNK,
+        chunk_dedup_scrub,
+    )
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    out = chunk_dedup_scrub(spark, SF_DIR)
+    totals = out.agg(
+        F.sum("n_chunks").alias("n_chunks"), F.sum("n_kept").alias("n_kept")
+    ).collect()[0]
+
+    docs = load(spark, SF_DIR, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("t") / F.lit(float(_SCRUB_CHUNK))).cast("int")
+                - 1,
+            )
+        ).alias("cidx"),
+        "t",
+    ).select(
+        F.array_join(
+            F.slice("t", F.col("cidx") * _SCRUB_CHUNK + 1, _SCRUB_CHUNK), " "
+        ).alias("chunk")
+    )
+    n_total = chunks.count()
+    n_distinct = chunks.distinct().count()
+    # every occurrence is accounted for, and the scrub keeps exactly
+    # one occurrence per distinct chunk corpus-wide
+    assert totals["n_chunks"] == n_total
+    assert totals["n_kept"] == n_distinct
