@@ -190,3 +190,19 @@ def events_hopping_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 4-chunk file replay, complete output mode; must equal the
     batch hop expansion bit-for-bit."""
     return jobs.events_hopping_stream(spark, sf_dir)
+
+
+from flights_etl_pipeline_spark.plans.queries_ml import QLR_SQL  # noqa: E402
+
+
+@register(
+    "docs_quality_gate_stream",
+    oracle=QLR_SQL,
+    survey=["streaming", "quality-classifier", "stateless-map", "curation"],
+)
+def docs_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming twin of quality_logreg_score: documents
+    replayed as 4 micro-batches, scored row-locally against the
+    broadcast 128-int weight vector in append mode (no state store, no
+    watermark, no shuffle); hash-matches the batch oracle exactly."""
+    return jobs.docs_quality_gate_stream(spark, sf_dir)

@@ -529,3 +529,87 @@ def events_view_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFra
     out = _run_to_memory(joined, "append", "ss_left_outer")
     # sentinel-left rows (user_id < 0) exist only to advance the clock
     return out.filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus curation: stateless quality gate over a document stream
+# ---------------------------------------------------------------------------
+
+_QGATE_DIM = 128
+_QGATE_INTERCEPT_MILLI = -100
+
+
+def _qgate_weights_milli() -> list[int]:
+    """The quality model's weight vector, derived bucket-by-bucket from
+    the same md5 formula as plans.queries_ml.quality_logreg_score (so
+    the streaming twin scores bit-identically to the batch gate). This
+    is the sanctioned broadcast-model channel: 128 ints computed
+    driver-side once — a real fitted model would ship the same way."""
+    import hashlib
+
+    out = []
+    for b in range(_QGATE_DIM):
+        h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:15], 16)
+        out.append(h % 2001 - 1000)
+    return out
+
+
+def docs_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-classifier gate: score every incoming document
+    with the hashed-feature linear model, fully STATELESS — the weight
+    vector is a 128-int broadcast literal and the whole score (token
+    hash → weight lookup → integer-milli dot product → sigmoid) is
+    row-local column arithmetic, so the stream runs in append mode with
+    no state store, no watermark, and no shuffle. This is the shape a
+    crawl-ingest curation gate has at 100 TB/day: a pure map over
+    micro-batches, horizontally scalable by adding executors.
+
+    Exactness: per-doc scores are bit-identical to the batch
+    ``quality_logreg_score`` (same md5 buckets, same integer-milli
+    arithmetic, same quantized sigmoid), so the streaming output
+    hash-matches the same batch SQL oracle."""
+    from flights_etl_pipeline_spark.streaming.source import (
+        prepare_docs_stream_dir,
+        read_docs_stream,
+    )
+
+    stream_dir = prepare_docs_stream_dir(spark, sf_dir, n_chunks=4)
+    docs = read_docs_stream(spark, stream_dir)
+
+    w_arr = F.array(*[F.lit(w) for w in _qgate_weights_milli()])
+
+    def _bucket(tok: F.Column) -> F.Column:
+        h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        return h % _QGATE_DIM
+
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    logit = F.aggregate(
+        toks,
+        F.lit(_QGATE_INTERCEPT_MILLI).cast("long"),
+        lambda acc, t: acc + F.element_at(w_arr, (_bucket(t) + 1).cast("int")),
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        logit.alias("logit_sum_milli"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "logit_sum_milli",
+        F.floor(
+            F.lit(1000000.0)
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.col("logit_sum_milli").cast("double")
+                        / (1000.0 * F.col("n_tokens"))
+                    )
+                )
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("prob_micro"),
+    )
+    return _run_to_memory(scored, "append", "docs_quality_gate")

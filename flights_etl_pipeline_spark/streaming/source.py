@@ -148,3 +148,74 @@ def read_event_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(stream_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Documents file stream (corpus-curation streaming twin)
+# ---------------------------------------------------------------------------
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def prepare_docs_stream_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """Materialize documents as N chunk files for micro-batch replay.
+
+    Chunk assignment is ``doc_id % n_chunks`` — pure column arithmetic,
+    no ordering requirement (the consuming jobs are stateless per-row
+    maps, so batch boundaries cannot change any output value). Same
+    idempotent marker/mtime discipline as the events prep."""
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    stream_dir = os.path.join(SCRATCH_ROOT, sf_name, f"docs_c{n_chunks}")
+    marker = os.path.join(stream_dir, "_PREPARED")
+    if os.path.exists(marker):
+        return stream_dir
+
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir, exist_ok=True)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    files: list[str] = []
+    for i in range(n_chunks):
+        staging = os.path.join(stream_dir, f"_staging_{i}")
+        (
+            docs.filter(F.col("doc_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        dest = os.path.join(stream_dir, f"chunk-{i:04d}.parquet")
+        _move_single_part(staging, dest)
+        files.append(dest)
+
+    base = 1_000_000_000
+    for i, path in enumerate(files):
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as fh:
+        json.dump({"files": [os.path.basename(f) for f in files]}, fh)
+    os.replace(tmp_marker, marker)
+    return stream_dir
+
+
+def read_docs_stream(
+    spark: SparkSession, stream_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over the prepared documents chunk directory."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(stream_dir)
+    )

@@ -88,3 +88,20 @@ def test_chunk_scrub_keeps_each_distinct_chunk_exactly_once(spark):
     # one occurrence per distinct chunk corpus-wide
     assert totals["n_chunks"] == n_total
     assert totals["n_kept"] == n_distinct
+
+
+def test_docs_quality_gate_stream_matches_batch_and_is_stateless(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        quality_logreg_score,
+    )
+    from flights_etl_pipeline_spark.streaming.jobs import (
+        docs_quality_gate_stream,
+    )
+
+    out = docs_quality_gate_stream(spark, SF_DIR)
+    batch = quality_logreg_score(spark, SF_DIR)
+    # bit-identical to the batch gate, row for row (the streaming twin
+    # recomputes the same integer-milli arithmetic from the broadcast
+    # literal weights -- any drift would surface here)
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
