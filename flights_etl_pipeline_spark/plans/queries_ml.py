@@ -1640,3 +1640,293 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 quality_logreg_score.__doc__ = quality_logreg_score.__doc__.format(
     dim=_QLR_DIM
 )
+
+
+# ---------------------------------------------------------------------------
+# Composed round-3 curation pipeline: scrub -> gate -> DSIR -> accounting
+# ---------------------------------------------------------------------------
+
+
+def qlr_weights_milli() -> list[int]:
+    """The quality model's 128-int weight vector, bucket-by-bucket from
+    the md5 formula (the canonical definition; the streaming twin and
+    the composed pipeline broadcast this same literal array)."""
+    import hashlib
+
+    out = []
+    for b in range(_QLR_DIM):
+        h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:15], 16)
+        out.append(h % 2001 - 1000)
+    return out
+
+
+def _curation_v2_oracle() -> str:
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        _SCRUB_CHUNK,
+        _SCRUB_POS_BASE,
+    )
+
+    bucket_of_t = f"({_fh_sql('t')} % {_QLR_DIM})"
+    w_key = "concat('w:', CAST(" + bucket_of_t + " AS VARCHAR))"
+    w_of = f"(({_fh_sql(w_key)} % 2001) - 1000)"
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS cidx,
+         array_to_string(
+           list_slice(t, i * {_SCRUB_CHUNK} + 1, (i + 1) * {_SCRUB_CHUNK}),
+           ' ') AS chunk
+  FROM toks0,
+       UNNEST(range(0, CAST(CEIL(len(t) / {_SCRUB_CHUNK}.0) AS BIGINT)))
+         AS u(i)
+),
+keep AS (
+  SELECT chunk, MIN(doc_id * {_SCRUB_POS_BASE} + cidx) AS keeper
+  FROM chunks GROUP BY chunk
+),
+kept AS (
+  SELECT c.doc_id, c.cidx, c.chunk
+  FROM chunks c JOIN keep k
+    ON c.chunk = k.chunk
+   AND c.doc_id * {_SCRUB_POS_BASE} + c.cidx = k.keeper
+),
+scrub AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(COUNT(k.cidx) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(k.chunk, ' ' ORDER BY c.cidx), '') AS ts
+  FROM chunks c
+  LEFT JOIN kept k ON c.doc_id = k.doc_id AND c.cidx = k.cidx
+  GROUP BY c.doc_id
+),
+meta AS (
+  SELECT s.doc_id, s.n_chunks, s.n_kept, s.ts, d.lang, d.source,
+         string_split_regex(LOWER(s.ts), '\\s+') AS qt
+  FROM scrub s JOIN documents d ON s.doc_id = d.doc_id
+),
+gated AS (
+  SELECT *,
+         ({_QLR_INTERCEPT_MILLI} + list_sum(
+            list_transform(qt, t -> {w_of}))) AS logit_milli
+  FROM meta
+),
+surv AS (SELECT * FROM gated WHERE logit_milli >= 0),
+stoks AS (
+  SELECT source, lang, {_fh_sql('tok')} % {_DSIR_DIM} AS bucket
+  FROM (SELECT source, lang, UNNEST(qt) AS tok FROM surv)
+),
+raw AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM stoks GROUP BY bucket
+),
+tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM stoks
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+),
+tots AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS nr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt
+),
+lr AS (
+  SELECT r.bucket,
+         CAST(FLOOR(LN(
+             CAST((COALESCE(t.ct, 0) + 1) * (tots.nr + {_DSIR_DIM}) AS DOUBLE)
+             / CAST((r.cr + 1) * (tots.nt + {_DSIR_DIM}) AS DOUBLE)
+           ) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tots
+),
+tokagg AS (
+  SELECT s.source, s.lang,
+         CAST(COUNT(*) AS BIGINT) AS total_tokens,
+         CAST(SUM(l.lr_micro) AS BIGINT) AS weight_micro
+  FROM stoks s JOIN lr l ON s.bucket = l.bucket
+  GROUP BY s.source, s.lang
+),
+docagg AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_kept) AS BIGINT) AS sk,
+         CAST(SUM(n_chunks) AS BIGINT) AS sc
+  FROM surv GROUP BY source, lang
+)
+SELECT d.source, d.lang, d.n_docs, t.total_tokens, t.weight_micro,
+       CAST(FLOOR(1000.0 * d.sk / d.sc) AS BIGINT)
+         AS kept_chunk_ratio_milli
+FROM docagg d
+JOIN tokagg t ON d.source = t.source AND d.lang = t.lang
+"""
+
+
+@register(
+    "curation_pipeline_v2",
+    survey=[
+        "pipeline-compose", "exact-substring-dedup", "quality-classifier",
+        "dsir", "curation",
+    ],
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation pipeline END-TO-END as one lazy plan: global
+    chunk scrub (keep-first exact-substring removal) → quality gate on
+    the SCRUBBED text → DSIR importance weighting of the survivors →
+    per-(source, lang) corpus accounting. Each stage is the same
+    column logic its standalone query uses (chunk_dedup_scrub,
+    quality_logreg_score, dsir_importance_weights), proving the
+    round-3 operators compose like the round-2 set does.
+
+    Two exactness tricks make the composition cheap AND bit-stable:
+    the quality threshold prob >= 0.5 is equivalent to
+    logit_sum_milli >= 0, so the gate is a pure INTEGER comparison (no
+    sigmoid anywhere in the pipeline); and the DSIR accounting
+    aggregates lr_micro at the TOKEN level straight to (source, lang)
+    — per-doc weights never materialize, saving the doc_id exchange.
+
+    Scale shape: scrub is the one content-keyed MIN agg + join-back;
+    the gate is row-local (broadcast 128-int literal vector, integer
+    dot product inside F.aggregate); DSIR is two bucket histograms
+    broadcast back over one exploded lineage; final accounting keys on
+    (source, lang) — bounded. Catalyst pushes the integer gate below
+    the DSIR explode, so rejected docs never reach the histogram
+    exchange."""
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        _SCRUB_CHUNK,
+        _SCRUB_POS_BASE,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks0 = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks_col = F.ceil(F.size("t") / F.lit(float(_SCRUB_CHUNK))).cast(
+        "int"
+    )
+    chunks = toks0.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks_col - 1)).alias("cidx"),
+        "t",
+    ).select(
+        "doc_id",
+        "cidx",
+        F.array_join(
+            F.slice(
+                "t", F.col("cidx") * _SCRUB_CHUNK + 1, F.lit(_SCRUB_CHUNK)
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    keep = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * _SCRUB_POS_BASE + F.col("cidx")).alias(
+            "keeper"
+        )
+    )
+    scrub = (
+        chunks.join(keep, "chunk")
+        .select(
+            "doc_id",
+            "cidx",
+            "chunk",
+            (
+                F.col("doc_id") * _SCRUB_POS_BASE + F.col("cidx")
+                == F.col("keeper")
+            ).alias("is_kept"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_kept"), F.struct("cidx", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("ts"),
+        )
+    )
+    meta = scrub.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).withColumn("qt", F.split(F.lower(F.col("ts")), r"\s+"))
+
+    w_arr = F.array(*[F.lit(w) for w in qlr_weights_milli()])
+    logit = F.aggregate(
+        F.col("qt"),
+        F.lit(_QLR_INTERCEPT_MILLI).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(w_arr, ((_fh(t) % _QLR_DIM) + 1).cast("int")),
+    )
+    surv = meta.withColumn("logit_milli", logit).filter(
+        F.col("logit_milli") >= 0
+    )
+
+    stoks = surv.select(
+        "source", "lang", F.explode("qt").alias("tok")
+    ).select("source", "lang", (_fh(F.col("tok")) % _DSIR_DIM).alias("bucket"))
+    raw = stoks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        stoks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("nr") + _DSIR_DIM)
+                    ).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_DIM)).cast(
+                        "double"
+                    )
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    tokagg = (
+        stoks.join(F.broadcast(lr), "bucket")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum("lr_micro").alias("weight_micro"),
+        )
+    )
+    docagg = surv.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").alias("sk"),
+        F.sum("n_chunks").alias("sc"),
+    )
+    return (
+        docagg.join(tokagg, ["source", "lang"])
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "weight_micro",
+            F.floor(1000.0 * F.col("sk") / F.col("sc"))
+            .cast("long")
+            .alias("kept_chunk_ratio_milli"),
+        )
+    )
+
+
+_registry.REGISTRY["curation_pipeline_v2"] = _registry.QuerySpec(
+    fn=_registry.REGISTRY["curation_pipeline_v2"].fn,
+    oracle=_curation_v2_oracle(),
+    survey=_registry.REGISTRY["curation_pipeline_v2"].survey,
+    bench=True,
+)

@@ -540,18 +540,17 @@ _QGATE_INTERCEPT_MILLI = -100
 
 
 def _qgate_weights_milli() -> list[int]:
-    """The quality model's weight vector, derived bucket-by-bucket from
-    the same md5 formula as plans.queries_ml.quality_logreg_score (so
-    the streaming twin scores bit-identically to the batch gate). This
-    is the sanctioned broadcast-model channel: 128 ints computed
-    driver-side once — a real fitted model would ship the same way."""
-    import hashlib
+    """The quality model's weight vector — delegates to the canonical
+    definition (plans.queries_ml.qlr_weights_milli) so the streaming
+    twin can never drift from the batch gate. This is the sanctioned
+    broadcast-model channel: 128 ints computed driver-side once — a
+    real fitted model would ship the same way. (Imported lazily:
+    plans modules register queries at import time.)"""
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        qlr_weights_milli,
+    )
 
-    out = []
-    for b in range(_QGATE_DIM):
-        h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:15], 16)
-        out.append(h % 2001 - 1000)
-    return out
+    return qlr_weights_milli()
 
 
 def docs_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
