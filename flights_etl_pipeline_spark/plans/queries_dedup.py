@@ -130,25 +130,91 @@ _HS_SQL = (
 )
 
 
-def _sig_sql() -> str:
+def _sig_sql(corpus_name: str = "corpus") -> str:
     mins = ", ".join(
         f"LIST_MIN(LIST_TRANSFORM(hs, h -> ({a}*h + {b}) % {_MOD})) AS h{j}"
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     )
     return (
         f"SELECT doc_id, {mins} FROM "
-        f"(SELECT doc_id, {_HS_SQL} AS hs FROM corpus)"
+        f"(SELECT doc_id, {_HS_SQL} AS hs FROM {corpus_name})"
     )
 
 
-def _bands_sql() -> str:
+def _bands_sql(sig_name: str = "sig") -> str:
     rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         f"concat(CAST(h{2 * b} AS VARCHAR), '_', CAST(h{2 * b + 1} AS VARCHAR))"
-        f" AS bsig FROM sig"
+        f" AS bsig FROM {sig_name}"
         for b in range(N_BANDS)
     )
     return rows
+
+
+def _minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """MinHash(k={k}) signatures over word 3-gram shingles.
+
+    Tokens become an attribute BEFORE the explode: inside a lambda the
+    normalize/split subtree would be re-evaluated per element (Spark
+    expression trees are not DAGs and interpreted lambdas get no CSE),
+    which costs ~150 regex evaluations per doc. Generator + plain
+    projections keep every step in whole-stage codegen; the signature
+    aggregate is map-side-combinable MIN, so raw shingles never
+    shuffle."""
+    toks_df = corpus.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("toks")
+    )
+    ex = toks_df.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.try_element_at("toks", F.col("i") + j) for j in range(3)]
+        ).alias("s"),
+    )
+    h = shingle_hash_long(F.col("s"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MOD)).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+
+
+_minhash_signatures.__doc__ = _minhash_signatures.__doc__.format(k=N_MINHASH)
+
+
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """LSH banding ({nb} bands x 2 rows): signatures ride along inside
+    each band row (8 longs — cheaper than joining the signature table
+    back twice after the pair join)."""
+    hcols = [f"h{j}" for j in range(N_MINHASH)]
+    return sig.select(
+        "doc_id",
+        *hcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2 * b}").cast("string"),
+                            F.lit("_"),
+                            F.col(f"h{2 * b + 1}").cast("string"),
+                        ).alias("bsig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", *hcols, "bb.band", "bb.bsig")
+
+
+_minhash_bands.__doc__ = _minhash_bands.__doc__.format(nb=N_BANDS)
 
 
 MINHASH_LSH_SQL = f"""
@@ -191,58 +257,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSE shared subplans the way an engine materializes a CTE.
     """
     corpus = _corpus(spark, sf_dir)
-    # Tokens become an attribute BEFORE the explode: inside a lambda the
-    # normalize/split subtree would be re-evaluated per element (Spark
-    # expression trees are not DAGs and interpreted lambdas get no CSE),
-    # which costs ~150 regex evaluations per doc. Generator + plain
-    # projections keep every step in whole-stage codegen.
-    toks_df = corpus.select(
-        "doc_id", F.split(normalize_text("text"), " ").alias("toks")
-    )
-    ex = toks_df.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
-        ).alias("i"),
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ", *[F.try_element_at("toks", F.col("i") + j) for j in range(3)]
-        ).alias("s"),
-    )
-    h = shingle_hash_long(F.col("s"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MOD)).alias(f"h{j}")
-            for j, (a, b) in enumerate(MINHASH_PARAMS)
-        ]
-    ).persist()
+    sig = _minhash_signatures(corpus).persist()
     # Signatures ride along inside each band row (8 longs -- cheaper than
     # joining the signature table back twice after the pair join), so the
     # whole candidate+estimate phase is ONE self-join keyed (band, bsig)
     # plus a distinct; est_jaccard is functionally determined by the pair,
     # so the distinct output is identical to the old 3-join formulation.
-    hcols = [f"h{j}" for j in range(N_MINHASH)]
-    bands = sig.select(
-        "doc_id",
-        *hcols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(
-                            F.col(f"h{2 * b}").cast("string"),
-                            F.lit("_"),
-                            F.col(f"h{2 * b + 1}").cast("string"),
-                        ).alias("bsig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", *hcols, "bb.band", "bb.bsig")
+    bands = _minhash_bands(sig)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1295,4 +1316,182 @@ def chunk_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 chunk_dedup_scrub.__doc__ = chunk_dedup_scrub.__doc__.format(
     k=_SCRUB_CHUNK, base=_SCRUB_POS_BASE
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: dedup a delta batch against a historical index
+# ---------------------------------------------------------------------------
+
+_IDX_SPLIT = 400  # doc_id < 400 -> historical index; rest -> delta
+_DELTA_COPY_N = 50  # delta re-crawls of indexed docs (exact + near dups)
+
+IDX_SQL = f"SELECT doc_id, text FROM documents WHERE doc_id < {_IDX_SPLIT}"
+DELTA_SQL = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id >= {_IDX_SPLIT}
+  UNION ALL
+  SELECT doc_id + 40000 AS doc_id, text
+  FROM documents WHERE doc_id < {_DELTA_COPY_N}
+  UNION ALL
+  SELECT doc_id + 50000 AS doc_id, text || ' qq zz' AS text
+  FROM documents WHERE doc_id < {_DELTA_COPY_N}
+"""
+
+INCR_INGEST_SQL = f"""
+WITH idx AS ({IDX_SQL}),
+delta AS ({DELTA_SQL}),
+ifp AS (SELECT DISTINCT MD5({NORM_SQL}) AS fp FROM idx),
+dfp AS (SELECT doc_id, MD5({NORM_SQL}) AS fp FROM delta),
+dd AS (
+  SELECT d.doc_id, d.fp,
+         i.fp IS NOT NULL AS in_index,
+         MIN(d.doc_id) OVER (PARTITION BY d.fp) AS first_in_delta
+  FROM dfp d LEFT JOIN ifp i ON d.fp = i.fp
+)
+SELECT doc_id, fp,
+       CASE WHEN in_index THEN 'dup_of_index'
+            WHEN doc_id > first_in_delta THEN 'dup_in_delta'
+            ELSE 'new' END AS status
+FROM dd
+"""
+
+
+def _idx_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _IDX_SPLIT)
+        .select("doc_id", "text")
+    )
+
+
+def _delta_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fresh = docs.filter(F.col("doc_id") >= _IDX_SPLIT).select(
+        "doc_id", "text"
+    )
+    recrawl = docs.filter(F.col("doc_id") < _DELTA_COPY_N).select(
+        (F.col("doc_id") + 40000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") < _DELTA_COPY_N).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+    )
+    return fresh.unionAll(recrawl).unionAll(near)
+
+
+@register(
+    "incremental_corpus_ingest",
+    oracle=INCR_INGEST_SQL,
+    survey=["incremental-dedup", "dedup-exact", "ingest", "J1-family"],
+)
+def incremental_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest exact dedup: classify every delta document against
+    the historical fingerprint index — 'dup_of_index' (already
+    crawled), 'dup_in_delta' (repeated within today's batch, keep the
+    first), or 'new'. This is the shape that makes dedup INCREMENTAL
+    at 100 TB: the petabyte-scale history is touched only through its
+    fingerprint column (read once, joined by hash), never re-deduped.
+
+    Scale shape: the index side projects to ONE md5 column before the
+    join (column pruning reaches the scan); the join keys on the
+    fingerprint — uniform by construction. Within-delta keep-first is
+    a window over the same fp key, so it rides the join's exchange.
+    In production the index fp column is a bucketed table on fp; the
+    join is then co-located and shuffle-free."""
+    ifp = _idx_corpus(spark, sf_dir).select(
+        fingerprint("text").alias("ifp")
+    ).distinct()
+    dfp = _delta_corpus(spark, sf_dir).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    dd = (
+        dfp.join(ifp, F.col("fp") == F.col("ifp"), "left")
+        .withColumn("in_index", F.col("ifp").isNotNull())
+        .withColumn("first_in_delta", F.min("doc_id").over(w))
+    )
+    return dd.select(
+        "doc_id",
+        "fp",
+        F.when(F.col("in_index"), F.lit("dup_of_index"))
+        .when(
+            F.col("doc_id") > F.col("first_in_delta"), F.lit("dup_in_delta")
+        )
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
+INCR_NEARDUP_SQL = f"""
+WITH idx AS ({IDX_SQL}),
+delta AS ({DELTA_SQL}),
+sig_i AS ({_sig_sql('idx')}),
+sig_d AS ({_sig_sql('delta')}),
+bands_i AS ({_bands_sql('sig_i')}),
+bands_d AS ({_bands_sql('sig_d')}),
+pairs AS (
+  SELECT DISTINCT i.doc_id AS index_id, d.doc_id AS delta_id
+  FROM bands_i i JOIN bands_d d
+    ON i.band = d.band AND i.bsig = d.bsig
+)
+SELECT index_id, delta_id,
+       ({" + ".join(f"(CASE WHEN si.h{j} = sd.h{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH))})
+         / {N_MINHASH}.0 AS est_jaccard
+FROM pairs
+JOIN sig_i si ON si.doc_id = index_id
+JOIN sig_d sd ON sd.doc_id = delta_id
+"""
+
+
+@register(
+    "incremental_neardup_probe",
+    oracle=INCR_NEARDUP_SQL,
+    survey=["incremental-dedup", "dedup-minhash-lsh", "probe-join"],
+)
+def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PROBE of a delta batch against a historical MinHash/LSH
+    index: today's documents are signed and banded, then joined against
+    the (pre-materialized, in production) index bands — an asymmetric
+    build/probe join, NOT the corpus self-join the batch
+    minhash_lsh_pairs runs. Emits (index doc, delta doc) candidates
+    with signature-estimated Jaccard; re-crawled and lightly-edited
+    pages surface, genuinely new pages don't.
+
+    Scale shape: the history contributes 8 longs + {nb} band rows per
+    doc (the index table), never text; the probe joins on (band, bsig)
+    — content-bucketed, sub-linear in the pair space exactly like the
+    self-join variant, but the per-day cost is O(delta) signatures
+    plus a delta-vs-index bucket join instead of re-banding the whole
+    corpus. Signature tables persist only for the duration of the
+    probe (both sides feed the join once and the estimate re-reads
+    them — same CSE rationale as minhash_lsh_pairs)."""
+    sig_i = _minhash_signatures(_idx_corpus(spark, sf_dir)).persist()
+    sig_d = _minhash_signatures(_delta_corpus(spark, sf_dir)).persist()
+    bands_i = _minhash_bands(sig_i).alias("a")
+    bands_d = _minhash_bands(sig_d).alias("b")
+    est = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    pairs = (
+        bands_i.join(
+            bands_d,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("index_id"),
+            F.col("b.doc_id").alias("delta_id"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sig_i.unpersist()
+    sig_d.unpersist()
+    return pairs
+
+
+incremental_neardup_probe.__doc__ = incremental_neardup_probe.__doc__.format(
+    nb=N_BANDS
 )

@@ -105,3 +105,35 @@ def test_docs_quality_gate_stream_matches_batch_and_is_stateless(spark):
     # literal weights -- any drift would surface here)
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_incremental_ingest_classifies_recrawls_and_probe_finds_edits(spark):
+    from pyspark.sql import functions as F
+
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        _DELTA_COPY_N,
+        incremental_corpus_ingest,
+        incremental_neardup_probe,
+    )
+
+    ingest = incremental_corpus_ingest(spark, SF_DIR)
+    # every exact re-crawl of an indexed doc must be flagged against
+    # the historical index, not as new
+    recrawls = ingest.filter(
+        (F.col("doc_id") >= 40000) & (F.col("doc_id") < 40000 + _DELTA_COPY_N)
+    )
+    assert recrawls.count() == _DELTA_COPY_N
+    assert (
+        recrawls.filter(F.col("status") == "dup_of_index").count()
+        == _DELTA_COPY_N
+    )
+
+    probe = incremental_neardup_probe(spark, SF_DIR)
+    # lightly-edited re-crawls (source doc + ' qq zz') must surface as
+    # candidates paired with their own source for most docs -- LSH with
+    # 4x2 bands catches a 1-shingle edit with high probability; require
+    # a strong majority rather than all 50 (banding is probabilistic)
+    self_hits = probe.filter(
+        F.col("delta_id") - 50000 == F.col("index_id")
+    ).count()
+    assert self_hits >= int(_DELTA_COPY_N * 0.8)
