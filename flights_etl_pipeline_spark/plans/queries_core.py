@@ -2203,6 +2203,61 @@ FROM ew
 """
 
 
+HOLT_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+         {_sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+),
+seq AS (
+  SELECT y, m, rev, ROW_NUMBER() OVER (ORDER BY y, m) AS t FROM monthly
+),
+hw(t, y, m, rev, l, b) AS (
+  SELECT t, y, m, rev, FLOOR(rev * 1000000 + 0.5) / 1000000,
+         CAST(0.0 AS DOUBLE)
+  FROM seq WHERE t = 1
+  UNION ALL
+  SELECT s2.t, s2.y, s2.m, s2.rev,
+         FLOOR((0.5 * s2.rev + 0.5 * (hw.l + hw.b)) * 1000000 + 0.5)
+           / 1000000,
+         FLOOR((0.3 * (FLOOR((0.5 * s2.rev + 0.5 * (hw.l + hw.b))
+                         * 1000000 + 0.5) / 1000000 - hw.l)
+                + 0.7 * hw.b) * 1000000 + 0.5) / 1000000
+  FROM hw JOIN seq s2 ON s2.t = hw.t + 1
+)
+SELECT CAST(t AS BIGINT) AS t, y AS order_year, m AS order_month,
+       rev AS revenue, l AS level_s, b AS trend_s,
+       FLOOR((l + 3 * b) * 1000000 + 0.5) / 1000000 AS forecast_3
+FROM hw
+"""
+
+
+@register(
+    "revenue_holt_recursive",
+    oracle=HOLT_SQL,
+    survey=["holt-linear", "forecast", "time-series", "recursive-cte"],
+)
+def revenue_holt_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over monthly revenue
+    (alpha=0.5, beta=0.3) with a 3-step-ahead forecast per row — the
+    coupled recurrence l_t = a*x_t + (1-a)*(l_{t-1}+b_{t-1}),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}, which no window frame
+    expresses (each step feeds BOTH computed state variables forward).
+    Runs as a Spark 4 recursive CTE; the same SQL text runs verbatim
+    on DuckDB. Every step's level and trend are quantized to 1e-6
+    (floor-round) so the chained float recurrence is bit-identical
+    across engines — the EWMA/PageRank discipline extended to a
+    two-variable state.
+
+    Scale shape: identical to revenue_ewma_recursive — the corpus-
+    sized work is the monthly aggregate; recursion walks the ~80-row
+    month spine (series-length steps over series-sized rows). Millions
+    of independent series shard by key: every series advances in
+    parallel per step."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(HOLT_SQL)
+
+
 @register(
     "revenue_ewma_recursive",
     oracle=EWMA_SQL,
