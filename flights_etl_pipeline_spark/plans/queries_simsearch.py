@@ -915,3 +915,184 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _HN_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component: exact moments + quantized power iteration + projection
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    centered = (
+        "list_transform(list_zip(e.embedding, mus.ml), p -> p[1] - p[2])"
+    )
+    # integer-micro matvec: every product floor-quantized BEFORE the sum,
+    # so the 64-term addition is associative (order-independent)
+    w_expr = (
+        "list_transform(range(64), i -> CAST(list_sum("
+        "list_transform(range(64), j -> CAST(FLOOR("
+        "cl.cl[i*64 + j + 1] * it.v[j + 1] * 1000000 + 0.5) AS BIGINT)"
+        ")) AS BIGINT))"
+    )
+    m_expr = (
+        f"list_max(list_transform({w_expr}, x -> abs(x)))"
+    )
+    step_v = (
+        f"list_transform({w_expr}, x -> "
+        f"FLOOR(CAST(x AS DOUBLE) / ({m_expr}) * 1000000000 + 0.5)"
+        " / 1000000000)"
+    )
+    return f"""
+WITH RECURSIVE dims AS (SELECT UNNEST(range(64)) AS i),
+mu AS (
+  SELECT d.i,
+         CAST(SUM(CAST(CAST(e.embedding[d.i + 1] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM embeddings e, dims d
+  GROUP BY d.i
+),
+mus AS (SELECT LIST(mu ORDER BY i) AS ml FROM mu),
+nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+s2 AS (
+  SELECT a.i, b.i AS j,
+         CAST(SUM(CAST(CAST(e.embedding[a.i + 1] AS DOUBLE)
+                       * CAST(e.embedding[b.i + 1] AS DOUBLE)
+                       AS DECIMAL(38,14))) AS DOUBLE) AS s
+  FROM embeddings e, dims a, dims b
+  GROUP BY a.i, b.i
+),
+cov AS (
+  SELECT s2.i, s2.j,
+         s2.s - (nrow.n * mi.mu) * mj.mu AS c
+  FROM s2, nrow
+  JOIN mu mi ON mi.i = s2.i
+  JOIN mu mj ON mj.i = s2.j
+),
+cl AS (SELECT LIST(c ORDER BY i * 64 + j) AS cl FROM cov),
+it AS (
+  SELECT 0 AS k, list_transform(range(64), x -> CAST(1.0 AS DOUBLE)) AS v
+  UNION ALL
+  SELECT it.k + 1, {step_v}
+  FROM it, cl WHERE it.k < {_PCA_ITERS}
+),
+vraw AS (SELECT v FROM it WHERE k = {_PCA_ITERS}),
+vfix AS (
+  SELECT CASE
+    WHEN v[list_position(list_transform(v, x -> abs(x)),
+                         list_max(list_transform(v, x -> abs(x))))] < 0
+    THEN list_transform(v, x -> -x) ELSE v END AS vf
+  FROM vraw
+)
+SELECT e.vec_id, e.label,
+       FLOOR({sql_decimal_dot(centered, 'vfix.vf')} * 100000000 + 0.5)
+         / 100000000 AS pc1
+FROM embeddings e, mus, vfix
+"""
+
+
+@register(
+    "pca_projection",
+    survey=["pca", "power-iteration", "embedding", "ml-prep"],
+)
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding table — the
+    whitening/decorrelation step embedding pipelines run before
+    indexing or clustering. Three phases: (1) exact first/second
+    moments (per-dim decimal mean; 64x64 second-moment matrix as
+    decimal-exact sums of per-row outer products, map-side combinable);
+    (2) 8 rounds of power iteration over the 64x64 covariance — run
+    DRIVER-SIDE on the collected matrix (the sanctioned model channel,
+    like K-means' KxD centroids: 4096 doubles, constant in table size)
+    with every matvec product floor-quantized to integer micro-units
+    before the sum so each step is associative and bit-identical to the
+    oracle's recursive-CTE replay; (3) the sign-fixed component
+    broadcasts back as a 64-double literal and the projection is one
+    row-local exact decimal dot per embedding.
+
+    Scale shape: the only corpus-sized work is the moment aggregation —
+    dim^2 products per row reduced map-side, one exchange keyed on
+    (i, j) (4096 groups). Iteration cost is O(dim^2) per round,
+    independent of row count; projection is a stateless map. At larger
+    dim, sample rows for the covariance (moments are means) or switch
+    to randomized SVD — the channel shape is unchanged."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    ei = emb.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("i", "xi")
+    )
+    mu_rows = (
+        ei.groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("xi").cast("double").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        .collect()
+    )
+    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: r["i"])]
+    n = emb.count()
+    s_rows = (
+        ei.select(
+            "i", "xi", F.posexplode("embedding").alias("j", "xj")
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                (
+                    F.col("xi").cast("double") * F.col("xj").cast("double")
+                ).cast("decimal(38,14)")
+            )
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    )
+    s = {(r["i"], r["j"]): r["s"] for r in s_rows}
+    c = [
+        [s[(i, j)] - (n * mu[i]) * mu[j] for j in range(64)]
+        for i in range(64)
+    ]
+    v = [1.0] * 64
+    for _ in range(_PCA_ITERS):
+        w = [
+            sum(
+                int(math.floor(c[i][j] * v[j] * 1000000 + 0.5))
+                for j in range(64)
+            )
+            for i in range(64)
+        ]
+        m = max(abs(x) for x in w)
+        v = [
+            math.floor(x / m * 1000000000 + 0.5) / 1000000000 for x in w
+        ]
+    absv = [abs(x) for x in v]
+    if v[absv.index(max(absv))] < 0:
+        v = [-x for x in v]
+
+    mu_lit = F.array(*[F.lit(x) for x in mu])
+    v_lit = F.array(*[F.lit(x) for x in v])
+    centered = F.zip_with("embedding", mu_lit, lambda a, b: a - b)
+    return emb.select(
+        "vec_id",
+        "label",
+        (
+            F.floor(
+                decimal_dot(centered, v_lit) * 100000000 + F.lit(0.5)
+            )
+            / 100000000
+        ).alias("pc1"),
+    )
+
+
+from flights_etl_pipeline_spark.plans import registry as _registry  # noqa: E402
+
+_registry.REGISTRY["pca_projection"] = _registry.QuerySpec(
+    fn=_registry.REGISTRY["pca_projection"].fn,
+    oracle=_pca_oracle(),
+    survey=_registry.REGISTRY["pca_projection"].survey,
+    bench=False,
+)

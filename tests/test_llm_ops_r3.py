@@ -137,3 +137,23 @@ def test_incremental_ingest_classifies_recrawls_and_probe_finds_edits(spark):
         F.col("delta_id") - 50000 == F.col("index_id")
     ).count()
     assert self_hits >= int(_DELTA_COPY_N * 0.8)
+
+
+def test_pca_projection_captures_dominant_variance(spark):
+    import statistics
+
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        pca_projection,
+    )
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    pc1 = [r["pc1"] for r in pca_projection(spark, SF_DIR).collect()]
+    var_pc1 = statistics.pvariance(pc1)
+    emb = [r["embedding"] for r in load(spark, SF_DIR, "embeddings").collect()]
+    dim_vars = [
+        statistics.pvariance([row[i] for row in emb]) for i in range(64)
+    ]
+    # the top principal direction must explain at least as much variance
+    # as the single best coordinate axis (it maximizes over ALL unit
+    # directions; quantization costs at most a hair, hence the 0.999)
+    assert var_pc1 >= max(dim_vars) * 0.999
