@@ -1930,3 +1930,89 @@ _registry.REGISTRY["curation_pipeline_v2"] = _registry.QuerySpec(
     survey=_registry.REGISTRY["curation_pipeline_v2"].survey,
     bench=True,
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate ROC-AUC: exact Mann-Whitney over the score histogram
+# ---------------------------------------------------------------------------
+
+QLR_AUC_SQL = f"""
+WITH scored AS ({QLR_SQL}),
+lab AS (
+  SELECT s.prob_micro,
+         CASE WHEN d.lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS pos
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+hist AS (
+  SELECT prob_micro,
+         CAST(SUM(pos) AS BIGINT) AS pos_n,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS neg_n
+  FROM lab GROUP BY prob_micro
+),
+cum AS (
+  SELECT prob_micro, pos_n, neg_n,
+         COALESCE(SUM(neg_n) OVER (ORDER BY prob_micro
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM hist
+)
+SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+       CAST(SUM(pos_n * (2 * neg_below + neg_n)) AS BIGINT) AS u2,
+       CAST(SUM(pos_n * (2 * neg_below + neg_n)) AS DOUBLE)
+         / CAST(2 * SUM(pos_n) * SUM(neg_n) AS DOUBLE) AS auc
+FROM cum
+"""
+
+
+@register(
+    "quality_gate_auc",
+    oracle=QLR_AUC_SQL,
+    survey=["roc-auc", "model-eval", "quality-classifier", "ml-prep"],
+)
+def quality_gate_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality-classifier score against the
+    target-language label — the evaluation loop a curation pipeline
+    runs when it refits its gate. Computed as the Mann-Whitney U
+    statistic over the SCORE HISTOGRAM with the standard half-credit
+    for ties, kept exact by doubling: u2 = sum over score values of
+    pos_n * (2*negs_below + neg_n); auc = u2 / (2*n_pos*n_neg) is the
+    single float division in the query.
+
+    Scale note (single-partition window sanctioned): the cumulative
+    negs-below window runs over the score HISTOGRAM, whose domain is
+    bounded by the 1e-6 sigmoid quantization (at most 1,000,001 rows
+    REGARDLESS of corpus size — a fixed domain, not a table-sized
+    spine); the corpus-sized work is the two hash aggregates before
+    it. Same justification class as orders_price_histogram."""
+    scored = quality_logreg_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = scored.join(docs, "doc_id").select(
+        "prob_micro",
+        F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    hist = lab.groupBy("prob_micro").agg(
+        F.sum("pos").alias("pos_n"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_n"),
+    )
+    w = (
+        Window.orderBy("prob_micro")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_n").over(w), F.lit(0))
+    )
+    u2 = F.sum(
+        F.col("pos_n") * (2 * F.col("neg_below") + F.col("neg_n"))
+    )
+    return cum.agg(
+        F.sum("pos_n").alias("n_pos"),
+        F.sum("neg_n").alias("n_neg"),
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (2 * F.sum("pos_n") * F.sum("neg_n")).cast("double")
+        ).alias("auc"),
+    )

@@ -71,6 +71,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "customer_rfm_segments",  # documented trade: NTILE over the customer
     # dim aggregate; at 1e9 customers becomes the histogram-offset rank
     # (see docstring's scale note)
+    "quality_gate_auc",  # window over the score histogram, domain
+    # bounded by the 1e-6 sigmoid quantization (<= 1,000,001 rows
+    # regardless of corpus size)
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
