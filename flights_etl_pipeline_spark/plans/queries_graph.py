@@ -440,3 +440,148 @@ def copurchase_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.col("level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (fixed rounds, per-round max-normalization)
+# ---------------------------------------------------------------------------
+
+_HITS_ITER = 5
+
+_HITS_BASE_SQL = f"""
+bedges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+h0 AS MATERIALIZED (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM bedges)
+"""
+
+
+def _hits_step_sql(i: int) -> str:
+    qh = sql_dround(f"h{i - 1}.h", 12)
+    qa = sql_dround(f"a{i}.a", 12)
+    return f"""
+ar{i} AS MATERIALIZED (
+  SELECT e.s,
+         CAST(SUM(CAST({qh} AS DECIMAL(28,12))) AS DOUBLE) AS ar
+  FROM bedges e JOIN h{i - 1} ON h{i - 1}.c = e.c
+  GROUP BY e.s
+),
+am{i} AS (SELECT MAX(ar) AS m FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT s, {sql_dround('ar / am.m', 9)} AS a FROM ar{i}, am{i} am
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.c,
+         CAST(SUM(CAST({qa} AS DECIMAL(28,12))) AS DOUBLE) AS hr
+  FROM bedges e JOIN a{i} ON a{i}.s = e.s
+  GROUP BY e.c
+),
+hm{i} AS (SELECT MAX(hr) AS m FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT c, {sql_dround('hr / hm.m', 9)} AS h FROM hr{i}, hm{i} hm
+)"""
+
+
+HITS_SQL = (
+    "WITH "
+    + _HITS_BASE_SQL
+    + ","
+    + ",".join(_hits_step_sql(i) for i in range(1, _HITS_ITER + 1))
+    + f"""
+SELECT c AS node, 'customer' AS node_type,
+       {sql_dround('h', 8)} AS score
+FROM h{_HITS_ITER}
+UNION ALL
+SELECT s AS node, 'supplier' AS node_type,
+       {sql_dround('a', 8)} AS score
+FROM a{_HITS_ITER}
+"""
+)
+
+
+@register(
+    "copurchase_hits",
+    oracle=HITS_SQL,
+    survey=["hits", "graph", "iterative", "link-analysis"],
+)
+def copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the directed customer->supplier purchase graph: hub
+    scores for customers (buy from authoritative suppliers) and
+    authority scores for suppliers (bought by strong hubs), 5 fixed
+    mutual-reinforcement rounds with per-half-round max-normalization
+    (the standard HITS scaling; here it also keeps every value in the
+    exactly-representable range instead of growing by the principal
+    eigenvalue each round). Complements PageRank with the second
+    classic link-analysis algorithm — same quantized-decimal
+    discipline: contributions floor-quantized to 1e-12 before the
+    exact decimal sum (associative), normalized scores quantized to
+    1e-9, so every round is bit-identical across engines and
+    partitionings.
+
+    Scale shape: each half-round is ONE equi-join of the score table
+    against the edge list plus a map-side-combinable decimal-sum
+    aggregate (O(|E|) per round); the normalizer is a 1-row MAX
+    broadcast back (the sanctioned scalar channel); localCheckpoint
+    per round keeps the plan round-sized. No driver-side data
+    movement beyond the per-round scalar."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    h = edges.select("c").distinct().select(
+        "c", F.lit(1.0).alias("h")
+    ).localCheckpoint()
+    a = None
+    for _ in range(_HITS_ITER):
+        ar = (
+            edges.join(h, "c")
+            .groupBy("s")
+            .agg(
+                F.sum(dround(F.col("h"), 12).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("ar")
+            )
+        )
+        am = ar.agg(F.max("ar").alias("m"))
+        a = (
+            ar.crossJoin(F.broadcast(am))
+            .select("s", dround(F.col("ar") / F.col("m"), 9).alias("a"))
+            .localCheckpoint()
+        )
+        hr = (
+            edges.join(a, "s")
+            .groupBy("c")
+            .agg(
+                F.sum(dround(F.col("a"), 12).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("hr")
+            )
+        )
+        hm = hr.agg(F.max("hr").alias("m"))
+        h = (
+            hr.crossJoin(F.broadcast(hm))
+            .select("c", dround(F.col("hr") / F.col("m"), 9).alias("h"))
+            .localCheckpoint()
+        )
+    out = (
+        h.select(
+            F.col("c").alias("node"),
+            F.lit("customer").alias("node_type"),
+            dround(F.col("h"), 8).alias("score"),
+        )
+        .unionAll(
+            a.select(
+                F.col("s").alias("node"),
+                F.lit("supplier").alias("node_type"),
+                dround(F.col("a"), 8).alias("score"),
+            )
+        )
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    return out

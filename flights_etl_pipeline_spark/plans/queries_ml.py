@@ -2016,3 +2016,59 @@ def quality_gate_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.sum("pos_n") * F.sum("neg_n")).cast("double")
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate calibration table (reliability diagram, decile buckets)
+# ---------------------------------------------------------------------------
+
+QLR_CALIBRATION_SQL = f"""
+WITH scored AS ({QLR_SQL}),
+lab AS (
+  SELECT CAST(s.prob_micro // 100000 AS BIGINT) AS bucket,
+         s.prob_micro,
+         CASE WHEN d.lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS pos
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS frac_pos,
+       CAST(SUM(prob_micro) AS BIGINT) AS sum_prob_micro
+FROM lab
+GROUP BY bucket
+"""
+
+
+@register(
+    "quality_gate_calibration",
+    oracle=QLR_CALIBRATION_SQL,
+    survey=["calibration", "model-eval", "quality-classifier", "ml-prep"],
+)
+def quality_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality gate: docs bucketed by
+    predicted probability decile, with the observed positive fraction
+    and the exact integer sum of predicted micro-probabilities per
+    bucket (mean-predicted vs observed is the calibration gap; both
+    are one float division away from exact integers). With AUC
+    (ranking) and this table (calibration), the gate has the two
+    standard classifier health checks.
+
+    Scale shape: one row-local bucket projection and ONE hash
+    aggregate over an 11-value domain — map-side combinable,
+    no window, no sort."""
+    scored = quality_logreg_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = scored.join(docs, "doc_id").select(
+        F.expr("prob_micro DIV 100000").alias("bucket"),
+        "prob_micro",
+        F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    return lab.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").alias("n_pos"),
+        (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+        F.sum("prob_micro").alias("sum_prob_micro"),
+    )
