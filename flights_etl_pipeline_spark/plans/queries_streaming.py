@@ -206,3 +206,29 @@ def docs_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 128-int weight vector in append mode (no state store, no
     watermark, no shuffle); hash-matches the batch oracle exactly."""
     return jobs.docs_quality_gate_stream(spark, sf_dir)
+
+
+CDC_LATEST_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ts AS latest_ts, value AS latest_value,
+       event_id AS latest_event_id
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "events_cdc_merge_stream",
+    oracle=CDC_LATEST_SQL,
+    survey=["streaming", "merge-upsert", "cdc-compaction", "foreachBatch"],
+)
+def events_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink: per-batch latest-per-key compaction
+    full-outer-merged into an atomically-swapped keyed parquet target;
+    final state equals the batch changelog compaction
+    (cdc_latest_state's oracle)."""
+    return jobs.events_cdc_merge_stream(spark, sf_dir)

@@ -1514,3 +1514,384 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 phrase_search.__doc__ = phrase_search.__doc__.format(phrase=_PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, Appendix A) — integer-exact
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+
+def _duck_stop_distinct() -> str:
+    cases = []
+    for lang, words in STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        cases.append(
+            f"WHEN '{lang}' THEN LEN(LIST_FILTER(LIST_DISTINCT("
+            f"string_split_regex(LOWER(text), '\\s+')), t -> t IN ({inlist})))"
+        )
+    return "CASE lang " + " ".join(cases) + " ELSE 0 END"
+
+
+GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         string_split_regex(text, '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source,
+         CAST(LEN(toks) AS BIGINT) AS n_words,
+         CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS BIGINT)
+           AS total_chars,
+         CAST(LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS BIGINT) AS n_alpha_words,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+           AS BIGINT) AS n_symbols,
+         CAST({_duck_stop_distinct()} AS BIGINT) AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, lang, source, n_words, total_chars, n_alpha_words,
+       n_symbols, n_stop_distinct,
+       n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+         AS flag_word_count,
+       3 * n_words <= total_chars AND total_chars <= 10 * n_words
+         AS flag_mean_word_len,
+       10 * n_symbols < n_words AS flag_symbol_ratio,
+       5 * n_alpha_words > 4 * n_words AS flag_alpha_words,
+       n_stop_distinct >= 2 AS flag_stopwords,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+         AND 3 * n_words <= total_chars AND total_chars <= 10 * n_words
+         AND 10 * n_symbols < n_words
+         AND 5 * n_alpha_words > 4 * n_words
+         AND n_stop_distinct >= 2 AS keep
+FROM m
+"""
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=GOPHER_SQL,
+    survey=["quality-filter", "gopher-rules", "text", "llm-curation"],
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 App. A —
+    the rule set FineWeb/Dolma-class curation pipelines start from),
+    restricted to the rules this corpus can exercise: word count in
+    [{lo}, {hi}], mean word length in [3, 10], symbol-to-word ratio
+    (# and ellipsis) < 0.1, >80% of words contain an alphabetic
+    character, and >= 2 distinct stopwords of the document's own
+    language (the single-line synthetic corpus makes the line-shape
+    rules — bullet/ellipsis line fractions — degenerate, so they are
+    omitted rather than shipped as constants).
+
+    Every threshold is evaluated as an INTEGER cross-multiplication
+    (e.g. mean_word_len <= 10 as total_chars <= 10*n_words), so there
+    is no float division anywhere and both engines agree bit-for-bit.
+
+    Scale shape: pure row-local map over one scan — no shuffle, no
+    join, whole-stage codegen end to end; the keep flag composes with
+    the quality-gate/DSIR stages in curation_pipeline_v2. At 100 TB
+    this is the cheapest stage of the pipeline and runs first so later
+    stages see only survivors."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    ltoks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    )
+    n_symbols = (
+        F.length("text")
+        - F.length(F.expr("replace(text, '#', '')"))
+        + (
+            (
+                F.length("text")
+                - F.length(F.expr("replace(text, '...', '')"))
+            )
+            / 3
+        ).cast("long")
+    ).cast("long")
+    stop_expr = F.lit(0).cast("long")
+    for lang, words in STOPWORDS.items():
+        stop_expr = F.when(
+            F.col("lang") == lang,
+            F.size(
+                F.array_intersect(ltoks, F.array(*[F.lit(w) for w in words]))
+            ).cast("long"),
+        ).otherwise(stop_expr)
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        total_chars.alias("total_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        stop_expr.alias("n_stop_distinct"),
+    )
+    f_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    f_mwl = (3 * F.col("n_words") <= F.col("total_chars")) & (
+        F.col("total_chars") <= 10 * F.col("n_words")
+    )
+    f_sym = 10 * F.col("n_symbols") < F.col("n_words")
+    f_alpha = 5 * F.col("n_alpha_words") > 4 * F.col("n_words")
+    f_stop = F.col("n_stop_distinct") >= 2
+    return m.select(
+        "*",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stopwords"),
+        (f_wc & f_mwl & f_sym & f_alpha & f_stop).alias("keep"),
+    )
+
+
+gopher_quality_flags.__doc__ = gopher_quality_flags.__doc__.format(
+    lo=_GOPHER_MIN_WORDS, hi=_GOPHER_MAX_WORDS
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(string_split_regex(LOWER(text), '\\s+')) AS t
+        FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+  FROM counts
+),
+pts AS (
+  SELECT CAST(FLOOR(LN(r) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(n) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked WHERE r <= {_ZIPF_TOPK}
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT k,
+       FLOOR((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000 + 0.5) / 1000000 AS zipf_slope,
+       FLOOR((CAST(sy AS DOUBLE) / k
+              - (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(sx AS DOUBLE) / k))
+             / 1000000 * 1000000 + 0.5) / 1000000 AS intercept_micro_mean
+FROM mom
+"""
+
+
+@register(
+    "token_zipf_fit",
+    oracle=ZIPF_SQL,
+    survey=["zipf", "corpus-statistics", "ols", "text"],
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency spectrum: OLS slope
+    of ln(freq) against ln(rank) over the top-{k} tokens — the
+    corpus-health diagnostic curation pipelines run after dedup/filter
+    stages (a natural-language corpus fits slope ~ -1; a slope far off
+    signals boilerplate contamination or tokenizer breakage).
+
+    Exactness: ln values are floor-quantized to integer micro-units
+    per point BEFORE the moment sums (the doc_unigram_logprob
+    discipline), so Σx, Σxy, ... are exact BIGINTs in both engines and
+    the final slope is one fixed IEEE op sequence over identical
+    integers.
+
+    Scale shape: token counting is one map-side-combinable explode+agg
+    (the vocab_build exchange); the top-k is TakeOrderedAndProject —
+    per-partition heads merged on the driver, NOT a global sort (no
+    single-partition funnel of the vocab); the fit is a {k}-row
+    aggregate. The rank window runs AFTER the top-k cut, over {k}
+    rows."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(_ZIPF_TOPK)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    pts = top.withColumn("r", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return mom.select(
+        "k",
+        (F.floor(slope * 1000000 + F.lit(0.5)) / 1000000).alias("zipf_slope"),
+        (
+            F.floor(
+                (sy / k - slope * (sx / k)) / 1000000 * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("intercept_micro_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve — distributed two-level prefix sum
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKET = 1000  # doc_ids per prefix-sum bucket
+
+HEAPS_SQL = """
+WITH td AS (
+  SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS toks
+  FROM documents
+),
+per AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens FROM td),
+firsts AS (
+  SELECT t, MIN(doc_id) AS fd
+  FROM (SELECT doc_id, UNNEST(toks) AS t FROM td)
+  GROUP BY t
+),
+newt AS (
+  SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM firsts GROUP BY fd
+),
+sp AS (
+  SELECT p.doc_id, p.n_tokens,
+         COALESCE(n.new_types, 0) AS new_types
+  FROM per p LEFT JOIN newt n USING (doc_id)
+)
+SELECT doc_id, n_tokens, new_types,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+       CAST(SUM(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+FROM sp
+"""
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=HEAPS_SQL,
+    survey=["heaps-law", "corpus-statistics", "prefix-sum", "text"],
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: for every document (in
+    doc_id order), the cumulative token count and cumulative DISTINCT
+    vocabulary size after ingesting it — the V(N) ~ K*N^beta curve
+    corpus builders monitor while scaling data (a flattening curve
+    means new data stops contributing new types).
+
+    Cumulative-distinct is recast as a distributable problem: a token
+    contributes its +1 at exactly MIN(doc_id) over its occurrences
+    (one map-combinable agg), so cum_types is just a prefix sum of
+    per-doc first-occurrence counts — no running set state anywhere.
+
+    The prefix sum itself is TWO-LEVEL, not a global window: docs
+    cumulate within fixed-width doc_id buckets (a PARTITIONED window,
+    {b} rows each), bucket totals get one tiny ordered window over
+    n_docs/{b} rows, and the bucket offsets broadcast-join back. The
+    only single-partition work is over the 1000x-reduced bucket-total
+    spine (sanctioned in the plan lint with that bound; at larger
+    corpora the same construction recurses to three levels). Output is
+    pure integers — zero float drift risk."""
+    docs = load(spark, sf_dir, "documents")
+    td = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    per = td.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    firsts = (
+        td.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    newt = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    sp = (
+        per.join(newt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0).cast("long")).alias(
+                "new_types"
+            ),
+            (F.col("doc_id") / _HEAPS_BUCKET).cast("long").alias("bucket"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = sp.select(
+        "doc_id",
+        "n_tokens",
+        "new_types",
+        "bucket",
+        F.sum("n_tokens").over(w_in).alias("intra_tok"),
+        F.sum("new_types").over(w_in).alias("intra_typ"),
+    )
+    btot = sp.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("b_tok"), F.sum("new_types").alias("b_typ")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("b_tok").over(w_b), F.lit(0)).alias("off_tok"),
+        F.coalesce(F.sum("b_typ").over(w_b), F.lit(0)).alias("off_typ"),
+    )
+    return intra.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        "new_types",
+        (F.col("off_tok") + F.col("intra_tok")).cast("long").alias(
+            "cum_tokens"
+        ),
+        (F.col("off_typ") + F.col("intra_typ")).cast("long").alias(
+            "cum_types"
+        ),
+    )
+
+
+vocab_growth_curve.__doc__ = vocab_growth_curve.__doc__.format(
+    b=_HEAPS_BUCKET
+)

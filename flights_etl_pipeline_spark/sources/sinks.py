@@ -15,6 +15,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -49,6 +50,46 @@ def save_as_table(
         writer = writer.partitionBy(*partition_cols)
     if path:
         writer = writer.option("path", path)
+    writer.saveAsTable(f"{database}.{table}")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    database: str,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: the storage layout that makes the repo's
+    recurring "at 100 TB, bucket both sides on the join key" posture a
+    real artifact instead of a docstring claim. ``bucketBy(n, col)``
+    hash-partitions rows into n files per write-task group; two tables
+    bucketed on the same key with the same n join WITHOUT an Exchange
+    (Spark matches HashClusteredDistribution to the bucket spec), and
+    a groupBy on the bucket key aggregates without a shuffle.
+    ``sortBy`` additionally pre-sorts within buckets so sort-merge
+    joins skip the per-partition sort. Verified by
+    tests/test_bucketed_join.py, which asserts the joined plan of two
+    co-bucketed tables contains zero Exchange operators.
+
+    The reference has no bucketing (its warehouse tables are
+    date-partitioned only, loadToWarehouse.py:44-78); this is the
+    §2.1-family extension Spark offers for shuffle elimination.
+
+    When sorting, the frame is first repartitioned on the bucket column
+    into n_buckets partitions (same Murmur3 hash as the bucket spec),
+    so every bucket lands in exactly ONE file — the layout Spark
+    requires before it will trust bucket files as pre-sorted at read
+    time (multiple files per bucket force a read-side re-Sort, and at
+    warehouse scale one fat file per bucket is also the compaction-
+    friendly layout)."""
+    if sort_col is not None:
+        df = df.repartition(n_buckets, F.col(bucket_col))
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
     writer.saveAsTable(f"{database}.{table}")
 
 

@@ -612,3 +612,103 @@ def docs_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prob_micro"),
     )
     return _run_to_memory(scored, "append", "docs_quality_gate")
+
+
+def stream_merge_upsert(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> int:
+    """Streaming MERGE (upsert) sink via ``foreachBatch``: each
+    micro-batch of the CDC-shaped event stream is compacted to its
+    latest row per (user_id, event_type), full-outer-merged with the
+    current keyed target table (newer (ts, event_id) wins), and the
+    merged state replaces the target ATOMICALLY — write to a staging
+    directory, then directory swap (the compact_parquet_dir pattern).
+    This is the production shape for maintaining a keyed warehouse
+    table from a changelog with a non-transactional file sink:
+    the merge is IDEMPOTENT (per-key max over (ts, event_id)), so a
+    replayed epoch — restart after sink-commit but before
+    checkpoint-commit — converges to the same state instead of
+    duplicating. Returns the number of micro-batches merged.
+
+    Scale shape: per batch, one window over the BATCH (delta-sized),
+    one key-partitioned full-outer join against the target; the target
+    is read/written whole here — at warehouse scale the same merge
+    writes through a transactional format (or partition-pruned swap)
+    keyed on the join key, and the join co-locates if the target is
+    bucketed on the key (write_bucketed_table)."""
+    stream_dir, _ = prepare_stream_dir(
+        spark, sf_dir, n_chunks=4, sentinels=False
+    )
+    ev = read_event_stream(spark, stream_dir)
+    state_dir = os.path.join(out_dir, "state")
+    n_batches = itertools.count()
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        next(n_batches)
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                F.col("ts").alias("latest_ts"),
+                F.col("value").alias("latest_value"),
+                F.col("event_id").alias("latest_event_id"),
+            )
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            cur = spark.read.parquet(state_dir)
+            d, c = delta.alias("d"), cur.alias("c")
+            newer = F.col("c.latest_ts").isNull() | (
+                F.struct("d.latest_ts", "d.latest_event_id")
+                > F.struct("c.latest_ts", "c.latest_event_id")
+            )
+            merged = d.join(c, ["user_id", "event_type"], "full_outer").select(
+                "user_id",
+                "event_type",
+                *[
+                    F.when(
+                        F.col("d.latest_ts").isNotNull() & newer,
+                        F.col(f"d.{col}"),
+                    )
+                    .otherwise(F.col(f"c.{col}"))
+                    .alias(col)
+                    for col in ("latest_ts", "latest_value", "latest_event_id")
+                ],
+            )
+        else:
+            merged = delta
+        staging = f"{state_dir}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        trash = f"{state_dir}.old-{batch_id}"
+        if os.path.exists(state_dir):
+            os.replace(state_dir, trash)
+        os.replace(staging, state_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+
+    ckpt = os.path.join(_SCRATCH, f"cdcmerge-{uuid.uuid4().hex[:8]}")
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return next(n_batches)
+
+
+def events_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream through :func:`stream_merge_upsert` and
+    return the final keyed state table — the streaming twin of the
+    batch ``cdc_latest_state`` query (same oracle: after AvailableNow
+    drains every chunk, the incrementally-merged table equals the
+    batch changelog compaction)."""
+    out = os.path.join(_SCRATCH, f"cdcstate-{uuid.uuid4().hex[:8]}")
+    stream_merge_upsert(spark, sf_dir, out)
+    return spark.read.parquet(os.path.join(out, "state"))

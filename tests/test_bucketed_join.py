@@ -1,106 +1,139 @@
-"""Bucketed co-located join: the shuffle-elimination strategy for a join
-both of whose sides are fact-sized (broadcast impossible).
+"""Bucketed tables eliminate the join/agg shuffle — the plan-level
+proof of the repo's "bucket both sides on the join key at 100 TB"
+posture.
 
-The reference's only join is dim-sized (loadToWarehouse.py:31-32,
-broadcast territory); at 100 TB the fact-fact joins (orders x lineitem
-here) shuffle both sides on every query unless the tables are written
-pre-bucketed on the join key. ``bucketBy(N, key)`` at write time gives
-every future join/aggregate on that key a shuffle-free plan -- pay the
-shuffle once at ingest, never again. This is the highest-leverage layout
-decision a 100 TB warehouse makes, so it is pinned by a plan test.
+Writes orders and customer bucketed on the customer key with the same
+bucket count, then asserts:
+
+1. the orders<->customer equi-join plan contains ZERO Exchange
+   operators (broadcast disabled, so absent bucketing this would be a
+   two-Exchange sort-merge join);
+2. with ``sortBy`` on the bucket key, the join also needs no per-side
+   Sort (bucket files are pre-sorted);
+3. a groupBy on the bucket key aggregates with no Exchange (partial ==
+   final, single stage).
+
+Uses the session catalog (in-process Derby metastore via the shared
+test session) — bucketing metadata lives in the table catalog, not the
+parquet files, so saveAsTable is required; a plain parquet write would
+silently drop the bucket spec.
 """
 
 from __future__ import annotations
 
-import contextlib
-import io
+import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
-N_BUCKETS = 8
+from flights_etl_pipeline_spark.sources.sinks import (
+    ensure_database,
+    write_bucketed_table,
+)
 
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
-def bucketed_tables(spark, tmp_path_factory):
-    """Write orders+lineitem bucketed by orderkey into the test catalog."""
-    wh = tmp_path_factory.mktemp("bucketed_wh")
-    spark.sql("CREATE DATABASE IF NOT EXISTS bucket_db")
-    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
-        (
-            df.write.mode("overwrite")
-            .option("path", str(wh / tbl))
-            .bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .saveAsTable(f"bucket_db.{tbl}_b")
+def bucketed(spark):
+    ensure_database(spark, "bdb")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_bucketed_table(
+        orders, "bdb", "orders_b", "o_custkey", 8, sort_col="o_custkey"
+    )
+    write_bucketed_table(
+        cust, "bdb", "customer_b", "c_custkey", 8, sort_col="c_custkey"
+    )
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS bdb.orders_b")
+    spark.sql("DROP TABLE IF EXISTS bdb.customer_b")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cobucketed_join_has_no_exchange(bucketed):
+    spark = bucketed
+    with _no_broadcast(spark):
+        j = spark.table("bdb.orders_b").join(
+            spark.table("bdb.customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-    yield "bucket_db"
-    for t in ("orders_b", "lineitem_b"):
-        spark.sql(f"DROP TABLE IF EXISTS bucket_db.{t}")
-    spark.sql("DROP DATABASE IF EXISTS bucket_db")
-
-
-def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
-    # hint forces the fact-fact strategy sf0.001 would otherwise broadcast;
-    # at real scale neither side fits in memory and SMJ is what Spark picks
-    o = spark.table("bucket_db.orders_b").hint("merge")
-    li = spark.table("bucket_db.lineitem_b")
-    joined = o.join(
-        li, o.o_orderkey == li.l_orderkey
-    ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty"))
-    plan = _plan(joined)
-    assert "SortMergeJoin" in plan
-    assert f"SelectedBucketsCount: {N_BUCKETS} out of {N_BUCKETS}" in plan
-    # both join inputs come straight from bucketed scans: no exchange in
-    # the plan repartitions on the join key (the only allowed exchange is
-    # the final aggregate's, keyed by o_orderpriority)
-    for ln in plan.splitlines():
-        if "hashpartitioning(" in ln:
-            assert "orderkey" not in ln, f"join-key shuffle survived: {ln}"
-
-
-def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
-    o_raw = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    li_raw = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        plan = _plan(j)
+    assert "Exchange" not in plan, plan
+    # and the join result is still correct
     expected = (
-        o_raw.join(li_raw, o_raw.o_orderkey == li_raw.l_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    got = (
-        spark.table("bucket_db.orders_b")
+        spark.read.parquet(f"{SF}/orders.parquet")
         .join(
-            spark.table("bucket_db.lineitem_b"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .count()
     )
-    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    assert j.count() == expected
 
 
-def test_bucket_pruning_on_key_predicate(spark, bucketed_tables):
-    """A point predicate on the bucket key scans 1 of N buckets."""
-    # DisableUnnecessaryBucketedScan would demote this single-table scan
-    # to a plain parquet read; force the bucketed scan so the point
-    # predicate can prune to one bucket file group
-    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    prev = spark.conf.get(key)
+def test_cobucketed_sorted_join_has_no_sort(bucketed):
+    # Since Spark 3.0 the scan reports its sorted-bucket ordering only
+    # under this flag (SPARK-28169 made the one-file-per-bucket check
+    # opt-in); write_bucketed_table guarantees the one-file layout, so
+    # enabling it is safe and eliminates the per-side Sort too.
+    spark = bucketed
+    prev = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     try:
-        spark.conf.set(key, "false")
-        li = spark.table("bucket_db.lineitem_b").filter(F.col("l_orderkey") == 1)
-        plan = _plan(li)
-        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan
+        with _no_broadcast(spark):
+            j = spark.table("bdb.orders_b").join(
+                spark.table("bdb.customer_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = _plan(j)
     finally:
-        spark.conf.set(key, prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev
+        )
+    assert "SortMergeJoin" in plan, plan
+    # no per-side Sort: bucket files are pre-sorted, one file per bucket
+    assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+    assert "Exchange" not in plan, plan
+
+
+def test_groupby_on_bucket_key_has_no_exchange(bucketed):
+    spark = bucketed
+    agg = (
+        spark.table("bdb.orders_b")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+
+
+class _no_broadcast:
+    """Temporarily disable broadcast joins so the shuffle-free claim is
+    tested against the sort-merge path (broadcast would trivially avoid
+    an Exchange on the small side while still shuffling nothing —
+    hiding a missing bucket match)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return self.spark
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", self.prev
+        )

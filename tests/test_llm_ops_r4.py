@@ -55,3 +55,63 @@ def test_pca_sample_fraction_validated(spark):
         pca_projection(spark, SF_DIR, cov_sample_fraction=0.0)
     with pytest.raises(ValueError):
         pca_projection(spark, SF_DIR, cov_sample_fraction=1.5)
+
+
+def test_stream_merge_upsert_replay_idempotent(spark, tmp_path):
+    """The foreachBatch MERGE sink must converge, not duplicate, when
+    epochs replay: draining the SAME stream a second time (fresh
+    checkpoint, same target dir — the worst-case full replay after a
+    lost checkpoint) leaves the keyed state bit-identical, and the
+    state equals the batch changelog compaction."""
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        cdc_latest_state,
+    )
+    from flights_etl_pipeline_spark.streaming.jobs import (
+        stream_merge_upsert,
+    )
+
+    out = str(tmp_path / "cdc_target")
+    n1 = stream_merge_upsert(spark, SF_DIR, out)
+    assert n1 >= 2  # genuinely micro-batched, not one big batch
+    state1 = spark.read.parquet(f"{out}/state").collect()
+
+    batch = cdc_latest_state(spark, SF_DIR)
+    stream_df = spark.read.parquet(f"{out}/state")
+    assert stream_df.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_df).count() == 0
+
+    n2 = stream_merge_upsert(spark, SF_DIR, out)  # full replay
+    assert n2 >= 2
+    state2 = spark.read.parquet(f"{out}/state").collect()
+    assert sorted(map(tuple, state1)) == sorted(map(tuple, state2))
+
+
+def test_vocab_growth_curve_invariants(spark):
+    """cum_types must be monotone non-decreasing in doc_id order, and
+    its final value must equal the corpus's true distinct-token count
+    (the cumulative-distinct recast through first-occurrence docs)."""
+    from pyspark.sql import functions as F
+
+    from flights_etl_pipeline_spark.plans.queries_text import (
+        vocab_growth_curve,
+    )
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    rows = (
+        vocab_growth_curve(spark, SF_DIR)
+        .orderBy("doc_id")
+        .collect()
+    )
+    types = [r["cum_types"] for r in rows]
+    toks = [r["cum_tokens"] for r in rows]
+    assert all(a <= b for a, b in zip(types, types[1:]))
+    assert all(a < b for a, b in zip(toks, toks[1:]))
+    true_vocab = (
+        load(spark, SF_DIR, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t")
+        )
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    assert types[-1] == true_vocab
