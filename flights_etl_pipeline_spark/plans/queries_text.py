@@ -1895,3 +1895,89 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 vocab_growth_curve.__doc__ = vocab_growth_curve.__doc__.format(
     b=_HEAPS_BUCKET
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source data card: quality keep-rate, exact-dup rate, volume
+# ---------------------------------------------------------------------------
+
+SOURCE_CARD_SQL = f"""
+WITH g AS ({GOPHER_SQL}),
+fp AS (
+  SELECT doc_id,
+         MD5(TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY fp)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM fp
+)
+SELECT g.source, g.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_keep,
+       CAST(SUM(d.is_dup) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(g.n_words) AS BIGINT) AS total_words,
+       CAST(FLOOR(1000.0 * SUM(CASE WHEN g.keep THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS keep_rate_milli,
+       CAST(FLOOR(1000.0 * SUM(d.is_dup) / COUNT(*)) AS BIGINT)
+         AS dup_rate_milli,
+       CAST(FLOOR(1000.0 * SUM(g.n_words) / COUNT(*)) AS BIGINT)
+         AS mean_words_milli
+FROM g JOIN dup d ON g.doc_id = d.doc_id
+GROUP BY g.source, g.lang
+"""
+
+
+@register(
+    "source_quality_report",
+    oracle=SOURCE_CARD_SQL,
+    survey=["data-card", "quality-filter", "dedup-accounting", "curation"],
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) data card: document volume, Gopher-rule keep
+    rate, exact-duplicate rate (md5-fingerprint, keep-first), and mean
+    length — the accounting table a curation run publishes per input
+    source so mixture weights (source_mixture_sample, DSIR) can be set
+    from measured quality, not provenance guesses.
+
+    All rates are milli-unit integer floors — the 1000.0 factor is
+    applied to exact BIGINT counts, so both engines floor the same
+    rational and the report is bit-stable.
+
+    Scale shape: the Gopher flags are row-local; the dup flag is a MIN
+    window over the fingerprint exchange (content-keyed, uniform); the
+    rollup is one map-combinable (source, lang) aggregate. Nothing in
+    the plan holds more than a fingerprint per doc."""
+    g = gopher_quality_flags(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    dup = fp.select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(w))
+        .cast("int")
+        .alias("is_dup"),
+    )
+    joined = g.join(dup, "doc_id")
+    n_keep = F.sum(F.col("keep").cast("long"))
+    n_docs = F.count(F.lit(1))
+    n_dup = F.sum("is_dup").cast("long")
+    total_words = F.sum("n_words").cast("long")
+    return joined.groupBy("source", "lang").agg(
+        n_docs.cast("long").alias("n_docs"),
+        n_keep.cast("long").alias("n_gopher_keep"),
+        n_dup.alias("n_exact_dups"),
+        total_words.alias("total_words"),
+        F.floor(F.lit(1000.0) * n_keep / n_docs).cast("long").alias(
+            "keep_rate_milli"
+        ),
+        F.floor(F.lit(1000.0) * F.sum("is_dup") / n_docs)
+        .cast("long")
+        .alias("dup_rate_milli"),
+        F.floor(F.lit(1000.0) * F.sum("n_words") / n_docs)
+        .cast("long")
+        .alias("mean_words_milli"),
+    )
