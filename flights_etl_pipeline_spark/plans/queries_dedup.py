@@ -1502,3 +1502,108 @@ def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 incremental_neardup_probe.__doc__ = incremental_neardup_probe.__doc__.format(
     nb=N_BANDS
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding design table: all (bands x rows) configs from ONE signature set
+# ---------------------------------------------------------------------------
+
+# (bands, rows-per-band) with bands*rows = N_MINHASH; '8x1' is the most
+# permissive (highest recall, most candidates), '1x8' the strictest.
+_LSH_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _tuning_bands_sql(sig_name: str = "sig") -> str:
+    branches = []
+    for bands, rows in _LSH_CONFIGS:
+        cfg = f"{bands}x{rows}"
+        for b in range(bands):
+            cols = [f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)]
+            bsig = " || '_' || ".join(cols)
+            branches.append(
+                f"SELECT doc_id, '{cfg}' AS cfg, {b} AS band, "
+                f"{bsig} AS bsig FROM {sig_name}"
+            )
+    return " UNION ALL ".join(branches)
+
+
+LSH_TUNING_SQL = f"""
+WITH corpus AS ({CORPUS_SQL}),
+sig AS MATERIALIZED ({_sig_sql()}),
+allbands AS ({_tuning_bands_sql()}),
+buckets AS (
+  SELECT cfg, band, bsig, CAST(COUNT(*) AS BIGINT) AS n
+  FROM allbands GROUP BY cfg, band, bsig
+)
+SELECT cfg,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singleton_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket_size,
+       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
+FROM buckets
+GROUP BY cfg
+"""
+
+
+@register(
+    "lsh_banding_design",
+    oracle=LSH_TUNING_SQL,
+    survey=["minhash-lsh", "dedup", "tuning", "candidate-accounting"],
+)
+def lsh_banding_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design table: for every (bands x rows) split of the
+    SAME {k}-minhash signature set — 8x1, 4x2, 2x4, 1x8 — the bucket
+    census and the exact candidate-pair bill (sum of C(n,2) over
+    buckets). This is the table you read before fixing a banding for a
+    100 TB dedup run: recall rises with more/narrower bands while the
+    candidate count (the join's cost driver) rises with it, and the
+    crossing point depends on the corpus's actual near-dup density,
+    not the textbook S-curve.
+
+    One signature pass serves every config: each doc emits its
+    {nb15} (cfg, band, bsig) rows from one generator expression, then
+    a single (cfg, band, bsig) count — map-side combinable — and a
+    per-cfg rollup. No pair materialization anywhere: C(n,2) is
+    computed from bucket sizes, so the most permissive config is
+    costed WITHOUT paying for its pairs."""
+    corpus = _corpus(spark, sf_dir)
+    sig = _minhash_signatures(corpus)
+    band_structs = []
+    for bands, rows in _LSH_CONFIGS:
+        cfg = f"{bands}x{rows}"
+        for b in range(bands):
+            band_structs.append(
+                F.struct(
+                    F.lit(cfg).alias("cfg"),
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"h{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    ).alias("bsig"),
+                )
+            )
+    allbands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.cfg", "bb.band", "bb.bsig")
+    buckets = allbands.groupBy("cfg", "band", "bsig").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return buckets.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singleton_buckets"),
+        F.max("n").cast("long").alias("max_bucket_size"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2)
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
+
+
+lsh_banding_design.__doc__ = lsh_banding_design.__doc__.format(
+    k=N_MINHASH, nb15=sum(b for b, _ in _LSH_CONFIGS)
+)

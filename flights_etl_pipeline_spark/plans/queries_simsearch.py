@@ -1135,3 +1135,252 @@ _registry.REGISTRY["pca_projection"] = _registry.QuerySpec(
     survey=_registry.REGISTRY["pca_projection"].survey,
     bench=False,
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: probe-pruned candidates scored by PQ asymmetric distance (ADC)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_RERANK = 50  # ADC shortlist size fed to the exact rerank
+
+IVFPQ_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS ivf_cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < {K_CENTROIDS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.ivf_cid,
+         {sql_cosine('e.embedding', 'c.cvec')} AS cs
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, ivf_cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, ivf_cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT ivf_cid FROM cents CROSS JOIN q
+  ORDER BY {sql_cosine('cvec', 'qv')} DESC, ivf_cid
+  LIMIT {N_PROBE}
+),
+cand AS (
+  SELECT a.vec_id, a.label, a.embedding
+  FROM assigned a JOIN probes p ON a.ivf_cid = p.ivf_cid
+),
+sub AS (
+  SELECT vec_id, mm.m AS m,
+         embedding[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS sv
+  FROM cand, {_PQ_M_SQL} mm
+),
+cb AS (
+  SELECT vec_id AS cid, mm.m AS m,
+         embedding[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS cv
+  FROM embeddings, {_PQ_M_SQL} mm
+  WHERE vec_id < {PQ_K}
+),
+best AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY {_pq_dist_sql('s.sv', 'c.cv')}, c.cid) AS rn
+    FROM sub s JOIN cb c ON s.m = c.m
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT mm.m AS m,
+         qv[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS qsv
+  FROM q, {_PQ_M_SQL} mm
+),
+adc AS (
+  SELECT c.m, c.cid, {sql_decimal_dot('qs.qsv', 'c.cv')} AS d
+  FROM cb c JOIN qsub qs ON c.m = qs.m
+),
+approx AS (
+  SELECT b.vec_id,
+         FLOOR(CAST(SUM(CAST(a.d AS DECIMAL(28,14))) AS DOUBLE)
+               * 100000000 + 0.5) / 100000000 AS approx_dot
+  FROM best b JOIN adc a ON b.m = a.m AND b.cid = a.cid
+  GROUP BY b.vec_id
+),
+shortlist AS (
+  SELECT vec_id, approx_dot FROM approx
+  ORDER BY approx_dot DESC, vec_id
+  LIMIT {_IVFPQ_RERANK}
+)
+SELECT c.vec_id, c.label, s.approx_dot,
+       FLOOR({sql_cosine('c.embedding', 'q.qv')} * 100000000 + 0.5)
+         / 100000000 AS cosine
+FROM shortlist s
+JOIN cand c ON s.vec_id = c.vec_id
+CROSS JOIN q
+ORDER BY cosine DESC, c.vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=IVFPQ_SQL,
+    survey=["simsearch-ivf", "simsearch-pq", "adc", "ann-composed"],
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the two halves composed into the canonical
+    web-scale ANN read path (what a FAISS IVFx,PQy index executes):
+    the coarse quantizer routes the query to {np} of {kc} inverted
+    lists (probe pruning), candidates in those lists are scored by PQ
+    ASYMMETRIC DISTANCE — the query builds one (m, codeword) lookup
+    table of exact subvector dot products ({m} x {pk} entries,
+    broadcast), and each candidate's score is the sum of {m} table
+    lookups selected by its PQ code. No candidate's full vector is
+    touched at query time: the scan reads {m} small ints per row
+    (the ~{ratio}x compression that lets a 100 TB index sit on
+    scan-speed storage).
+
+    Engine-exactness: every dot is an exact decimal fold; the ADC sum
+    aggregates DECIMAL(28,14) (associative) before one double cast;
+    argmin/argmax tie-breaks are (value, id) — identical in both
+    engines. Raw-vector PQ (not residual PQ) keeps the oracle
+    mirrorable; swapping in residual encoding changes recall, not the
+    plan shape.
+
+    Scale shape: centroids, codebook, ADC table, and probe list all
+    broadcast; assignment and encoding are one pass each; the
+    candidate scan is partition-pruned by ivf_cid at scale (corpus
+    written partitioned/bucketed by cell, cf. ann_ivf_topk); top-k is
+    TakeOrdered. Nothing shuffles more than (vec_id, m, code)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < K_CENTROIDS)
+        .select(F.col("vec_id").alias("ivf_cid"), F.col("embedding").alias("cvec"))
+        .select("ivf_cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    )
+    rows = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        decimal_dot("embedding", "embedding").alias("enorm"),
+    )
+    cs = cosine_from_parts(decimal_dot("embedding", "cvec"), "enorm", "cnorm")
+    assigned = (
+        rows.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "enorm", "ivf_cid", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                "ivf_cid",
+                F.struct(F.col("cs"), (-F.col("ivf_cid")).alias("nc")),
+            ).alias("ivf_cid"),
+        )
+    )
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .orderBy(
+            cosine_from_parts(
+                decimal_dot("cvec", "qv"), "cnorm", "qnorm"
+            ).desc(),
+            "ivf_cid",
+        )
+        .limit(N_PROBE)
+        .select("ivf_cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "ivf_cid").select(
+        "vec_id", "label", "embedding"
+    )
+    sub = cand.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sv"),
+    ).withColumn("snorm", decimal_dot("sv", "sv"))
+    cbook = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("m", "cv"),
+        )
+        .withColumn("cnorm", decimal_dot("cv", "cv"))
+    )
+    dist = F.col("snorm") - 2 * decimal_dot("sv", "cv") + F.col("cnorm")
+    best = (
+        sub.join(F.broadcast(cbook), "m")
+        .select("vec_id", "m", "cid", dist.alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("cid", F.struct(F.col("dist"), F.col("cid"))).alias(
+                "cid"
+            )
+        )
+    )
+    qsub = q.select(
+        F.posexplode(
+            F.array(
+                *[F.slice("qv", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "qsv")
+    )
+    adc = cbook.join(F.broadcast(qsub), "m").select(
+        "m", "cid", decimal_dot("qsv", "cv").alias("d")
+    )
+    approx = (
+        best.join(F.broadcast(adc), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("d").cast("decimal(28,14)")).cast("double")
+                    * 100000000
+                    + F.lit(0.5)
+                )
+                / 100000000
+            ).alias("approx_dot")
+        )
+    )
+    shortlist = approx.orderBy(
+        F.col("approx_dot").desc(), "vec_id"
+    ).limit(_IVFPQ_RERANK)
+    exact = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    return (
+        shortlist.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", "approx_dot", dround(exact, 8).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+ann_ivfpq_topk.__doc__ = ann_ivfpq_topk.__doc__.format(
+    np=N_PROBE,
+    kc=K_CENTROIDS,
+    m=PQ_M,
+    pk=PQ_K,
+    rr=_IVFPQ_RERANK,
+    ratio=DIM * 4 // PQ_M,
+)
