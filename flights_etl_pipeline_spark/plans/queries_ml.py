@@ -2072,3 +2072,87 @@ def quality_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
         F.sum("prob_micro").alias("sum_prob_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-shuffled shard assignment: the deterministic data-loader table
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_WORLD_SIZE = 8  # data-parallel shard count
+
+EPOCH_SHARD_SQL = f"""
+WITH e AS (SELECT UNNEST(range({_EPOCHS})) AS epoch),
+keyed AS (
+  SELECT d.doc_id, e.epoch,
+         CAST(concat('0x', substr(md5(
+           concat('ep', CAST(e.epoch AS VARCHAR), '-',
+                  CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hkey
+  FROM documents d CROSS JOIN e
+)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+       CAST(hkey % {_WORLD_SIZE} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY epoch, hkey % {_WORLD_SIZE}
+         ORDER BY hkey, doc_id) AS BIGINT) AS position
+FROM keyed
+"""
+
+
+@register(
+    "epoch_shard_assign",
+    oracle=EPOCH_SHARD_SQL,
+    survey=["data-loader", "epoch-shuffle", "sharding", "ml-prep"],
+)
+def epoch_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffled shard assignment — the data-loader
+    contract for {w}-way data-parallel training over {e} epochs: every
+    (epoch, doc) gets a shard and an in-shard position from
+    md5('ep<epoch>-<doc_id>'), so (1) each epoch is an independent
+    pseudo-random permutation, (2) shards are hash-balanced, and
+    (3) ANY worker can recompute exactly its own epoch order
+    statelessly — no shuffle service, no shared RNG state, no
+    coordination. This is how petabyte pretraining runs make "resume
+    from step N in epoch 2" reproducible.
+
+    Scale shape: the hash and shard are pure projections; the only
+    exchange is the (epoch, shard) window for positions — {e}x{w}
+    uniform partitions by construction (hash-balanced), each sorted
+    independently. In production the position column is written once
+    as `.partitionBy("epoch", "shard")` and readers scan their own
+    partition pre-sorted (write_bucketed_table's sortBy)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCHS).select(F.col("id").alias("epoch"))
+    hkey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ep"),
+                    F.col("epoch").cast("string"),
+                    F.lit("-"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "doc_id", "epoch", hkey.alias("hkey")
+    )
+    w = Window.partitionBy(
+        "epoch", (F.col("hkey") % _WORLD_SIZE)
+    ).orderBy("hkey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        (F.col("hkey") % _WORLD_SIZE).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+epoch_shard_assign.__doc__ = epoch_shard_assign.__doc__.format(
+    w=_WORLD_SIZE, e=_EPOCHS
+)

@@ -13,6 +13,11 @@ bucket count, then asserts:
 3. a groupBy on the bucket key aggregates with no Exchange (partial ==
    final, single stage).
 
+Also restores the original fact-fact suite (orders x lineitem bucketed
+on the orderkey): no join-key exchange under a forced sort-merge join,
+result equality with the unbucketed join, and 1-of-N bucket pruning on
+a point predicate over the bucket key.
+
 Uses the session catalog (in-process Derby metastore via the shared
 test session) — bucketing metadata lives in the table catalog, not the
 parquet files, so saveAsTable is required; a plain parquet write would
@@ -137,3 +142,89 @@ class _no_broadcast:
         self.spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", self.prev
         )
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact suite (restored round-2 coverage): orders x lineitem on orderkey
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def fact_bucketed(spark, tmp_path_factory):
+    """orders + lineitem bucketed by orderkey into the test catalog."""
+    wh = tmp_path_factory.mktemp("bucketed_wh")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucket_db")
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = spark.read.parquet(f"{SF}/{tbl}.parquet")
+        (
+            df.write.mode("overwrite")
+            .option("path", str(wh / tbl))
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(f"bucket_db.{tbl}_b")
+        )
+    yield "bucket_db"
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS bucket_db.{t}")
+    spark.sql("DROP DATABASE IF EXISTS bucket_db")
+
+
+def test_bucketed_join_has_no_shuffle(spark, fact_bucketed):
+    # hint forces the fact-fact strategy sf0.001 would otherwise broadcast;
+    # at real scale neither side fits in memory and SMJ is what Spark picks
+    o = spark.table("bucket_db.orders_b").hint("merge")
+    li = spark.table("bucket_db.lineitem_b")
+    joined = o.join(
+        li, o.o_orderkey == li.l_orderkey
+    ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty"))
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert f"SelectedBucketsCount: {N_BUCKETS} out of {N_BUCKETS}" in plan
+    # both join inputs come straight from bucketed scans: no exchange in
+    # the plan repartitions on the join key (the only allowed exchange is
+    # the final aggregate's, keyed by o_orderpriority)
+    for ln in plan.splitlines():
+        if "hashpartitioning(" in ln:
+            assert "orderkey" not in ln, f"join-key shuffle survived: {ln}"
+
+
+def test_bucketed_join_matches_unbucketed(spark, fact_bucketed):
+    o_raw = spark.read.parquet(f"{SF}/orders.parquet")
+    li_raw = spark.read.parquet(f"{SF}/lineitem.parquet")
+    expected = (
+        o_raw.join(li_raw, o_raw.o_orderkey == li_raw.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = (
+        spark.table("bucket_db.orders_b")
+        .join(
+            spark.table("bucket_db.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_bucket_pruning_on_key_predicate(spark, fact_bucketed):
+    """A point predicate on the bucket key scans 1 of N buckets."""
+    # DisableUnnecessaryBucketedScan would demote this single-table scan
+    # to a plain parquet read; force the bucketed scan so the point
+    # predicate can prune to one bucket file group
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        li = spark.table("bucket_db.lineitem_b").filter(
+            F.col("l_orderkey") == 1
+        )
+        plan = _plan(li)
+        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan
+    finally:
+        spark.conf.set(key, prev)
