@@ -585,3 +585,117 @@ def copurchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + power-law (log-log OLS) fit
+# ---------------------------------------------------------------------------
+
+DEGREE_POWERLAW_SQL = f"""
+WITH edges0 AS ({_EDGES_SQL}),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges0
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM edges
+        GROUP BY src),
+hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY k
+),
+pts AS (
+  SELECT CAST(FLOOR(LN(k) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(n_nodes) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM hist
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS npt,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(MAX(k) AS BIGINT) FROM deg) AS max_degree,
+       npt AS n_degree_levels,
+       FLOOR((CAST(npt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(npt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000 + 0.5) / 1000000 AS powerlaw_slope
+FROM mom
+"""
+
+
+@register(
+    "copurchase_degree_powerlaw",
+    oracle=DEGREE_POWERLAW_SQL,
+    survey=["graph", "degree-distribution", "power-law", "ols"],
+)
+def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with a power-law
+    exponent estimate: OLS slope of ln(#nodes with degree k) against
+    ln(k) — the graph-health diagnostic run before sizing an iterative
+    job (a heavy-tailed slope means skewed frontiers: PageRank/BFS
+    partitions need salting or high-degree-vertex mirroring; a flat
+    one means uniform partitioning is safe — this graph's bipartite
+    construction is near-regular, which the fit exposes).
+
+    Exactness: the token_zipf_fit discipline — per-point ln values
+    floor-quantized to integer micro-units BEFORE the moment sums, so
+    the OLS inputs are exact BIGINTs in both engines.
+
+    Scale shape: degree = one map-combinable count keyed by node;
+    histogram = a second count keyed by degree (cardinality = distinct
+    degree levels, tiny); moments = a scalar aggregate over the
+    histogram. No window, no sort, no per-node iteration."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    hist = deg.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    pts = hist.select(
+        F.floor(F.log(F.col("k").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.log(F.col("n_nodes").cast("double")) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("npt"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    totals = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("k").cast("long").alias("max_degree"),
+    )
+    npt = F.col("npt").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (npt * sxy - sx * sy) / (npt * sxx - sx * sx)
+    return mom.crossJoin(F.broadcast(totals)).select(
+        "n_nodes",
+        "max_degree",
+        F.col("npt").alias("n_degree_levels"),
+        (F.floor(slope * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "powerlaw_slope"
+        ),
+    )
