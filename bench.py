@@ -50,7 +50,22 @@ def _sf1_docs_dir(spark, sf_dir: str) -> str:
     property hold. Built once, cached in /tmp, reused across runs."""
     from pyspark.sql import functions as F
 
-    out = f"/tmp/spark_graft_bench_sf1_{os.path.basename(sf_dir.rstrip('/'))}"
+    # Version the cache by the source files' identity: the driver
+    # regenerates the corpus per round, and an unversioned cache could
+    # keep a stale table from the previous corpus next to a fresh one
+    # (documents old, embeddings new), silently invalidating the
+    # scaleup exponents.
+    import hashlib
+
+    fp = hashlib.md5()
+    for table in sorted(_SF1_TABLES):
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        st = os.stat(p)
+        fp.update(f"{table}:{st.st_mtime_ns}:{st.st_size};".encode())
+    out = (
+        f"/tmp/spark_graft_bench_sf1_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{fp.hexdigest()[:10]}"
+    )
     for table, idcol in _SF1_TABLES.items():
         target = os.path.join(out, f"{table}.parquet")
         if os.path.exists(os.path.join(target, "_SUCCESS")):

@@ -2148,11 +2148,15 @@ def _duck_mat(sql: str) -> str:
     slowdown the round-3 judge flagged on revenue_holt_recursive).
     Spark's parser has no MATERIALIZED keyword, so the Spark side keeps
     the original text; results are bit-identical (verified)."""
-    return (
+    out = (
         sql.replace("monthly AS (", "monthly AS MATERIALIZED (")
         .replace("seq AS (", "seq AS MATERIALIZED (")
         .replace("ranked AS (", "ranked AS MATERIALIZED (")
     )
+    # a reformat/rename that stops the substring match would silently
+    # reintroduce the 20x per-step re-aggregation — fail loudly instead
+    assert out != sql, "no spine CTE matched; _duck_mat is a no-op"
+    return out
 
 
 LOYALTY_RECURSIVE_SQL = """

@@ -618,9 +618,13 @@ mom AS (
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(MAX(k) AS BIGINT) FROM deg) AS max_degree,
        npt AS n_degree_levels,
-       FLOOR((CAST(npt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(npt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-             * 1000000 + 0.5) / 1000000 AS powerlaw_slope
+       CASE WHEN npt >= 2
+             AND CAST(npt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+            THEN FLOOR((CAST(npt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(npt AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                       * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS powerlaw_slope
 FROM mom
 """
 
@@ -690,12 +694,18 @@ def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     npt = F.col("npt").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (npt * sxy - sx * sy) / (npt * sxx - sx * sx)
+    denom = npt * sxx - sx * sx
+    slope = (npt * sxy - sx * sy) / denom
+    # guard the degenerate single-degree-level graph: 0/0 is NaN, and
+    # FLOOR(NaN) diverges across engines (DuckDB NaN, Spark long 0) —
+    # emit NULL identically instead
+    guarded = F.when(
+        (F.col("npt") >= 2) & (denom != 0),
+        F.floor(slope * 1000000 + F.lit(0.5)) / 1000000,
+    )
     return mom.crossJoin(F.broadcast(totals)).select(
         "n_nodes",
         "max_degree",
         F.col("npt").alias("n_degree_levels"),
-        (F.floor(slope * 1000000 + F.lit(0.5)) / 1000000).alias(
-            "powerlaw_slope"
-        ),
+        guarded.alias("powerlaw_slope"),
     )

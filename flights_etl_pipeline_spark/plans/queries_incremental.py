@@ -24,13 +24,18 @@ from pyspark.sql import functions as F
 from flights_etl_pipeline_spark.plans.registry import load, register
 
 # Deterministic updates batch: every 7th customer gets a new balance and
-# segment; every 97th key also appears shifted by 1_000_000 as an insert.
-_UPDATES_SQL = """
+# segment; every 97th key also appears shifted by _INSERT_OFFSET as an
+# insert. The offset sits far above any generated corpus's customer keys
+# (sf10 ~ 1.5M customers; 10M is safe at any plausible SF) so synthetic
+# inserts can never collide with real keys — the same id-collision trap
+# round-3 ADVICE flagged on the dedup delta corpus.
+_INSERT_OFFSET = 10_000_000
+_UPDATES_SQL = f"""
   SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
          'UPDATED' AS c_mktsegment
   FROM customer WHERE c_custkey % 7 = 0
   UNION ALL
-  SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal,
+  SELECT c_custkey + {_INSERT_OFFSET} AS c_custkey, 0.0 AS c_acctbal,
          'NEW' AS c_mktsegment
   FROM customer WHERE c_custkey % 97 = 0
 """
@@ -43,7 +48,7 @@ def _updates(cust: DataFrame) -> DataFrame:
         F.lit("UPDATED").alias("c_mktsegment"),
     )
     ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (F.col("c_custkey") + _INSERT_OFFSET).alias("c_custkey"),
         F.lit(0.0).alias("c_acctbal"),
         F.lit("NEW").alias("c_mktsegment"),
     )
@@ -401,4 +406,112 @@ def orders_pit_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(cents).cast("bigint").alias("rev_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE with delete tombstones: the full U/I/D changelog apply
+# ---------------------------------------------------------------------------
+
+# Deterministic changelog with all three ops: every 7th key updates,
+# every 97th key (shifted) inserts, every 13th key DELETES (tombstone).
+# Keys divisible by both 7 and 13 resolve as delete (delete wins over
+# update — the standard CDC compaction rule when a batch carries both).
+_CHANGELOG_SQL = f"""
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment, 'U' AS op
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + {_INSERT_OFFSET} AS c_custkey, 0.0 AS c_acctbal,
+         'NEW' AS c_mktsegment, 'I' AS op
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS DOUBLE) AS c_acctbal,
+         CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS op
+  FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+@register(
+    "merge_apply_changelog",
+    oracle=f"""
+WITH chg AS ({_CHANGELOG_SQL}),
+dim AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+merged AS (
+  SELECT COALESCE(c.c_custkey, d.c_custkey) AS c_custkey,
+         CASE WHEN c.op = 'U' THEN c.c_acctbal
+              WHEN c.op = 'I' THEN c.c_acctbal
+              ELSE d.c_acctbal END AS c_acctbal,
+         CASE WHEN c.op = 'U' THEN c.c_mktsegment
+              WHEN c.op = 'I' THEN c.c_mktsegment
+              ELSE d.c_mktsegment END AS c_mktsegment,
+         c.op
+  FROM dim d FULL OUTER JOIN chg c USING (c_custkey)
+)
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       COALESCE(op, 'K') AS applied_op
+FROM merged
+WHERE op IS DISTINCT FROM 'D'
+""",
+    survey=["merge-delete", "cdc", "tombstone", "incremental"],
+)
+def merge_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE applying a full U/I/D changelog — upsert plus DELETE
+    tombstones, the semantics merge_upsert_customers lacks and every
+    CDC-fed warehouse needs (a GDPR erasure or a source-row delete
+    must REMOVE the dim row, not overwrite it). One full-outer join;
+    matched 'D' rows drop out, 'U' rows take the update's values, 'I'
+    rows insert, untouched rows pass through tagged 'K' (kept). When a
+    batch carries both an update and a delete for a key, delete wins —
+    the changelog construction resolves that upstream (op priority),
+    mirroring CDC compaction.
+
+    Scale shape: the changelog side of a daily batch is delta-sized →
+    broadcast; the dim is never rewritten except through this join. On
+    a transactional format the same plan feeds MERGE INTO ... WHEN
+    MATCHED AND op = 'D' THEN DELETE."""
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cust = load(spark, sf_dir, "customer")
+    upd = cust.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 13 != 0)
+    ).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + _INSERT_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    dele = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    chg = upd.unionAll(ins).unionAll(dele)
+    d, c = dim.alias("d"), chg.alias("c")
+    take_new = F.col("c.op").isin("U", "I")
+    return (
+        d.join(F.broadcast(c), "c_custkey", "full_outer")
+        .select(
+            F.col("c_custkey"),
+            F.when(take_new, F.col("c.c_acctbal"))
+            .otherwise(F.col("d.c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(take_new, F.col("c.c_mktsegment"))
+            .otherwise(F.col("d.c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.coalesce(F.col("c.op"), F.lit("K")).alias("applied_op"),
+            F.col("c.op").alias("_op"),
+        )
+        .filter(
+            F.col("_op").isNull() | (F.col("_op") != "D")
+        )
+        .drop("_op")
     )

@@ -1070,6 +1070,13 @@ def pca_projection(
     # is biased
     mu = _mean_by_dim(cov_src)
     n = cov_src.count()
+    if n == 0:
+        raise ValueError(
+            "cov_sample_fraction="
+            f"{cov_sample_fraction} selected zero rows; raise the "
+            "fraction (the hash-bucket sample is deterministic, so a "
+            "rerun cannot help)"
+        )
     s_rows = (
         ei.select(
             "i", "xi", F.posexplode("embedding").alias("j", "xj")

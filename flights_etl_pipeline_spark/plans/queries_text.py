@@ -1688,8 +1688,7 @@ mom AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
          CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         CAST(SUM(x * x) AS BIGINT) AS sxx
   FROM pts
 )
 SELECT k,
@@ -1753,7 +1752,6 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
     k = F.col("k").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

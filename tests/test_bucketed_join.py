@@ -26,8 +26,6 @@ silently drop the bucket spec.
 
 from __future__ import annotations
 
-import tempfile
-
 import pytest
 from pyspark.sql import functions as F
 

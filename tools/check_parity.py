@@ -150,7 +150,8 @@ def main() -> int:
         else:
             failures.append(name)
 
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} queries pass")
+    n_run = len([n for n in REGISTRY if not only or n in only])
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass")
     return 1 if failures else 0
 
 
