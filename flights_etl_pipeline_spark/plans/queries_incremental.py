@@ -515,3 +515,87 @@ def merge_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_op")
     )
+
+
+@register(
+    "scd2_with_deletes",
+    oracle=f"""
+WITH chg AS ({_CHANGELOG_SQL}),
+dim AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment,
+       1 AS version,
+       (c.op IS NULL) AS is_current,
+       CASE c.op WHEN 'U' THEN 'updated'
+                 WHEN 'D' THEN 'deleted' END AS end_reason
+FROM dim d LEFT JOIN chg c
+  ON d.c_custkey = c.c_custkey AND c.op IN ('U', 'D')
+UNION ALL
+SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+       CASE WHEN c.op = 'I' THEN 1 ELSE 2 END AS version,
+       TRUE AS is_current,
+       CAST(NULL AS VARCHAR) AS end_reason
+FROM chg c WHERE c.op IN ('U', 'I')
+""",
+    survey=["scd2", "merge-delete", "tombstone", "incremental"],
+)
+def scd2_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history under a full U/I/D changelog: updates CLOSE
+    the current version (is_current=false, end_reason='updated') and
+    open version 2; deletes close it with end_reason='deleted' and
+    open NOTHING — the tombstone leaves only closed history, which is
+    what distinguishes an SCD2 delete from a hard delete (the audit
+    trail survives; merge_apply_changelog is the hard-delete twin).
+    Inserts open version 1 directly.
+
+    Scale shape: identical to scd2_customer_merge — the changelog side
+    broadcasts, the dimension is touched once per branch of the union
+    and both branches share the one scan; history grows by exactly the
+    changelog's U+I row count per run."""
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cust = load(spark, sf_dir, "customer")
+    upd = cust.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 13 != 0)
+    ).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + _INSERT_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    dele = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    chg = upd.unionAll(ins).unionAll(dele)
+    d = dim.alias("d")
+    c = chg.filter(F.col("op").isin("U", "D")).alias("c")
+    closed = d.join(
+        F.broadcast(c), F.col("d.c_custkey") == F.col("c.c_custkey"), "left"
+    ).select(
+        F.col("d.c_custkey").alias("c_custkey"),
+        F.col("d.c_acctbal").alias("c_acctbal"),
+        F.col("d.c_mktsegment").alias("c_mktsegment"),
+        F.lit(1).alias("version"),
+        F.col("c.op").isNull().alias("is_current"),
+        F.when(F.col("c.op") == "U", F.lit("updated"))
+        .when(F.col("c.op") == "D", F.lit("deleted"))
+        .alias("end_reason"),
+    )
+    opened = chg.filter(F.col("op").isin("U", "I")).select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.when(F.col("op") == "I", 1).otherwise(2).alias("version"),
+        F.lit(True).alias("is_current"),
+        F.lit(None).cast("string").alias("end_reason"),
+    )
+    return closed.unionAll(opened)
