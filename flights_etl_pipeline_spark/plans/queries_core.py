@@ -2888,3 +2888,145 @@ def revenue_holt_winters_recursive(
     iteration re-execution scans memory, not orders."""
     _rec_spine_view(spark, sf_dir, HW_SPINE_SQL, "rec_seq_hw")
     return spark.sql(HOLT_WINTERS_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined functions (Spark 4 CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+SQL_UDF_ORACLE = f"""
+WITH yrs AS (SELECT UNNEST(range(1995, 1998)) AS y)
+SELECT yrs.y AS order_year, l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {_sql_dround("CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)", 2)}
+         AS disc_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN yrs ON YEAR(o.o_orderdate) = yrs.y
+GROUP BY yrs.y, l.l_returnflag
+"""
+
+
+@register(
+    "sql_udf_discounted_revenue",
+    oracle=SQL_UDF_ORACLE,
+    survey=["sql-udf", "sql-surface", "U1-family", "Q1"],
+)
+def sql_udf_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined functions — the declarative replacement for
+    the reference's Python UDFs (transformToSilver.py's duration
+    parser family): a SCALAR function (``CREATE FUNCTION ... RETURNS
+    DOUBLE RETURN expr``) computing the discounted price, and a
+    TABLE-VALUED function (``RETURNS TABLE``) generating the year
+    spine, both defined in SQL and both inlined by Catalyst into the
+    calling query — the plan is identical to hand-inlined expressions
+    (whole-stage codegen, no Python boundary, unlike a @udf), which is
+    exactly why SQL UDFs are the 100 TB answer to shared business
+    logic. The oracle inlines the same arithmetic (DuckDB has no
+    CREATE FUNCTION in a single statement); exact decimal fold keeps
+    the revenue bit-identical.
+
+    Scale shape: scan -> broadcast-joined year spine -> one
+    map-combinable (year, returnflag) aggregate."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION year_spine(a INT, b INT) "
+        "RETURNS TABLE(y INT) RETURN SELECT explode(sequence(a, b))"
+    )
+    return spark.sql(
+        f"""
+SELECT ys.y AS order_year, l.l_returnflag,
+       COUNT(*) AS n_items,
+       {_sql_dround("CAST(SUM(CAST(disc_price(l.l_extendedprice, l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)", 2)}
+         AS disc_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN year_spine(1995, 1997) ys ON YEAR(o.o_orderdate) = ys.y
+GROUP BY ys.y, l.l_returnflag
+"""
+    )
+
+
+@register(
+    "sql_parameterized_slice",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 100 AND 500
+  AND o_orderpriority = '1-URGENT'
+""",
+    survey=["Q1", "S10", "parameterized-sql"],
+)
+def sql_parameterized_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers): the same
+    BETWEEN re-slice as sql_between_slice but with the bounds and the
+    priority bound as ``:name`` parameters passed through
+    ``spark.sql(query, args=...)`` — the injection-safe form of the
+    reference's f-string SQL assembly (ingestToBronze.py builds its
+    BETWEEN windows by string interpolation; parameter markers are
+    what production code should do instead). Catalyst folds the bound
+    literals before planning, so pushdown/pruning behave exactly as
+    with inline constants (the filter reaches the parquet scan)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN :lo AND :hi
+  AND o_orderpriority = :prio
+""",
+        args={"lo": 100, "hi": 500, "prio": "1-URGENT"},
+    )
+
+
+@register(
+    "sql_session_variable_gate",
+    oracle="""
+WITH cut AS (
+  SELECT CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*) * 100 + 0.5) / 100 AS DOUBLE) AS c
+  FROM orders
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above
+FROM orders o, cut
+WHERE o.o_totalprice > cut.c
+GROUP BY o.o_orderpriority
+""",
+    survey=["sql-variables", "sql-surface", "Q1"],
+)
+def sql_session_variable_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE / SET VAR): a cutoff is
+    computed once into a session variable and reused as a literal in
+    the consuming query — the SQL-native form of the driver-side
+    "model channel" (K-means centroids, PCA moments): one tiny scalar
+    crosses queries, never a table. Catalyst sees a constant, so the
+    comparison folds into the scan filter exactly like a hand-written
+    literal.
+
+    The cutoff is the 2-decimal-rounded mean of o_totalprice, derived
+    from the EXACT decimal sum divided once (never AVG over doubles —
+    order-dependent summation diverges across engines at 1 ulp) and
+    floor-quantized so both engines gate on the identical double."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE revenue_cut DOUBLE")
+    spark.sql(
+        """SET VAR revenue_cut = (
+             SELECT CAST(FLOOR(
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) * 100 + 0.5) / 100 AS DOUBLE)
+             FROM orders)"""
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS n_above
+FROM orders
+WHERE o_totalprice > revenue_cut
+GROUP BY o_orderpriority
+"""
+    )

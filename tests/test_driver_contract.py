@@ -66,7 +66,8 @@ qs = mod.queries()
 # the SQL parser + createOrReplaceTempView, and semi/anti-join chains --
 # all under the driver's DEFAULT session (ANSI on, no custom confs)
 for name in ("loyalty_balance_recursive", "q21_single_return_supplier",
-             "llm_corpus_pipeline"):
+             "llm_corpus_pipeline", "revenue_holt_winters_recursive",
+             "merge_apply_changelog"):
     n = qs[name](spark, "/root/testdata/sf0.001").count()
     assert n > 0, (name, n)
 print("R2_CONTRACT_OK")
