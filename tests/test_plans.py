@@ -74,6 +74,10 @@ _SINGLE_PARTITION_SANCTIONED = {
     "quality_gate_auc",  # window over the score histogram, domain
     # bounded by the 1e-6 sigmoid quantization (<= 1,000,001 rows
     # regardless of corpus size)
+    "vocab_growth_curve",  # the two-level prefix sum's bucket-offset
+    # window runs over the 1000x-reduced bucket-total spine
+    # (n_docs/1000 rows, 2 longs each), not raw docs; the per-doc
+    # cumulation is key-partitioned (see docstring's scale note)
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
