@@ -3030,3 +3030,132 @@ WHERE o_totalprice > revenue_cut
 GROUP BY o_orderpriority
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# AQP: sample-based aggregate estimation with CLT error bounds
+# ---------------------------------------------------------------------------
+
+_AQP_RATE_MILLI = 100  # 10% deterministic hash sample
+_AQP_P = _AQP_RATE_MILLI / 1000.0
+# Horvitz-Thompson total-estimator variance, plug-in form:
+# Var(T_hat) = (1-p)/p^2 * sum_{i in sample} x_i^2 — this includes the
+# count-variation term a naive mean-based CLT bound (var_s/n) misses;
+# with that bound 3 of 5 strata fell outside their own 95% interval.
+_AQP_VAR_FACTOR = (1.0 - _AQP_P) / (_AQP_P * _AQP_P)
+
+
+AQP_SQL = f"""
+WITH s AS (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(concat('0x', substr(md5(concat('aqp-',
+           CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000
+           AS b
+  FROM orders
+),
+samp AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_s,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4)))
+              AS DOUBLE) AS sumsq_s
+  FROM s WHERE b < {_AQP_RATE_MILLI}
+  GROUP BY o_orderpriority
+),
+exact AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_true
+  FROM s GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority, e.n_true, samp.n_s,
+       FLOOR(samp.sum_s * 1000.0 / {_AQP_RATE_MILLI} * 100 + 0.5) / 100
+         AS sum_est,
+       FLOOR(e.sum_true * 100 + 0.5) / 100 AS sum_exact,
+       FLOOR(1.96 * SQRT({_AQP_VAR_FACTOR} * samp.sumsq_s) * 100 + 0.5)
+         / 100 AS ci_halfwidth
+FROM exact e JOIN samp ON e.o_orderpriority = samp.o_orderpriority
+"""
+
+
+@register(
+    "aqp_revenue_estimate",
+    oracle=AQP_SQL,
+    survey=["aqp", "sampling", "error-bounds", "statistics"],
+)
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (the BlinkDB pattern): estimate
+    per-priority total revenue from a deterministic 10% hash sample,
+    with a CLT 95% confidence half-width — and, because this is the
+    calibration query, the exact answer beside it so the bound can be
+    audited. At 100 TB the sample is a MATERIALIZED 10% table (or a
+    columnar zone of it) and the exact branch disappears: the whole
+    point is answering dashboard aggregates from 1/10th the scan.
+
+    Exactness: the sample membership is an md5 bucket (portable,
+    deterministic — rand() would break the oracle); sample moments are
+    exact decimal sums cast to double once; estimate, variance, and
+    half-width are fixed IEEE sequences over those, floor-quantized to
+    cents.
+
+    Scale shape: one scan computes both branches here (sample filter
+    is a pure projection predicate); each branch is a map-combinable
+    (priority) aggregate. The estimator is Horvitz-Thompson
+    (sum_s / p); its variance plug-in (1-p)/p^2 * sumsq_s includes the
+    sample-count variation a mean-based CLT bound would miss."""
+    orders = load(spark, sf_dir, "orders")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("aqp-"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    s = orders.select("o_orderpriority", "o_totalprice", b.alias("b"))
+    samp = (
+        s.filter(F.col("b") < _AQP_RATE_MILLI)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_s"),
+            F.sum(
+                (F.col("o_totalprice") * F.col("o_totalprice")).cast(
+                    "decimal(38,4)"
+                )
+            )
+            .cast("double")
+            .alias("sumsq_s"),
+        )
+    )
+    exact = s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_true"),
+    )
+    scale = 1000.0 / _AQP_RATE_MILLI
+    half = F.lit(1.96) * F.sqrt(F.lit(_AQP_VAR_FACTOR) * F.col("sumsq_s"))
+    return exact.join(samp, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_true",
+        "n_s",
+        (F.floor(F.col("sum_s") * F.lit(scale) * 100 + F.lit(0.5)) / 100).alias(
+            "sum_est"
+        ),
+        (F.floor(F.col("sum_true") * 100 + F.lit(0.5)) / 100).alias(
+            "sum_exact"
+        ),
+        (F.floor(half * 100 + F.lit(0.5)) / 100).alias("ci_halfwidth"),
+    )

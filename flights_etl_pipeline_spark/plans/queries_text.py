@@ -1979,3 +1979,90 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_words_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted mixture: data card -> sampling rates -> deterministic sample
+# ---------------------------------------------------------------------------
+
+QUALITY_MIXTURE_SQL = f"""
+WITH card AS ({SOURCE_CARD_SQL}),
+rated AS (
+  SELECT source, lang,
+         CAST(keep_rate_milli * (1000 - dup_rate_milli) / 1000 AS BIGINT)
+           AS rate_milli
+  FROM card
+),
+s AS (
+  SELECT d.doc_id, d.source, d.lang, r.rate_milli,
+         CAST(concat('0x', substr(md5(concat('mix-',
+           CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS b
+  FROM documents d JOIN rated r
+    ON d.source = r.source AND d.lang = r.lang
+)
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(rate_milli) AS rate_milli,
+       CAST(SUM(CASE WHEN b < rate_milli THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM s GROUP BY source, lang
+"""
+
+
+@register(
+    "quality_weighted_mixture",
+    oracle=QUALITY_MIXTURE_SQL,
+    survey=["mixture", "data-card", "sampling", "curation", "pipeline-compose"],
+)
+def quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling with rates DERIVED FROM MEASURED QUALITY: each
+    (source, lang) stratum's sampling rate is its data-card keep-rate
+    discounted by its duplicate rate (rate_milli = keep_rate x
+    (1 - dup_rate), integer milli arithmetic), and documents survive a
+    deterministic md5 bucket draw at that rate — closing the loop the
+    source_quality_report docstring promises: mixture weights set from
+    measurement, not provenance guesses. Re-running yields the same
+    sample (hash, not rand), so downstream training data is
+    reproducible.
+
+    Scale shape: the card is a tiny aggregate (sources x langs) that
+    BROADCASTS back onto the corpus scan; the per-doc draw is a pure
+    projection; the accounting rollup is one map-combinable aggregate.
+    The corpus is touched twice (once for the card, once for the
+    draw) — at 100 TB the card comes from the previous run's published
+    report and this becomes a single pass."""
+    card = source_quality_report(spark, sf_dir).select(
+        "source",
+        "lang",
+        (
+            F.col("keep_rate_milli")
+            * (F.lit(1000) - F.col("dup_rate_milli"))
+            / 1000
+        )
+        .cast("long")
+        .alias("rate_milli"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    s = docs.join(F.broadcast(card), ["source", "lang"]).select(
+        "source", "lang", "rate_milli", b.alias("b")
+    )
+    return s.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("rate_milli").alias("rate_milli"),
+        F.sum(F.when(F.col("b") < F.col("rate_milli"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+    )
