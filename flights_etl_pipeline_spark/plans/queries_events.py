@@ -1687,3 +1687,113 @@ def events_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: distribution drift between time halves
+# ---------------------------------------------------------------------------
+
+PSI_SQL = """
+WITH mid AS (
+  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT) AS m
+  FROM events
+),
+tagged AS (
+  SELECT e.event_type,
+         CASE WHEN epoch_us(e.ts) < mid.m THEN 'ref' ELSE 'cur' END AS half
+  FROM events e, mid
+),
+counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM tagged GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+),
+terms AS (
+  SELECT c.event_type, c.n_ref, c.n_cur,
+         CAST(FLOOR(
+           (CAST(c.n_ref + 1 AS DOUBLE) / (tot.t_ref + 1)
+            - CAST(c.n_cur + 1 AS DOUBLE) / (tot.t_cur + 1))
+           * LN((CAST(c.n_ref + 1 AS DOUBLE) / (tot.t_ref + 1))
+                / (CAST(c.n_cur + 1 AS DOUBLE) / (tot.t_cur + 1)))
+           * 1000000000 + 0.5) AS BIGINT) AS psi_term_nano
+  FROM counts c, tot
+)
+SELECT event_type, n_ref, n_cur, psi_term_nano
+FROM terms
+"""
+
+
+@register(
+    "events_psi_drift",
+    oracle=PSI_SQL,
+    survey=["psi", "drift-monitoring", "statistics", "ml-ops"],
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    half of the event stream, per event_type — THE production drift
+    monitor for models and pipelines (PSI > 0.1 = investigate,
+    > 0.25 = retrain/requeue): psi = sum over buckets of
+    (p_ref - p_cur) * ln(p_ref / p_cur), emitted per bucket so the
+    drifting categories are identifiable, with add-one smoothing so an
+    empty bucket never produces an infinite term.
+
+    Exactness: proportions are exact-integer ratios in DOUBLE (one
+    fixed IEEE sequence), the ln() term is floor-quantized to nano
+    units per bucket — the doc_unigram_logprob discipline — so
+    summing terms downstream is order-independent; the midpoint split
+    is pure integer microsecond arithmetic (unix_micros / epoch_us) —
+    interval division differs across engines and bit one attempt.
+
+    Scale shape: one scan tags halves against a broadcast 1-row
+    min/max; bucket counts are one map-combinable aggregate over
+    event_type; totals are a second tiny aggregate broadcast back.
+    For continuous features the same shape runs over decile buckets
+    (order_price_deciles' histogram-offset construction)."""
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.floor(
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+        )
+        .cast("long")
+        .alias("m")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") < F.col("m"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("half"),
+    )
+    counts = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 1)
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 1)
+    term = (
+        F.floor(
+            (p_ref - p_cur) * F.log(p_ref / p_cur) * 1000000000
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        term.alias("psi_term_nano"),
+    )

@@ -2066,3 +2066,87 @@ def quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocab-size coverage table: what fraction of tokens the top-k types cover
+# ---------------------------------------------------------------------------
+
+_COVERAGE_KS = (10, 20, 50)
+
+VOCAB_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(string_split_regex(LOWER(text), '\\s+')) AS t
+        FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r FROM counts
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT k,
+       CAST((SELECT SUM(n) FROM ranked WHERE r <= k) AS BIGINT)
+         AS tokens_covered,
+       tot.t AS total_tokens,
+       CAST(FLOOR(1000000.0
+         * (SELECT SUM(n) FROM ranked WHERE r <= k) / tot.t)
+         AS BIGINT) AS coverage_micro
+FROM (SELECT UNNEST([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k), tot
+"""
+
+
+@register(
+    "vocab_coverage_table",
+    oracle=VOCAB_COVERAGE_SQL,
+    survey=["vocab-sizing", "tokenizer", "coverage", "text"],
+)
+def vocab_coverage_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size design table: for candidate vocab sizes k, the
+    fraction of all corpus tokens the top-k types cover — the curve a
+    tokenizer design reads to pick its vocab budget (coverage knees =
+    diminishing returns; the residual is the byte-fallback/UNK rate).
+
+    Scale shape: the only corpus-sized work is the token count (the
+    vocab_build exchange); each candidate k is answered by a
+    TakeOrdered top-k (per-partition heads, NO vocab-wide sort or
+    rank window) summed on the driver side of the take — here
+    expressed as k independent bounded top-k sums unioned into the
+    {nk}-row output, each a distributed TakeOrdered over the shared
+    count aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    parts = []
+    for k in _COVERAGE_KS:
+        topk = (
+            counts.orderBy(F.col("n").desc(), F.col("token"))
+            .limit(k)
+            .agg(F.sum("n").cast("long").alias("tokens_covered"))
+            .select(F.lit(k).cast("long").alias("k"), "tokens_covered")
+        )
+        parts.append(topk)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "tokens_covered",
+        F.col("t").alias("total_tokens"),
+        F.floor(
+            F.lit(1000000.0) * F.col("tokens_covered") / F.col("t")
+        )
+        .cast("long")
+        .alias("coverage_micro"),
+    )
+
+
+vocab_coverage_table.__doc__ = vocab_coverage_table.__doc__.format(
+    nk=len(_COVERAGE_KS)
+)
