@@ -3159,3 +3159,72 @@ def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(half * 100 + F.lit(0.5)) / 100).alias("ci_halfwidth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+SELECT obs.d, obs.n,
+       CAST(FLOOR(LN(1.0 + 1.0 / obs.d) / LN(10.0) * 1000000 + 0.5)
+            AS BIGINT) AS benford_expected_micro,
+       CAST(FLOOR(1000000.0 * obs.n / tot.t) AS BIGINT)
+         AS observed_micro
+FROM obs, tot
+"""
+
+
+@register(
+    "orders_benford_audit",
+    oracle=BENFORD_SQL,
+    survey=["benford", "audit", "statistics", "data-quality"],
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality check (organic monetary amounts follow
+    P(d) = log10(1 + 1/d); synthetic, capped, or fabricated values
+    don't, and the per-digit observed-vs-expected gap points at the
+    suspect range). Emitted per digit so the deviating digits are
+    identifiable; both proportions in micro units (expected via
+    floor-quantized ln ratio, observed as an exact integer ratio).
+
+    Scale shape: first-digit extraction is a row-local string op on
+    the integer part (no float log10 on the value itself — locale-free
+    and exact); one 9-group map-combinable aggregate plus a broadcast
+    scalar total."""
+    orders = load(spark, sf_dir, "orders")
+    # FLOOR before the integer cast: DuckDB's double->BIGINT cast
+    # rounds to nearest while Spark's truncates (99999.6 -> digit 1 vs
+    # digit 9); flooring first makes both engines truncate
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("t"))
+    expected = F.floor(
+        F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        expected.alias("benford_expected_micro"),
+        F.floor(F.lit(1000000.0) * F.col("n") / F.col("t"))
+        .cast("long")
+        .alias("observed_micro"),
+    )

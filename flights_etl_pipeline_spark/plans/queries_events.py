@@ -1797,3 +1797,67 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         term.alias("psi_term_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly behavioral entropy of the event-type mix
+# ---------------------------------------------------------------------------
+
+ENTROPY_SQL = """
+WITH c AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT hour_start, CAST(SUM(n) AS BIGINT) AS t
+  FROM c GROUP BY hour_start
+)
+SELECT c.hour_start,
+       tot.t AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(FLOOR(
+           -(CAST(c.n AS DOUBLE) / tot.t)
+             * LN(CAST(c.n AS DOUBLE) / tot.t) * 1000000000 + 0.5)
+         AS BIGINT)) AS BIGINT) AS entropy_nano
+FROM c JOIN tot ON c.hour_start = tot.hour_start
+GROUP BY c.hour_start, tot.t
+"""
+
+
+@register(
+    "events_entropy_hourly",
+    oracle=ENTROPY_SQL,
+    survey=["entropy", "statistics", "behavior", "drift-monitoring"],
+)
+def events_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per hour — the behavioral
+    health metric dashboards track beside volume (entropy collapse =
+    one event type flooding, e.g. a retry storm or a dead product
+    surface; a rise = mix shift feeding events_psi_drift's deeper
+    check).
+
+    Exactness: each -p*ln(p) term is floor-quantized to nano units
+    BEFORE the per-hour sum (order-independent), p itself an exact
+    integer ratio in one double division.
+
+    Scale shape: (hour, type) counts map-combine; hour totals ride a
+    second tiny aggregate joined back on the hour key; the term sum
+    re-uses the same hour partitioning — no window, no sort."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("hour_start").agg(F.sum("n").cast("long").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    term = F.floor(-p * F.log(p) * 1000000000 + F.lit(0.5)).cast("long")
+    return (
+        c.join(tot, "hour_start")
+        .groupBy("hour_start", F.col("t").alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(term).cast("long").alias("entropy_nano"),
+        )
+        .select("hour_start", "n_events", "n_types", "entropy_nano")
+    )
