@@ -1861,3 +1861,103 @@ def events_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("hour_start", "n_events", "n_types", "entropy_nano")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over hourly event volume
+# ---------------------------------------------------------------------------
+
+CUSUM_SQL = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+mu AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS h
+  FROM hourly
+),
+dev AS (
+  SELECT hourly.hour_start, hourly.n,
+         CAST(hourly.n * mu.h - mu.tot AS BIGINT) AS dev_h
+  FROM hourly, mu
+),
+cum AS (
+  SELECT hour_start, n, dev_h,
+         CAST(SUM(dev_h) OVER (ORDER BY hour_start) AS BIGINT) AS cusum_h
+  FROM dev
+),
+peak AS (
+  SELECT MAX(ABS(cusum_h)) AS m FROM cum
+)
+SELECT cum.hour_start, cum.n, cum.cusum_h,
+       ABS(cum.cusum_h) = peak.m AS is_changepoint
+FROM cum, peak
+"""
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=CUSUM_SQL,
+    survey=["cusum", "changepoint", "time-series", "prefix-sum"],
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over hourly event volume: the running sum
+    of deviations from the series mean, whose maximum excursion marks
+    the most likely level-shift hour (the classic offline CUSUM
+    estimator; ops teams read the flagged hour as "when the incident
+    started"). Deviations are kept INTEGER by scaling: dev_h =
+    n_t * H - total (each hour's count times hour-count minus the
+    grand total = H times the usual n_t - mean), so the cumulative
+    sum is exact integer arithmetic — no float drift anywhere.
+
+    Scale shape: the corpus-sized work is the hourly count (one
+    map-combinable aggregate); the cumulation runs on the HOURLY SPINE
+    (series-length rows, independent of event volume) via the same
+    two-level prefix sum as vocab_growth_curve — per-day partitioned
+    windows plus one tiny day-offset window — so even a years-long
+    spine never funnels through one task unbounded."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mu = hourly.agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+    )
+    dev = hourly.crossJoin(F.broadcast(mu)).select(
+        "hour_start",
+        "n",
+        (F.col("n") * F.col("h") - F.col("tot")).cast("long").alias("dev_h"),
+        F.date_trunc("day", F.col("hour_start")).alias("day"),
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = dev.select(
+        "hour_start",
+        "n",
+        "dev_h",
+        "day",
+        F.sum("dev_h").over(w_in).alias("intra"),
+    )
+    dtot = dev.groupBy("day").agg(F.sum("dev_h").alias("d_dev"))
+    w_d = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = dtot.select(
+        "day",
+        F.coalesce(F.sum("d_dev").over(w_d), F.lit(0)).alias("off"),
+    )
+    cum = intra.join(F.broadcast(offsets), "day").select(
+        "hour_start",
+        "n",
+        (F.col("off") + F.col("intra")).cast("long").alias("cusum_h"),
+    )
+    peak = cum.agg(F.max(F.abs(F.col("cusum_h"))).alias("m"))
+    return cum.crossJoin(F.broadcast(peak)).select(
+        "hour_start",
+        "n",
+        "cusum_h",
+        (F.abs(F.col("cusum_h")) == F.col("m")).alias("is_changepoint"),
+    )

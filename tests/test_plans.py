@@ -78,6 +78,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     # window runs over the 1000x-reduced bucket-total spine
     # (n_docs/1000 rows, 2 longs each), not raw docs; the per-doc
     # cumulation is key-partitioned (see docstring's scale note)
+    "events_cusum_changepoint",  # same two-level construction: the
+    # only unpartitioned window is over per-DAY deviation totals
+    # (spine-length/24 rows); hourly cumulation partitions by day
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
