@@ -3228,3 +3228,83 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("observed_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-month order streak per customer
+# ---------------------------------------------------------------------------
+
+STREAK_SQL = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         (YEAR(o_orderdate) - 1990) * 12 + (MONTH(o_orderdate) - 1) AS m
+  FROM orders
+),
+islands AS (
+  SELECT o_custkey, m,
+         m - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY m)
+           AS island
+  FROM months
+),
+streaks AS (
+  SELECT o_custkey, island,
+         CAST(COUNT(*) AS BIGINT) AS streak_len,
+         CAST(MIN(m) AS BIGINT) AS start_m
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak_months,
+       CAST(MIN(CASE WHEN streak_len = ms THEN start_m END) AS BIGINT)
+         AS earliest_longest_start_m,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM (SELECT *, MAX(streak_len) OVER (PARTITION BY o_custkey) AS ms
+      FROM streaks)
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "customer_order_streaks",
+    oracle=STREAK_SQL,
+    survey=["gaps-islands", "window", "streaks", "G4-family"],
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest streak of CONSECUTIVE
+    months with at least one order (plus when it started and how many
+    distinct streaks they had) — the classic engagement-continuity
+    shape (login streaks, subscription continuity) done with the
+    m - DENSE_RANK() island-id trick: consecutive months share a
+    constant difference to their rank, so the island id is a pure
+    window derivation and streaks are one aggregate over it.
+
+    Scale shape: every window partitions by o_custkey (key-partitioned
+    sort inside hash partitions, no global sort); months are
+    deduplicated BEFORE the window so the island derivation touches at
+    most months-per-customer rows; two chained aggregates ride the
+    same customer partitioning."""
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        (F.year("o_orderdate") - 1990) * 12 + (F.month("o_orderdate") - 1)
+    ).alias("m")
+    months = orders.select("o_custkey", m).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    islands = months.select(
+        "o_custkey", "m", (F.col("m") - F.dense_rank().over(w)).alias("island")
+    )
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+        F.min("m").cast("long").alias("start_m"),
+    )
+    wc = Window.partitionBy("o_custkey")
+    withmax = streaks.withColumn(
+        "ms", F.max("streak_len").over(wc)
+    )
+    return withmax.groupBy("o_custkey").agg(
+        F.max("streak_len").cast("long").alias("longest_streak_months"),
+        F.min(
+            F.when(F.col("streak_len") == F.col("ms"), F.col("start_m"))
+        )
+        .cast("long")
+        .alias("earliest_longest_start_m"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )

@@ -1961,3 +1961,131 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_h",
         (F.abs(F.col("cusum_h")) == F.col("m")).alias("is_changepoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned two-sample Kolmogorov-Smirnov: value-distribution drift
+# ---------------------------------------------------------------------------
+
+_KS_BUCKETS = 32
+
+KS_SQL = f"""
+WITH mid AS (
+  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT) AS m
+  FROM events
+),
+binned AS (
+  SELECT CASE WHEN epoch_us(e.ts) < mid.m THEN 'ref' ELSE 'cur' END AS half,
+         LEAST(CAST(FLOOR(LN(1.0 + GREATEST(e.value, 0.0))
+                          * {_KS_BUCKETS} / 10 + 0.5) AS BIGINT),
+               {_KS_BUCKETS - 1}) AS b
+  FROM events e, mid
+),
+counts AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM binned GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+),
+cum AS (
+  SELECT b, n_ref, n_cur,
+         CAST(SUM(n_ref) OVER (ORDER BY b) AS BIGINT) AS c_ref,
+         CAST(SUM(n_cur) OVER (ORDER BY b) AS BIGINT) AS c_cur
+  FROM counts
+)
+SELECT cum.b, cum.n_ref, cum.n_cur,
+       CAST(FLOOR(ABS(CAST(cum.c_ref AS DOUBLE) / tot.t_ref
+                      - CAST(cum.c_cur AS DOUBLE) / tot.t_cur)
+                  * 1000000000 + 0.5) AS BIGINT) AS ecdf_gap_nano
+FROM cum, tot
+"""
+
+
+@register(
+    "events_ks_binned",
+    oracle=KS_SQL,
+    survey=["kolmogorov-smirnov", "drift-monitoring", "statistics"],
+)
+def events_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov scan of the event VALUE
+    distribution between the first and second time half: per log-scale
+    bucket, the |ECDF_ref - ECDF_cur| gap (the KS statistic is the max
+    over buckets — emitted per bucket so the drifting value range is
+    identifiable, complementing events_psi_drift's categorical check
+    with a continuous-feature one).
+
+    Exactness: the log bucket index is floor-quantized; the midpoint
+    split is integer microseconds; cumulative counts are exact BIGINT
+    window sums over the {nb}-bucket spine; each ECDF gap is one fixed
+    IEEE sequence floor-quantized to nano.
+
+    Scale shape: corpus-sized work is the (half, bucket) count — one
+    map-combinable aggregate; the ECDF cumulation is a window over the
+    FIXED {nb}-row bucket spine (bounded by construction, not by data;
+    sanctioned class), and totals broadcast back."""
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.floor(
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+        )
+        .cast("long")
+        .alias("m")
+    )
+    b = F.least(
+        F.floor(
+            F.log(1.0 + F.greatest(F.col("value"), F.lit(0.0)))
+            * _KS_BUCKETS
+            / 10
+            + F.lit(0.5)
+        ).cast("long"),
+        F.lit(_KS_BUCKETS - 1),
+    )
+    binned = ev.crossJoin(F.broadcast(mid)).select(
+        F.when(F.unix_micros("ts") < F.col("m"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("half"),
+        b.alias("b"),
+    )
+    counts = binned.groupBy("b").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "b",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w).cast("long").alias("c_ref"),
+        F.sum("n_cur").over(w).cast("long").alias("c_cur"),
+    )
+    gap = F.floor(
+        F.abs(
+            F.col("c_ref").cast("double") / F.col("t_ref")
+            - F.col("c_cur").cast("double") / F.col("t_cur")
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "b", "n_ref", "n_cur", gap.alias("ecdf_gap_nano")
+    )
+
+
+events_ks_binned.__doc__ = events_ks_binned.__doc__.format(nb=_KS_BUCKETS)

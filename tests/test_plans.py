@@ -81,6 +81,8 @@ _SINGLE_PARTITION_SANCTIONED = {
     "events_cusum_changepoint",  # same two-level construction: the
     # only unpartitioned window is over per-DAY deviation totals
     # (spine-length/24 rows); hourly cumulation partitions by day
+    "events_ks_binned",  # ECDF cumulation over the FIXED 32-bucket
+    # log-histogram spine — bounded by construction, not by data
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
