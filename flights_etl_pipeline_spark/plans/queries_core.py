@@ -3308,3 +3308,112 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("earliest_longest_start_m"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA from exact group moments
+# ---------------------------------------------------------------------------
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_g,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(38,4))) AS DOUBLE) AS q_g
+  FROM lineitem GROUP BY l_returnflag
+),
+terms AS (
+  SELECT l_returnflag, n_g, s_g, q_g,
+         CAST(FLOOR(s_g * s_g / n_g + 0.5) AS BIGINT) AS t_g
+  FROM g
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(s_g * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s_centi,
+         CAST(SUM(CAST(FLOOR(q_g + 0.5) AS BIGINT)) AS BIGINT)
+           AS q_unit,
+         CAST(SUM(t_g) AS BIGINT) AS t
+  FROM terms
+)
+SELECT k, n,
+       FLOOR((t - (CAST(s_centi AS DOUBLE) / 100)
+                  * (CAST(s_centi AS DOUBLE) / 100) / n) * 100 + 0.5) / 100
+         AS ss_between,
+       FLOOR((CAST(q_unit AS DOUBLE) - t) * 100 + 0.5) / 100
+         AS ss_within,
+       FLOOR(((t - (CAST(s_centi AS DOUBLE) / 100)
+                   * (CAST(s_centi AS DOUBLE) / 100) / n) / (k - 1))
+             / ((CAST(q_unit AS DOUBLE) - t) / (n - k))
+             * 1000000 + 0.5) / 1000000 AS f_stat
+FROM agg
+"""
+
+
+@register(
+    "lineitem_anova_returnflag",
+    oracle=ANOVA_SQL,
+    survey=["anova", "statistics", "hypothesis-test"],
+)
+def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of extended price across return-flag groups — the
+    F-statistic for "do the group means differ", computed purely from
+    per-group MOMENTS (n, Σx as exact decimal, Σx² as exact decimal):
+    SSB = Σ S_g²/n_g − S²/n, SSW = Q − Σ S_g²/n_g — the only ANOVA
+    form that distributes (one map-combinable aggregate per group, one
+    k-row rollup; the same moments shape as corr/OLS/chi²).
+
+    Exactness: every cross-group sum aggregates INTEGERS — each
+    group's S_g²/n_g term, S (centi units), and Q (whole units — finer
+    scales overflow int64 once Σx² reaches ~1e15 at sf0.1) are
+    floor-quantized per group before the k-row sum, so cross-group
+    addition order cannot perturb a bit; the final SSB/SSW/F are fixed
+    IEEE sequences over those integers, and sub-unit precision on Q is
+    irrelevant against an SSW of ~1e14."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s_g"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("q_g"),
+    )
+    terms = g.select(
+        "n_g",
+        "s_g",
+        "q_g",
+        F.floor(F.col("s_g") * F.col("s_g") / F.col("n_g") + F.lit(0.5))
+        .cast("long")
+        .alias("t_g"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.floor(F.col("s_g") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("s_centi"),
+        F.sum(F.floor(F.col("q_g") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("q_unit"),
+        F.sum("t_g").cast("long").alias("t"),
+    )
+    s = F.col("s_centi").cast("double") / 100
+    q = F.col("q_unit").cast("double")
+    ssb = F.col("t") - s * s / F.col("n")
+    ssw = q - F.col("t")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return agg.select(
+        "k",
+        "n",
+        (F.floor(ssb * 100 + F.lit(0.5)) / 100).alias("ss_between"),
+        (F.floor(ssw * 100 + F.lit(0.5)) / 100).alias("ss_within"),
+        (F.floor(f * 1000000 + F.lit(0.5)) / 1000000).alias("f_stat"),
+    )
