@@ -3417,3 +3417,137 @@ def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(ssw * 100 + F.lit(0.5)) / 100).alias("ss_within"),
         (F.floor(f * 1000000 + F.lit(0.5)) / 1000000).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of monthly revenue (lags 1..12)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 12
+
+ACF_SQL = f"""
+WITH monthly AS (
+  SELECT (YEAR(o_orderdate) - 1990) * 12 + (MONTH(o_orderdate) - 1) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+mu AS (
+  SELECT CAST(SUM(CAST(FLOOR(rev * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s_centi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+),
+dev AS (
+  SELECT m,
+         rev - (CAST(mu.s_centi AS DOUBLE) / 100) / mu.n AS d
+  FROM monthly, mu
+),
+den AS (
+  SELECT CAST(SUM(CAST(FLOOR(d * d * 0.0001 + 0.5) AS BIGINT)) AS BIGINT)
+           AS ss
+  FROM dev
+),
+lags AS (SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+num AS (
+  SELECT lags.lag,
+         CAST(SUM(CAST(FLOOR(a.d * b.d * 0.0001 + 0.5) AS BIGINT))
+              AS BIGINT) AS sp,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM lags
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.m = a.m + lags.lag
+  GROUP BY lags.lag
+)
+SELECT CAST(num.lag AS BIGINT) AS lag, num.n_pairs,
+       FLOOR(CAST(num.sp AS DOUBLE) / den.ss * 1000000 + 0.5) / 1000000
+         AS acf
+FROM num, den
+"""
+
+
+@register(
+    "revenue_acf",
+    oracle=ACF_SQL,
+    survey=["acf", "autocorrelation", "time-series", "statistics"],
+)
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of monthly revenue at lags 1..{ml} —
+    the diagnostic read before fitting any seasonal model (a spike at
+    lag 12 = yearly seasonality justifying Holt-Winters' period; decay
+    shape distinguishes trend from noise). ACF(k) = Σ d_t d_(t+k) /
+    Σ d_t², deviations from the exact-decimal-derived mean.
+
+    Exactness: each cross product d_t*d_(t+k) is floor-quantized to
+    1e-4 units BEFORE its sum (deviation products reach ~1e13; finer
+    scales would overflow int64 at larger SFs), the mean comes from an
+    integer centi sum, and the final ratio is one IEEE division of two
+    integers.
+
+    Scale shape: corpus-sized work is the monthly aggregate; the lag
+    join runs on the month SPINE against a tiny lag table (spine x
+    {ml} rows), all broadcastable; per-lag sums are map-combinable.
+    Millions of independent series add the series key to every join
+    and group key."""
+    orders = load(spark, sf_dir, "orders")
+    m = ((F.year("o_orderdate") - 1990) * 12 + (F.month("o_orderdate") - 1))
+    monthly = orders.groupBy(m.alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    mu = monthly.agg(
+        F.sum(F.floor(F.col("rev") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("s_centi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = monthly.crossJoin(F.broadcast(mu)).select(
+        "m",
+        (
+            F.col("rev")
+            - (F.col("s_centi").cast("double") / 100) / F.col("n")
+        ).alias("d"),
+    )
+    den = dev.agg(
+        F.sum(
+            F.floor(F.col("d") * F.col("d") * 0.0001 + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("ss")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = dev.alias("a")
+    b = dev.alias("b")
+    num = (
+        lags.crossJoin(a)
+        .join(b, F.col("b.m") == F.col("a.m") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("a.d") * F.col("b.d") * 0.0001 + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sp"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        (
+            F.floor(
+                F.col("sp").cast("double") / F.col("ss") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("acf"),
+    )
+
+
+revenue_acf.__doc__ = revenue_acf.__doc__.format(ml=_ACF_MAX_LAG)
