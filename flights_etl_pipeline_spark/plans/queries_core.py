@@ -3551,3 +3551,97 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 revenue_acf.__doc__ = revenue_acf.__doc__.format(ml=_ACF_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# ABC classification of brands by revenue contribution
+# ---------------------------------------------------------------------------
+
+ABC_SQL = """
+WITH brand_rev AS (
+  SELECT p.p_brand,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS rev,
+         CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(18,0)))
+              AS BIGINT) AS rev_centi
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+tot AS (SELECT CAST(SUM(rev_centi) AS BIGINT) AS t FROM brand_rev),
+ranked AS (
+  SELECT p_brand, rev, rev_centi,
+         CAST(SUM(rev_centi) OVER (
+           ORDER BY rev_centi DESC, p_brand) AS BIGINT) AS cum_centi
+  FROM brand_rev
+)
+SELECT r.p_brand,
+       FLOOR(r.rev * 100 + 0.5) / 100 AS revenue,
+       CAST(FLOOR(1000000.0 * r.cum_centi / tot.t) AS BIGINT)
+         AS cum_share_micro,
+       CASE WHEN (r.cum_centi - r.rev_centi) * 10 < tot.t * 8 THEN 'A'
+            WHEN (r.cum_centi - r.rev_centi) * 100 < tot.t * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r, tot
+"""
+
+
+@register(
+    "brand_abc_classes",
+    oracle=ABC_SQL,
+    survey=["abc-classification", "pareto", "warehouse", "G3-family"],
+)
+def brand_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of part brands by revenue
+    contribution: ranked by revenue, a brand is class A while the
+    cumulative share BEFORE it is under 80%, B under 95%, C otherwise
+    — the standard warehouse segmentation (A-items get daily
+    attention, C-items quarterly). The prior-cumulative convention
+    makes every class non-empty and boundary-stable.
+
+    Exactness: revenue ranks and cumulative sums run on exact INTEGER
+    centi units (a decimal-sum cast; never summed as doubles), the
+    share is one integer ratio, and class boundaries are integer
+    cross-multiplications — no float anywhere near a CASE edge.
+
+    Scale shape: the corpus-sized work is the (brand) revenue
+    aggregate with the part dim broadcast; the ranked cumulation runs
+    over the BRAND spine (~25 rows at any SF — category-bounded, not
+    data-bounded), the same sanctioned-bounded-window class as the
+    score-histogram AUC."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brand_rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+            F.sum(
+                (F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+            )
+            .cast("long")
+            .alias("rev_centi"),
+        )
+    )
+    tot = brand_rev.agg(F.sum("rev_centi").cast("long").alias("t"))
+    w = Window.orderBy(F.col("rev_centi").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = brand_rev.withColumn(
+        "cum_centi", F.sum("rev_centi").over(w).cast("long")
+    )
+    prior = F.col("cum_centi") - F.col("rev_centi")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        (F.floor(F.col("rev") * 100 + F.lit(0.5)) / 100).alias("revenue"),
+        F.floor(F.lit(1000000.0) * F.col("cum_centi") / F.col("t"))
+        .cast("long")
+        .alias("cum_share_micro"),
+        F.when(prior * 10 < F.col("t") * 8, F.lit("A"))
+        .when(prior * 100 < F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

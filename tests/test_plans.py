@@ -83,6 +83,8 @@ _SINGLE_PARTITION_SANCTIONED = {
     # (spine-length/24 rows); hourly cumulation partitions by day
     "events_ks_binned",  # ECDF cumulation over the FIXED 32-bucket
     # log-histogram spine — bounded by construction, not by data
+    "brand_abc_classes",  # ranked cumulation over the BRAND spine
+    # (~25 rows at any SF — category-bounded, not data-bounded)
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
