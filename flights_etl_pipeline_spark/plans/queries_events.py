@@ -2089,3 +2089,70 @@ def events_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_ks_binned.__doc__ = events_ks_binned.__doc__.format(nb=_KS_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Poisson anomaly bands over hourly event counts per type
+# ---------------------------------------------------------------------------
+
+POISSON_SQL = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rate AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS h
+  FROM hourly GROUP BY event_type
+)
+SELECT hy.hour_start, hy.event_type, hy.n,
+       CAST(FLOOR(1000000.0 * rate.tot / rate.h) AS BIGINT)
+         AS lambda_micro,
+       (hy.n * rate.h - rate.tot) * (hy.n * rate.h - rate.tot)
+         > 9 * rate.tot * rate.h AS is_anomaly
+FROM hourly hy JOIN rate ON hy.event_type = rate.event_type
+"""
+
+
+@register(
+    "events_poisson_anomaly",
+    oracle=POISSON_SQL,
+    survey=["poisson", "anomaly-detection", "statistics", "monitoring"],
+)
+def events_poisson_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson anomaly flags over hourly event counts per type: an
+    hour is anomalous when its count leaves the 3-sigma band around
+    the type's mean hourly rate — |n - lambda| > 3*sqrt(lambda), the
+    count-process counterpart to events_mad_outliers' value check
+    (retry storms, outage gaps, bot bursts).
+
+    Exactness: the band test is cleared of ALL division and sqrt by
+    cross-multiplication — (n*H - T)^2 > 9*T*H with T = total events
+    and H = hours, pure BIGINT arithmetic, so the boolean cannot
+    diverge across engines; the reported lambda is an integer-ratio
+    floor.
+
+    Scale shape: two chained map-combinable aggregates ((hour, type)
+    then (type)) and a broadcast join of the tiny per-type rate table
+    back onto the hourly spine. No window, no sort."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rate = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+    )
+    dev = F.col("n") * F.col("h") - F.col("tot")
+    return hourly.join(F.broadcast(rate), "event_type").select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.floor(F.lit(1000000.0) * F.col("tot") / F.col("h"))
+        .cast("long")
+        .alias("lambda_micro"),
+        (dev * dev > 9 * F.col("tot") * F.col("h")).alias("is_anomaly"),
+    )
