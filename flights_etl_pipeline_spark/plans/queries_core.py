@@ -3645,3 +3645,107 @@ def brand_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix: cumulative revenue by first-order cohort x month age
+# ---------------------------------------------------------------------------
+
+LTV_SQL = """
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(MIN((YEAR(o_orderdate) - 1990) * 12
+                  + (MONTH(o_orderdate) - 1)) AS BIGINT) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort_m,
+         CAST((YEAR(o.o_orderdate) - 1990) * 12
+              + (MONTH(o.o_orderdate) - 1) AS BIGINT) - f.cohort_m AS age,
+         CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
+           AS rev_centi
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort_m,
+           CAST((YEAR(o.o_orderdate) - 1990) * 12
+                + (MONTH(o.o_orderdate) - 1) AS BIGINT) - f.cohort_m
+),
+sizes AS (
+  SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_n
+  FROM firsts GROUP BY cohort_m
+)
+SELECT r.cohort_m, r.age, s.cohort_n,
+       CAST(SUM(r2.rev_centi) AS BIGINT) AS cum_rev_centi,
+       CAST(CAST(SUM(r2.rev_centi) AS BIGINT) // s.cohort_n AS BIGINT)
+         AS ltv_centi_per_cust
+FROM rev r
+JOIN rev r2 ON r2.cohort_m = r.cohort_m AND r2.age <= r.age
+JOIN sizes s ON s.cohort_m = r.cohort_m
+GROUP BY r.cohort_m, r.age, s.cohort_n
+"""
+
+
+@register(
+    "cohort_ltv_matrix",
+    oracle=LTV_SQL,
+    survey=["cohort-ltv", "window", "warehouse", "G3-family"],
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: for every (first-order-month
+    cohort, months-since-first) cell, the cohort's CUMULATIVE revenue
+    and per-customer LTV — the table growth teams read diagonally
+    ("is LTV at age 6 improving across cohorts?"), the revenue twin of
+    customer_cohort_retention's count matrix.
+
+    Exactness: revenue is integer centi units end to end (decimal-sum
+    cast); the per-customer LTV is integer division — no float
+    anywhere. The oracle expresses the cumulation as a self-join on
+    age <= age (identical result); the Spark plan uses the
+    key-partitioned running-sum window instead.
+
+    Scale shape: firsts is one map-combinable MIN per customer
+    (broadcast back); the (cohort, age) aggregate is map-combinable;
+    the cumulation partitions by cohort (bounded rows per cohort =
+    months of history). Nothing touches per-customer rows after the
+    first aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        (F.year("o_orderdate") - 1990) * 12 + (F.month("o_orderdate") - 1)
+    ).cast("long")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(m).cast("long").alias("cohort_m")
+    )
+    rev = (
+        orders.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            "cohort_m", (m - F.col("cohort_m")).cast("long").alias("age")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("rev_centi")
+        )
+    )
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_n")
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_m",
+        "age",
+        F.sum("rev_centi").over(w).cast("long").alias("cum_rev_centi"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_m").select(
+        "cohort_m",
+        "age",
+        "cohort_n",
+        "cum_rev_centi",
+        # explicit integer division: double-division-then-cast differs
+        # across engines at the quotient boundary
+        F.expr("cum_rev_centi div cohort_n")
+        .cast("long")
+        .alias("ltv_centi_per_cust"),
+    )
