@@ -2156,3 +2156,122 @@ def epoch_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 epoch_shard_assign.__doc__ = epoch_shard_assign.__doc__.format(
     w=_WORLD_SIZE, e=_EPOCHS
 )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+_JSD_DIM = 256
+
+
+JSD_SQL = f"""
+WITH stoks AS (
+  SELECT source, {_fh_sql('tok')} % {_JSD_DIM} AS bucket
+  FROM (SELECT source,
+               UNNEST(string_split_regex(LOWER(text), '\\s+')) AS tok
+        FROM documents)
+),
+counts AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM stoks GROUP BY source, bucket
+),
+tots AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY source
+),
+grid AS (
+  SELECT tots.source, b.bucket,
+         CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (tots.t + {_JSD_DIM}) AS p
+  FROM tots
+  CROSS JOIN (SELECT UNNEST(range({_JSD_DIM})) AS bucket) b
+  LEFT JOIN counts c ON c.source = tots.source AND c.bucket = b.bucket
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.bucket,
+         a.p AS pa, b.p AS pb
+  FROM grid a JOIN grid b
+    ON a.bucket = b.bucket AND a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(SUM(CAST(FLOOR(
+         (0.5 * pa * LN(pa / ((pa + pb) / 2))
+          + 0.5 * pb * LN(pb / ((pa + pb) / 2))) * 1000000000 + 0.5)
+         AS BIGINT)) AS BIGINT) AS jsd_nano
+FROM pairs
+GROUP BY source_a, source_b
+"""
+
+
+@register(
+    "source_jsd_matrix",
+    oracle=JSD_SQL,
+    survey=["jensen-shannon", "corpus-similarity", "mixture", "statistics"],
+)
+def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources'
+    hashed-unigram distributions — the corpus-similarity matrix
+    mixture designers read before setting weights (near-zero JSD pairs
+    are redundant sources; high-JSD sources add diversity; feeds the
+    same decisions as dsir_importance_weights from the distribution
+    side). Symmetric and bounded [0, ln 2], unlike raw KL.
+
+    Exactness: distributions are add-one-smoothed integer ratios over
+    the {d}-bucket hashed vocabulary (the DSIR channel), each
+    per-bucket JSD term floor-quantized to nano units BEFORE the
+    bucket sum.
+
+    Scale shape: the corpus-sized work is ONE (source, bucket) count
+    (map-combinable explode+agg); everything after runs on the dense
+    sources x {d} grid (tiny, broadcastable) — the pair join is
+    grid-sized, never corpus-sized, so 100 TB costs the same as 100 MB
+    past the first aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    stoks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).select("source", (_fh(F.col("tok")) % _JSD_DIM).alias("bucket"))
+    counts = stoks.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tots = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    buckets = spark.range(_JSD_DIM).select(F.col("id").alias("bucket"))
+    grid = (
+        tots.crossJoin(F.broadcast(buckets))
+        .join(counts, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + _JSD_DIM)
+            ).alias("p"),
+        )
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    mid = (pa + pb) / 2
+    term = F.floor(
+        (0.5 * pa * F.log(pa / mid) + 0.5 * pb * F.log(pb / mid))
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            term.alias("term"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("term").cast("long").alias("jsd_nano"))
+    )
+
+
+source_jsd_matrix.__doc__ = source_jsd_matrix.__doc__.format(d=_JSD_DIM)
