@@ -3749,3 +3749,89 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ltv_centi_per_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned mutual information: quantity vs extended price
+# ---------------------------------------------------------------------------
+
+MI_SQL = """
+WITH binned AS (
+  SELECT CAST(FLOOR((l_quantity - 1) / 5) AS BIGINT) AS qbin,
+         LEAST(CAST(FLOOR(l_extendedprice / 10000) AS BIGINT), 10) AS pbin
+  FROM lineitem
+),
+joint AS (
+  SELECT qbin, pbin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM binned GROUP BY qbin, pbin
+),
+mx AS (SELECT qbin, CAST(SUM(n) AS BIGINT) AS nx FROM joint GROUP BY qbin),
+my AS (SELECT pbin, CAST(SUM(n) AS BIGINT) AS ny FROM joint GROUP BY pbin),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM joint)
+SELECT j.qbin, j.pbin, j.n,
+       CAST(FLOOR(
+         (CAST(j.n AS DOUBLE) / tot.t)
+         * LN((CAST(j.n AS DOUBLE) * tot.t)
+              / (CAST(mx.nx AS DOUBLE) * my.ny))
+         * 1000000000 + 0.5) AS BIGINT) AS mi_term_nano
+FROM joint j
+JOIN mx ON mx.qbin = j.qbin
+JOIN my ON my.pbin = j.pbin
+CROSS JOIN tot
+"""
+
+
+@register(
+    "lineitem_mutual_information",
+    oracle=MI_SQL,
+    survey=["mutual-information", "statistics", "dependence"],
+)
+def lineitem_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binned mutual information between order quantity and extended
+    price: per (quantity-bin, price-bin) cell, the MI contribution
+    p_xy * ln(p_xy / (p_x p_y)) — the dependence measure that catches
+    NON-LINEAR relationships corr_price_qty's Pearson r can't (MI sums
+    to ~0 iff independent under any functional form). Emitted per cell
+    so the dependent region is identifiable; summing mi_term_nano
+    downstream gives the scalar MI.
+
+    Exactness: cells are integer bins (quantity fives, price 10k bands
+    capped); every probability is an exact-integer ratio computed in
+    one IEEE sequence; each term floor-quantized to nano BEFORE any
+    downstream sum.
+
+    Scale shape: one map-combinable (qbin, pbin) count (~110 cells);
+    marginals are rollups OF THE CELLS (never re-scan the corpus); the
+    term join runs on the cell grid. Identical cost at any corpus
+    size past the first aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.floor((F.col("l_quantity") - 1) / 5).cast("long").alias("qbin"),
+        F.least(
+            F.floor(F.col("l_extendedprice") / 10000).cast("long"),
+            F.lit(10).cast("long"),
+        ).alias("pbin"),
+    )
+    joint = binned.groupBy("qbin", "pbin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mx = joint.groupBy("qbin").agg(F.sum("n").cast("long").alias("nx"))
+    my = joint.groupBy("pbin").agg(F.sum("n").cast("long").alias("ny"))
+    tot = joint.agg(F.sum("n").cast("long").alias("t"))
+    term = F.floor(
+        (F.col("n").cast("double") / F.col("t"))
+        * F.log(
+            (F.col("n").cast("double") * F.col("t"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        joint.join(F.broadcast(mx), "qbin")
+        .join(F.broadcast(my), "pbin")
+        .crossJoin(F.broadcast(tot))
+        .select("qbin", "pbin", "n", term.alias("mi_term_nano"))
+    )
