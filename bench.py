@@ -193,7 +193,10 @@ def _baseline() -> tuple[int, dict[str, float]] | None:
                 # a PARTIAL baseline from the newest round still beats
                 # a complete one from a stale round for delta checks
                 frag = tail.split('"sf":')[0]
-                pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', frag)
+                pairs = re.findall(
+                    r'"([a-z0-9_]+)":\s*([0-9.]+(?:[eE][+-]?[0-9]+)?)',
+                    frag,
+                )
                 recovered = {
                     k: float(v)
                     for k, v in pairs

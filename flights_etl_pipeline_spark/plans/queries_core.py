@@ -18,7 +18,7 @@ broadcast; the only wide shuffles are keyed by high-cardinality columns
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -3234,10 +3234,21 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gaps-and-islands: longest consecutive-month order streak per customer
 # ---------------------------------------------------------------------------
 
-STREAK_SQL = """
+# Shared month index for the streak/ACF/LTV family: months since Jan
+# 1990, identical text in every oracle and the same arithmetic in every
+# Spark twin — a drift in ONE site would silently break hash parity for
+# the others, so there is exactly one definition.
+_MONTH_IDX_SQL = "(YEAR({d}) - 1990) * 12 + (MONTH({d}) - 1)"
+
+
+def _month_idx(col: str) -> Column:
+    return (F.year(col) - 1990) * 12 + (F.month(col) - 1)
+
+
+STREAK_SQL = f"""
 WITH months AS (
   SELECT DISTINCT o_custkey,
-         (YEAR(o_orderdate) - 1990) * 12 + (MONTH(o_orderdate) - 1) AS m
+         {_MONTH_IDX_SQL.format(d='o_orderdate')} AS m
   FROM orders
 ),
 islands AS (
@@ -3283,9 +3294,7 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     most months-per-customer rows; two chained aggregates ride the
     same customer partitioning."""
     orders = load(spark, sf_dir, "orders")
-    m = (
-        (F.year("o_orderdate") - 1990) * 12 + (F.month("o_orderdate") - 1)
-    ).alias("m")
+    m = _month_idx("o_orderdate").alias("m")
     months = orders.select("o_custkey", m).distinct()
     w = Window.partitionBy("o_custkey").orderBy("m")
     islands = months.select(
@@ -3427,7 +3436,7 @@ _ACF_MAX_LAG = 12
 
 ACF_SQL = f"""
 WITH monthly AS (
-  SELECT (YEAR(o_orderdate) - 1990) * 12 + (MONTH(o_orderdate) - 1) AS m,
+  SELECT {_MONTH_IDX_SQL.format(d='o_orderdate')} AS m,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
   FROM orders GROUP BY 1
 ),
@@ -3489,7 +3498,7 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Millions of independent series add the series key to every join
     and group key."""
     orders = load(spark, sf_dir, "orders")
-    m = ((F.year("o_orderdate") - 1990) * 12 + (F.month("o_orderdate") - 1))
+    m = _month_idx("o_orderdate")
     monthly = orders.groupBy(m.alias("m")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
@@ -3651,23 +3660,23 @@ def brand_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cohort LTV matrix: cumulative revenue by first-order cohort x month age
 # ---------------------------------------------------------------------------
 
-LTV_SQL = """
+LTV_SQL = f"""
 WITH firsts AS (
   SELECT o_custkey,
-         CAST(MIN((YEAR(o_orderdate) - 1990) * 12
-                  + (MONTH(o_orderdate) - 1)) AS BIGINT) AS cohort_m
+         CAST(MIN({_MONTH_IDX_SQL.format(d='o_orderdate')}) AS BIGINT)
+           AS cohort_m
   FROM orders GROUP BY o_custkey
 ),
 rev AS (
   SELECT f.cohort_m,
-         CAST((YEAR(o.o_orderdate) - 1990) * 12
-              + (MONTH(o.o_orderdate) - 1) AS BIGINT) - f.cohort_m AS age,
+         CAST({_MONTH_IDX_SQL.format(d='o.o_orderdate')} AS BIGINT)
+           - f.cohort_m AS age,
          CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT)
            AS rev_centi
   FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
   GROUP BY f.cohort_m,
-           CAST((YEAR(o.o_orderdate) - 1990) * 12
-                + (MONTH(o.o_orderdate) - 1) AS BIGINT) - f.cohort_m
+           CAST({_MONTH_IDX_SQL.format(d='o.o_orderdate')} AS BIGINT)
+             - f.cohort_m
 ),
 sizes AS (
   SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_n
@@ -3702,20 +3711,20 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     age <= age (identical result); the Spark plan uses the
     key-partitioned running-sum window instead.
 
-    Scale shape: firsts is one map-combinable MIN per customer
-    (broadcast back); the (cohort, age) aggregate is map-combinable;
+    Scale shape: firsts is one map-combinable MIN per customer,
+    joined back WITHOUT a broadcast hint (it is customer-sized —
+    data-bounded — so the strategy is left to AQE, exactly as
+    customer_cohort_retention does); the (cohort, age) aggregate is map-combinable;
     the cumulation partitions by cohort (bounded rows per cohort =
     months of history). Nothing touches per-customer rows after the
     first aggregate."""
     orders = load(spark, sf_dir, "orders")
-    m = (
-        (F.year("o_orderdate") - 1990) * 12 + (F.month("o_orderdate") - 1)
-    ).cast("long")
+    m = _month_idx("o_orderdate").cast("long")
     firsts = orders.groupBy("o_custkey").agg(
         F.min(m).cast("long").alias("cohort_m")
     )
     rev = (
-        orders.join(F.broadcast(firsts), "o_custkey")
+        orders.join(firsts, "o_custkey")
         .groupBy(
             "cohort_m", (m - F.col("cohort_m")).cast("long").alias("age")
         )

@@ -2110,8 +2110,9 @@ rate AS (
 SELECT hy.hour_start, hy.event_type, hy.n,
        CAST(FLOOR(1000000.0 * rate.tot / rate.h) AS BIGINT)
          AS lambda_micro,
-       (hy.n * rate.h - rate.tot) * (hy.n * rate.h - rate.tot)
-         > 9 * rate.tot * rate.h AS is_anomaly
+       (CAST(hy.n AS DOUBLE) * rate.h - rate.tot)
+         * (CAST(hy.n AS DOUBLE) * rate.h - rate.tot)
+         > 9.0 * CAST(rate.tot AS DOUBLE) * rate.h AS is_anomaly
 FROM hourly hy JOIN rate ON hy.event_type = rate.event_type
 """
 
@@ -2128,11 +2129,13 @@ def events_poisson_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-process counterpart to events_mad_outliers' value check
     (retry storms, outage gaps, bot bursts).
 
-    Exactness: the band test is cleared of ALL division and sqrt by
+    Exactness: the band test is cleared of division and sqrt by
     cross-multiplication — (n*H - T)^2 > 9*T*H with T = total events
-    and H = hours, pure BIGINT arithmetic, so the boolean cannot
-    diverge across engines; the reported lambda is an integer-ratio
-    floor.
+    and H = hours — evaluated in DOUBLE (pure-BIGINT squaring
+    overflows int64 once |n*H - T| passes ~3e9 at very large SFs);
+    both engines run the identical IEEE sequence over identical
+    integer inputs, so the boolean still cannot diverge. The reported
+    lambda is an integer-ratio floor.
 
     Scale shape: two chained map-combinable aggregates ((hour, type)
     then (type)) and a broadcast join of the tiny per-type rate table
@@ -2146,7 +2149,7 @@ def events_poisson_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("h"),
     )
-    dev = F.col("n") * F.col("h") - F.col("tot")
+    dev = F.col("n").cast("double") * F.col("h") - F.col("tot")
     return hourly.join(F.broadcast(rate), "event_type").select(
         "hour_start",
         "event_type",
@@ -2154,5 +2157,8 @@ def events_poisson_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1000000.0) * F.col("tot") / F.col("h"))
         .cast("long")
         .alias("lambda_micro"),
-        (dev * dev > 9 * F.col("tot") * F.col("h")).alias("is_anomaly"),
+        (
+            dev * dev
+            > F.lit(9.0) * F.col("tot").cast("double") * F.col("h")
+        ).alias("is_anomaly"),
     )
