@@ -133,7 +133,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+            customer, F.col("o_custkey") == F.col("c_custkey")
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -1036,7 +1036,7 @@ def smallqty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pq.alias("pq"), "l_partkey")
         .filter(F.col("l.l_quantity") < F.col("pq.qty_limit"))
         .join(
-            F.broadcast(part.alias("p")),
+            part.alias("p"),
             F.col("p.p_partkey") == F.col("l_partkey"),
         )
         .groupBy("p.p_brand")
@@ -1262,8 +1262,8 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_single", "n_b"
     )
     out = (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
@@ -1401,11 +1401,9 @@ def nation_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("c0").alias("cents"))
         .join(
-            F.broadcast(
-                cust.select(
-                    F.col("c_custkey").alias("o_custkey"),
-                    F.col("c_nationkey").alias("nationkey"),
-                )
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nationkey"),
             ),
             "o_custkey",
         )
@@ -1719,12 +1717,13 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides. Catalyst factors the single-side conjuncts out of
     the disjunction (CNF extraction): the p_brand IN (...) and
     l_quantity range envelopes push below the join into each scan, so
-    the broadcast-hash join sees pre-filtered inputs and only the mixed
+    the part join (AQE-broadcast at bench scale) sees pre-filtered
+    inputs and only the mixed
     residual evaluates post-join. Revenue folds through exact decimals.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1806,9 +1805,9 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation")
@@ -2052,11 +2051,9 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("c0").cast("bigint").alias("cents"))
         .join(
-            F.broadcast(
-                cust.select(
-                    F.col("c_custkey").alias("o_custkey"),
-                    F.col("c_nationkey").alias("nationkey"),
-                )
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nationkey"),
             ),
             "o_custkey",
         )
@@ -2442,7 +2439,7 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums, so both engines agree bit-for-bit).
 
     Scale shape: two chained aggregates — (nation, month) then
-    (nation) — both map-side combinable; customer/nation broadcast;
+    (nation) — both map-side combinable; customer joins unhinted (AQE decides), nation broadcast;
     no window, no sort, no per-group iteration. The same moment shape
     extends to multivariate OLS via the normal-equations matrix (k²
     moments per group)."""
@@ -2451,7 +2448,7 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     t = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
     monthly = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"), t.alias("t"))
         .agg(dsum("o_totalprice").alias("rev"))
@@ -3613,7 +3610,8 @@ def brand_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplications — no float anywhere near a CASE edge.
 
     Scale shape: the corpus-sized work is the (brand) revenue
-    aggregate with the part dim broadcast; the ranked cumulation runs
+    aggregate with the part dim joined unhinted (AQE-broadcast at
+    bench scale); the ranked cumulation runs
     over the BRAND spine (~25 rows at any SF — category-bounded, not
     data-bounded), the same sanctioned-bounded-window class as the
     score-histogram AUC."""
@@ -3622,7 +3620,7 @@ def brand_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     brand_rev = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))

@@ -897,8 +897,8 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     truth = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(F.col("ninter") * 2 >= F.col("na") + F.col("nb") - F.col("ninter"))
         .select("doc_a", "doc_b")
     )
@@ -1540,7 +1540,7 @@ SELECT cfg,
        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_singleton_buckets,
        CAST(MAX(n) AS BIGINT) AS max_bucket_size,
-       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
 FROM buckets
 GROUP BY cfg
 """
@@ -1598,7 +1598,7 @@ def lsh_banding_design(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_singleton_buckets"),
         F.max("n").cast("long").alias("max_bucket_size"),
-        F.sum(F.col("n") * (F.col("n") - 1) / 2)
+        F.expr("SUM(n * (n - 1) DIV 2)")
         .cast("long")
         .alias("n_candidate_pairs"),
     )

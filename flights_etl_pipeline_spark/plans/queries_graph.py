@@ -340,8 +340,8 @@ def copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = deg.select(F.col("c").alias("cb"), F.col("d").alias("deg_b"))
     uni = F.col("deg_a") + F.col("deg_b") - F.col("common")
     return (
-        pairs.join(F.broadcast(da), "ca")
-        .join(F.broadcast(db), "cb")
+        pairs.join(da, "ca")
+        .join(db, "cb")
         .select(
             F.col("ca").alias("cust_a"),
             F.col("cb").alias("cust_b"),

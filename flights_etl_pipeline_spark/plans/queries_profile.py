@@ -156,11 +156,12 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle for the contingency cells (bounded:
     |segments| × |priorities|); margins derive from the cells (never a
     second scan); everything after the cell aggregate is dim-sized.
-    The customer join is broadcast."""
+    The customer join carries no hint — AQE broadcasts it
+    at bench scale and shuffles at 100 TB."""
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cells = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("prio"),
@@ -362,7 +363,7 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     rev = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_nationkey").alias("nationkey"), F.col("o_custkey")
         )

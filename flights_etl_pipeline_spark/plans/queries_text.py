@@ -1989,8 +1989,8 @@ QUALITY_MIXTURE_SQL = f"""
 WITH card AS ({SOURCE_CARD_SQL}),
 rated AS (
   SELECT source, lang,
-         CAST(keep_rate_milli * (1000 - dup_rate_milli) / 1000 AS BIGINT)
-           AS rate_milli
+         CAST(FLOOR(keep_rate_milli * (1000 - dup_rate_milli) / 1000)
+           AS BIGINT) AS rate_milli
   FROM card
 ),
 s AS (
@@ -2033,7 +2033,7 @@ def quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     card = source_quality_report(spark, sf_dir).select(
         "source",
         "lang",
-        (
+        F.floor(
             F.col("keep_rate_milli")
             * (F.lit(1000) - F.col("dup_rate_milli"))
             / 1000

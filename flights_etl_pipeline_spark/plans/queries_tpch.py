@@ -19,8 +19,12 @@ relation (distinct observed pairs with per-pair cost/quantity
 aggregates standing in for ps_supplycost / ps_availqty).
 
 Scale notes (100 TB): every existence test is expressed as a left-semi /
-left-anti join (no decorrelation left to chance); dims (customer,
-supplier, nation, region at their TPC-H ratios) are broadcast; the only
+left-anti join (no decorrelation left to chance). Only genuinely
+bounded tables carry an explicit broadcast hint (nation, region, 1-row
+scalar aggregates); SF-linear dims (customer, supplier, part and their
+filtered derivatives) carry NO hint — AQE's size check broadcasts them
+at bench scale and falls back to a shuffled join past the 8 GB limit,
+which a forced hint would override into a job failure. The only
 wide shuffles key on l_orderkey / o_orderkey / o_custkey, which are
 uniform. Top-k outputs go through TakeOrderedAndProject (no global
 sort). Q21's double self-reference scans lineitem twice but both sides
@@ -73,11 +77,13 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: unshipped-revenue shipping priority. Customer segment
-    filter (broadcast), date-disjoint orders/lineitem join, grouped
+    filter (AQE-broadcast at bench scale), date-disjoint orders/lineitem
+    join, grouped
     revenue, global top-10.
 
     Scale shape: both date filters push to the parquet scans; customer
-    is broadcast so the only shuffle keys on o_orderkey for the group;
+    joins without a hint (AQE broadcasts it at bench scale, shuffles at
+    100 TB) so the wide shuffle keys on o_orderkey for the group;
     the final top-10 is TakeOrderedAndProject (per-partition heaps +
     driver merge), never a full sort."""
     cust = load(spark, sf_dir, "customer").filter(
@@ -91,7 +97,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             "o_orderkey",
             F.to_date("o_orderdate").alias("o_orderdate"),
@@ -202,8 +208,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -252,7 +258,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_rev_col(), 4).alias("revenue"))
@@ -355,7 +361,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -450,7 +456,7 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         qualified.join(
-            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+            supp, F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -573,7 +579,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: numerator and denominator are two branches of the same
     decimal hash aggregate, so the ratio costs one agg over the joined
-    rows; every dim is broadcast (nation twice, in customer- and
+    rows; nation is broadcast twice (in customer- and
     supplier-role); the only wide exchange is lineitem→orders on
     l_orderkey. The final division is one IEEE double op on exact
     decimal sums — bit-identical across engines."""
@@ -597,10 +603,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sum(rev_dec).cast("double")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(dround(num / den, 6).alias("mkt_share"))
@@ -637,7 +643,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost * quantity (same arithmetic shape).
 
     Scale shape: the p_type filter pushes to the part scan and prunes
-    the join input ~6×; part and supplier broadcast; one wide exchange
+    the join input ~6×; part and supplier join unhinted; one wide exchange
     (lineitem→orders on l_orderkey), then a small (nation × year) hash
     agg. Both product terms are IEEE doubles cast to exact decimal
     before the subtraction and sum, so totals are order-independent."""
@@ -654,9 +660,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation_name"),
@@ -772,7 +778,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     total = F.sum(rev_dec).cast("double")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             dround(F.lit(100.0) * promo / total, 4).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -814,7 +820,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the view computes once (suppkey-keyed partial+final
     agg over the date-pruned scan) and AQE reuses the exchange for both
     references; the 1-row MAX broadcasts back as a nested-loop filter;
-    supplier is broadcast for the name lookup. No sort anywhere."""
+    supplier joins unhinted (AQE broadcasts at bench scale). No sort
+    anywhere."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
         & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
@@ -827,7 +834,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -898,12 +905,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers at the same min cost) all surface, as in canonical Q2.
 
     Scale shape: the per-part MIN only matters for the size-filtered
-    parts, so the broadcast part filter applies BEFORE the derived
+    parts, so the part filter applies BEFORE the derived
     partsupp aggregate — the (partkey, suppkey) agg runs over the
     ~1-in-50 surviving lineitem rows, not the full table (pinned in
     tests/test_tpch_plans.py: the scan-side join precedes the agg).
     The agg itself is map-side-combinable with uniform keys; the
-    region-filtered supplier dim broadcasts into it; the per-part MIN
+    region-filtered supplier dim joins unhinted (AQE-broadcast at bench
+    scale); the per-part MIN
     is a second, narrower agg on partkey joined back
     partkey-to-partkey (no skew: parts have bounded supplier fan-in).
     The top-100 goes through TakeOrderedAndProject, never a global
@@ -916,7 +924,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
@@ -937,7 +945,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     costed = ps.join(
-        F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")
+        eu, F.col("ps_suppkey") == F.col("s_suppkey")
     ).select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
     mins = costed.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
@@ -949,7 +957,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("m_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -1013,7 +1021,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     natl = (
         load(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "l_partkey",
             F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
@@ -1088,11 +1096,11 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ps.join(
-            F.broadcast(excl),
+            excl,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1164,7 +1172,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
     )
     q = (
-        li.join(F.broadcast(sp), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(sp, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
     )

@@ -156,3 +156,42 @@ def test_q11_scalar_total_arrives_by_broadcast(spark):
 
     plan = plan_str(q11_important_parts(spark, SF_DIR))
     assert "Broadcast" in plan
+
+
+def test_no_forced_broadcast_on_sf_linear_tables(spark):
+    """Round-4 verdict item 1: customer/supplier/part (SF-linear) must
+    carry NO explicit broadcast hint. Proof is semantic, not textual:
+    with size-based auto-broadcast disabled, a hinted join would STILL
+    plan as BroadcastHashJoin (hints override the threshold), so the
+    star joins falling back to a shuffled join proves the hint is gone
+    — which is exactly the AQE escape hatch the 100 TB target needs.
+    With defaults restored, AQE/static stats still pick broadcast at
+    test SF (pinned by test_q5_q8_q9_dims_broadcast above)."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        revenue_by_nation,
+    )
+    from flights_etl_pipeline_spark.plans.queries_tpch import (
+        q3_shipping_priority,
+        q5_local_supplier_volume,
+        q9_profit_by_nation_year,
+        q10_returned_items,
+        q18_large_volume_customers,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (
+            revenue_by_nation,
+            q3_shipping_priority,
+            q5_local_supplier_volume,
+            q9_profit_by_nation_year,
+            q10_returned_items,
+            q18_large_volume_customers,
+        ):
+            plan = plan_str(fn(spark, SF_DIR), mode="simple")
+            assert (
+                "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            ), f"{fn.__name__}: no shuffled join — an SF-linear dim is hinted"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
