@@ -396,7 +396,7 @@ def orders_pit_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     return (
         orders.join(
-            F.broadcast(dim),
+            dim,
             (orders.o_custkey == dim.c_custkey)
             & (od >= dim.valid_from)
             & (od < dim.valid_to),
@@ -498,7 +498,7 @@ def merge_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, c = dim.alias("d"), chg.alias("c")
     take_new = F.col("c.op").isin("U", "I")
     return (
-        d.join(F.broadcast(c), "c_custkey", "full_outer")
+        d.join(c, "c_custkey", "full_outer")
         .select(
             F.col("c_custkey"),
             F.when(take_new, F.col("c.c_acctbal"))
@@ -579,7 +579,7 @@ def scd2_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dim.alias("d")
     c = chg.filter(F.col("op").isin("U", "D")).alias("c")
     closed = d.join(
-        F.broadcast(c), F.col("d.c_custkey") == F.col("c.c_custkey"), "left"
+        c, F.col("d.c_custkey") == F.col("c.c_custkey"), "left"
     ).select(
         F.col("d.c_custkey").alias("c_custkey"),
         F.col("d.c_acctbal").alias("c_acctbal"),
@@ -599,3 +599,97 @@ def scd2_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("end_reason"),
     )
     return closed.unionAll(opened)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution MERGE: a changelog generation adds a column mid-stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_schema_evolution",
+    oracle="""
+WITH g1 AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+         CAST(NULL AS VARCHAR) AS loyalty_tier, 1 AS gen
+  FROM customer WHERE c_custkey % 5 = 0
+),
+g2 AS (
+  SELECT c_custkey, c_acctbal + 200.0 AS c_acctbal, c_mktsegment,
+         CASE WHEN c_custkey % 14 = 0 THEN 'GOLD' ELSE 'SILVER' END
+           AS loyalty_tier,
+         2 AS gen
+  FROM customer WHERE c_custkey % 7 = 0
+),
+latest AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, loyalty_tier, gen
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                 ORDER BY gen DESC) AS rn
+    FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+  ) WHERE rn = 1
+)
+SELECT d.c_custkey,
+       COALESCE(u.c_acctbal, d.c_acctbal) AS c_acctbal,
+       d.c_mktsegment,
+       u.loyalty_tier,
+       CAST(COALESCE(u.gen, 0) AS BIGINT) AS src_gen
+FROM customer d LEFT JOIN latest u USING (c_custkey)
+""",
+    survey=["merge-upsert", "schema-evolution", "cdc", "incremental"],
+)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE where the changelog's schema EVOLVES between generations:
+    generation 1 (a legacy producer) carries (key, acctbal, segment);
+    generation 2 adds a ``loyalty_tier`` column. The write-side twin of
+    ``read_with_evolution`` (sources/readers.py:114): the generations
+    combine via ``unionByName(allowMissingColumns=True)`` — Spark's
+    schema-evolution union, backfilling the missing column with NULL —
+    then latest-generation-wins per key (a key-partitioned window, the
+    CDC compaction shape), then one left merge join into the dim. The
+    target schema gains the new column; rows last touched by a
+    generation that predates it hold NULL, exactly Delta/Iceberg
+    ``mergeSchema`` semantics rebuilt on the plain-parquet engine.
+
+    Scale shape: each changelog generation is delta-sized; the window
+    partitions by key over the UNION OF DELTAS (never the dim); the
+    final join is dim x latest on the key — broadcast when deltas are
+    daily-sized, AQE-shuffled otherwise. The dim is read once, never
+    windowed."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    g1 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(1).alias("gen"),
+    )
+    g2 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 200.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 14 == 0, F.lit("GOLD"))
+        .otherwise(F.lit("SILVER"))
+        .alias("loyalty_tier"),
+        F.lit(2).alias("gen"),
+    )
+    chg = g1.unionByName(g2, allowMissingColumns=True)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("gen").desc())
+    latest = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("u_acctbal"),
+            "loyalty_tier",
+            F.col("gen").alias("u_gen"),
+        )
+    )
+    return cust.join(latest, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("u_acctbal"), F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+        "loyalty_tier",
+        F.coalesce(F.col("u_gen"), F.lit(0)).cast("long").alias("src_gen"),
+    )

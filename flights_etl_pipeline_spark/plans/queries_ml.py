@@ -2275,3 +2275,142 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 source_jsd_matrix.__doc__ = source_jsd_matrix.__doc__.format(d=_JSD_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end: dedup -> quality gate -> tokenize -> shard manifest
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SHARDS = 8
+_MANIFEST_MOD = 1_000_000_007
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         MD5(TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+win AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+kept AS (
+  SELECT d.doc_id, d.n_chars, f.fp,
+         string_split_regex(d.text, '\\s+') AS tokens
+  FROM documents d
+  JOIN win USING (doc_id)
+  JOIN fp f ON f.doc_id = d.doc_id
+),
+feat AS (
+  SELECT doc_id, n_chars, fp,
+         LEN(tokens) AS n_words,
+         LEN(LIST_FILTER(tokens, t -> regexp_matches(t, '[a-zA-Z]')))
+           AS n_alpha
+  FROM kept
+),
+gated AS (
+  SELECT * FROM feat
+  WHERE n_words BETWEEN 5 AND 5000 AND n_alpha * 5 >= n_words * 4
+),
+sh AS (
+  SELECT *,
+         CAST(concat('0x', substr(md5(concat('shard-',
+           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {_MANIFEST_SHARDS} AS shard,
+         CAST(concat('0x', substr(fp, 1, 15)) AS BIGINT)
+           % {_MANIFEST_MOD} AS content_h
+  FROM gated
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(content_h) AS BIGINT) AS content_sum,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM sh GROUP BY shard
+""",
+    survey=[
+        "pipeline-composed", "dedup-exact", "quality-gate",
+        "token-count", "sharding", "manifest",
+    ],
+    bench=True,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 'write the training shards' pipeline composed
+    from the engine's own stages: exact dedup (content-keyed MIN
+    election), an integer-arithmetic quality gate (word count in
+    [5, 5000], >=80% alphabetic words — the gopher_quality_flags
+    core), whitespace token counting, deterministic hash sharding
+    (epoch_shard_assign's stateless md5 scheme, single epoch), and a
+    per-shard MANIFEST: doc/token/char counts plus an order-insensitive
+    content checksum (sum of bounded fp heads) and the doc-id range.
+    At 100 TB the manifest is what makes a shard write verifiable —
+    a re-run or a resumed writer must reproduce identical rows.
+
+    Scale shape: the winner election aggregates (fp -> min id) pairs
+    (map-side combinable, text never shuffles); the gate and shard
+    hash are row-local projections; the manifest is an 8-group hash
+    aggregate. One wide exchange total (the fp election) plus the
+    shard agg's 8-row exchange; nothing quadratic, no windows.
+
+    Parity note: the checksum sums fp-head % 1e9+7 per doc (bounded
+    2^30), so the BIGINT sum stays exact to ~9e9 docs on both engines;
+    DuckDB's HUGEINT sum is cast back to BIGINT."""
+    docs = load(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    with_fp = docs.select("doc_id", "n_chars", "text", fp.alias("fp"))
+    winners = (
+        with_fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = with_fp.join(winners, "doc_id", "left_semi")
+    toks = F.split(F.col("text"), r"\s+")
+    feat = kept.select(
+        "doc_id",
+        "n_chars",
+        "fp",
+        F.size(toks).alias("n_words"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+        ).alias("n_alpha"),
+    )
+    gated = feat.filter(
+        F.col("n_words").between(5, 5000)
+        & (F.col("n_alpha") * 5 >= F.col("n_words") * 4)
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % _MANIFEST_SHARDS
+    )
+    content_h = (
+        F.conv(F.substring("fp", 1, 15), 16, 10).cast("long") % _MANIFEST_MOD
+    )
+    return (
+        gated.select(
+            shard.alias("shard"),
+            "n_words",
+            "n_chars",
+            content_h.alias("content_h"),
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("content_h").alias("content_sum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -232,3 +232,37 @@ def events_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state equals the batch changelog compaction
     (cdc_latest_state's oracle)."""
     return jobs.events_cdc_merge_stream(spark, sf_dir)
+
+
+STREAM_BUCKETED_ROLLUP_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS total_dec
+  FROM events
+  GROUP BY user_id
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(p.n_events) AS BIGINT) AS n_events,
+       CAST(SUM(p.total_dec) AS DOUBLE) AS total_value
+FROM per_user p
+JOIN customer c ON p.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "events_stream_bucketed_rollup",
+    oracle=STREAM_BUCKETED_ROLLUP_SQL,
+    survey=["streaming", "bucketed-sink", "foreachBatch", "co-bucketed-join"],
+)
+def events_stream_bucketed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming end-to-end into the round-4 bucketed sink: per-user
+    state maintained in a bucketed managed table batch-by-batch
+    (staging write + rename swap), then consumed through an
+    Exchange-free co-bucketed join with the customer dim and rolled up
+    per segment. Exact parity: the per-batch merge is a sum-combine
+    over exact decimals, so the drained state equals the batch
+    aggregate regardless of chunking."""
+    return jobs.stream_bucketed_rollup(spark, sf_dir)

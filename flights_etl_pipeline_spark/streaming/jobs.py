@@ -309,8 +309,8 @@ def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the autoBroadcast threshold), and the join is STATELESS: no
     watermark, no state store, append mode. This is the canonical
     dimension-enrichment shape at any scale -- the stream never shuffles,
-    each micro-batch does a map-side hash join against the broadcast
-    dim snapshot (and picks up dim updates between batches for free).
+    each micro-batch joins the dim snapshot unhinted (AQE broadcasts
+    small snapshots; a 100 TB-scale dim shuffles instead) (and picks up dim updates between batches for free).
     """
     stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
     ev = read_event_stream(spark, stream_dir)
@@ -322,7 +322,7 @@ def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
         )
     )
-    enriched = ev.join(F.broadcast(dim), "user_id").select(
+    enriched = ev.join(dim, "user_id").select(
         "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
     )
     return _run_to_memory(enriched, "append", "enrich")
@@ -628,7 +628,9 @@ def stream_merge_upsert(
     the merge is IDEMPOTENT (per-key max over (ts, event_id)), so a
     replayed epoch — restart after sink-commit but before
     checkpoint-commit — converges to the same state instead of
-    duplicating. Returns the number of micro-batches merged.
+    duplicating. A crash between the swap's two renames is recovered
+    on the next batch entry (the orphaned complete dir is restored
+    before merging). Returns the number of micro-batches merged.
 
     Scale shape: per batch, one window over the BATCH (delta-sized),
     one key-partitioned full-outer join against the target; the target
@@ -643,8 +645,43 @@ def stream_merge_upsert(
     state_dir = os.path.join(out_dir, "state")
     n_batches = itertools.count()
 
+    def recover_state() -> None:
+        # The swap below is TWO renames (state -> .old-N, staging ->
+        # state); a crash between them leaves no state_dir while the
+        # fully-written state survives in the orphaned dir. Restore the
+        # newest complete orphan before merging, otherwise the
+        # _SUCCESS check would silently treat the target as empty and
+        # discard previously merged state.
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            return
+        base = os.path.basename(state_dir)
+        parent = os.path.dirname(state_dir)
+        orphans = [
+            os.path.join(parent, d)
+            for d in (os.listdir(parent) if os.path.isdir(parent) else [])
+            if d.startswith(base + ".old-") or d.startswith(base + ".staging-")
+        ]
+        complete = [
+            d for d in orphans
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        ]
+        if complete:
+            # Prefer the post-merge staging dir over the pre-merge
+            # .old dir for the same batch (merge is idempotent either
+            # way, staging just skips one replay).
+            newest = max(
+                complete,
+                key=lambda d: (
+                    int(d.rsplit("-", 1)[-1]),
+                    ".staging-" in d,
+                ),
+            )
+            shutil.rmtree(state_dir, ignore_errors=True)
+            os.replace(newest, state_dir)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         next(n_batches)
+        recover_state()
         w = Window.partitionBy("user_id", "event_type").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -712,3 +749,162 @@ def events_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_SCRATCH, f"cdcstate-{uuid.uuid4().hex[:8]}")
     stream_merge_upsert(spark, sf_dir, out)
     return spark.read.parquet(os.path.join(out, "state"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> bucketed warehouse table -> co-bucketed join (end-to-end)
+# ---------------------------------------------------------------------------
+
+_BKT_DB = "stream_bkt"
+_BKT_STATE = "user_state"
+_BKT_DIM = "customer_dim"
+_BKT_N = 16
+
+
+def _drop_state_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE plus physical-location cleanup: a crashed previous run
+    can leave the managed location on disk with no catalog entry, and
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS."""
+    fq = f"{_BKT_DB}.{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {fq}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh.removeprefix("file:")
+    loc = os.path.join(wh, f"{_BKT_DB}.db", name)
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def stream_bucketed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: events stream -> per-user aggregate state maintained
+    in a BUCKETED managed table via ``foreachBatch`` -> co-bucketed join
+    against a customer dim bucketed on the same key/count -> segment
+    rollup. The round-4 bucketed sink (sources/sinks.py
+    write_bucketed_table) becomes the *target of a streaming pipeline*
+    instead of a standalone DDL surface.
+
+    Per batch: the micro-batch pre-aggregates per user (count + exact
+    decimal sum), merges with the current state generation by key, and
+    writes the next state generation BUCKETED on user_id (alternating
+    g0/g1 tables — saveAsTable cannot overwrite its own input, and
+    writing the inactive generation means a concurrent reader of the
+    active one never sees a half-written table). After the drain the
+    final generation is published under the stable name. The merge is a
+    sum-combine, so replaying a batch after a sink-commit/
+    checkpoint-commit crash would double-count — the production answer
+    is the idempotent MERGE of stream_merge_upsert or a transactional
+    table format; this job's contract is the layout: state lands
+    bucketed, every downstream user_id join or groupBy skips its
+    Exchange.
+
+    Scale shape: each batch shuffles only the delta (per-user partials)
+    plus a state-sized rewrite; at warehouse scale the rewrite becomes
+    partition-pruned (bucket files are stable under key-hash, only
+    buckets containing changed keys rewrite). The final join runs with
+    ZERO Exchange below the join (asserted in
+    tests/test_stream_bucketed.py) because both sides are bucketed on
+    the join key with the same bucket count; the segment rollup then
+    shuffles 16 partials.
+    """
+    from flights_etl_pipeline_spark.sources.sinks import (
+        ensure_database,
+        write_bucketed_table,
+    )
+
+    stream_dir, _ = prepare_stream_dir(
+        spark, sf_dir, n_chunks=4, sentinels=False
+    )
+    ev = read_event_stream(spark, stream_dir)
+    ensure_database(spark, _BKT_DB)
+    gens = [f"{_BKT_STATE}_g0", f"{_BKT_STATE}_g1"]
+    for t in (*gens, _BKT_STATE):
+        _drop_state_table(spark, t)
+    last_gen: list[str | None] = [None]
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_dec"),
+        )
+        if last_gen[0] is not None:
+            merged = (
+                s.table(f"{_BKT_DB}.{last_gen[0]}")
+                .unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_dec")
+                    .cast("decimal(18,6)")
+                    .alias("total_dec"),
+                )
+            )
+        else:
+            merged = delta
+        target = gens[int(batch_id) % 2]
+        _drop_state_table(s, target)
+        write_bucketed_table(
+            merged, _BKT_DB, target, "user_id", _BKT_N, sort_col="user_id"
+        )
+        last_gen[0] = target
+
+    ckpt = os.path.join(_SCRATCH, f"bktroll-{uuid.uuid4().hex[:8]}")
+    q = (
+        ev.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # publish the final generation under the stable name (one extra
+    # state-sized bucketed write; at warehouse scale this is the swap a
+    # transactional format does with a metadata commit)
+    assert last_gen[0] is not None, "stream produced no batches"
+    write_bucketed_table(
+        spark.table(f"{_BKT_DB}.{last_gen[0]}"),
+        _BKT_DB,
+        _BKT_STATE,
+        "user_id",
+        _BKT_N,
+        sort_col="user_id",
+    )
+    for g in gens:
+        _drop_state_table(spark, g)
+
+    # co-bucketed dim: customer keyed by custkey-as-user_id, same
+    # bucket count -> the state<->dim join needs no Exchange
+    # unconditionally recreated: the session catalog is in-memory, so a
+    # previous session's table survives only as a warehouse directory
+    # (tableExists says no, the location collides) — drop both first
+    _drop_state_table(spark, _BKT_DIM)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    write_bucketed_table(
+        dim, _BKT_DB, _BKT_DIM, "user_id", _BKT_N, sort_col="user_id"
+    )
+    return bucketed_rollup_join(spark)
+
+
+def bucketed_rollup_join(spark: SparkSession) -> DataFrame:
+    """The downstream consumer of the bucketed streaming state: join the
+    state and dim tables (both bucketed on user_id x 16 -> Exchange-free
+    join) and roll up per market segment. Split out so the plan test
+    can assert the zero-Exchange join on exactly the frame the query
+    returns."""
+    state = spark.table(f"{_BKT_DB}.{_BKT_STATE}")
+    dim = spark.table(f"{_BKT_DB}.{_BKT_DIM}")
+    return (
+        state.join(dim, "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_dec").cast("double").alias("total_value"),
+        )
+    )
