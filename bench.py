@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+TWO JSON lines: the full record {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ..., "sf1_spot": ...}
+followed by a compact summary (total + worst-3 + sf1 scaleups) sized to
+survive the driver's ~2 KB stdout-tail capture.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect -- the number measures the distributed plan, not the
@@ -41,6 +43,17 @@ _SF1_SPOT = (
 )
 _SF1_REPLICAS = 10
 _SF1_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+# Queries above this wall time get a third run and report the MEDIAN of
+# three instead of min-of-two: the round-4 verdict found the two most
+# expensive queries moving +-15% between rounds with no code change, and
+# a median resists the one-off GC/compile spike that min-of-two lets
+# through on long plans.
+_MEDIAN_THRESHOLD_SEC = 1.5
+
+# A recovered baseline must carry at least this many per-query timings to
+# outrank an older-but-complete round in _baseline().
+_MIN_BASELINE_QUERIES = 5
 
 
 def _sf1_docs_dir(spark, sf_dir: str) -> str:
@@ -85,6 +98,56 @@ def _sf1_docs_dir(spark, sf_dir: str) -> str:
     return out
 
 
+def _sf1_organic_docs_dir(spark, sf_dir: str) -> str:
+    """documents at 10x WITHOUT replicated similarity: each replica
+    permutes every doc's word order with a position-keyed deterministic
+    shuffle (md5 of (position, replica)), so a doc and its copy in
+    another replica share almost no word k-shingles -- cross-replica
+    MinHash similarity collapses to background. Within a replica the
+    permutation is shared by same-length docs, so exact dups stay exact
+    and near-dups keep their overlap: the ORGANIC dup-rate of the base
+    corpus at 10x the rows. This is the fixture for the organic LSH
+    slope; the plain replicated fixture (_sf1_docs_dir) remains the
+    adversarial extreme-duplication case (candidates ~ replicas^2)."""
+    from pyspark.sql import functions as F
+    import hashlib
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    fp = hashlib.md5(f"organic:{st.st_mtime_ns}:{st.st_size}".encode())
+    out = (
+        f"/tmp/spark_graft_bench_org_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{fp.hexdigest()[:10]}"
+    )
+    target = os.path.join(out, "documents.parquet")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return out
+    src = spark.read.parquet(p)
+    n = src.count()
+    reps = spark.range(_SF1_REPLICAS).select(F.col("id").alias("rep"))
+    shuffled = F.expr(
+        "concat_ws(' ', transform(array_sort(transform(split(text, ' '), "
+        "(w, i) -> struct(md5(concat(CAST(i AS STRING), ':', "
+        "CAST(rep AS STRING))) AS k, w AS v))), s -> s.v))"
+    )
+    cols = []
+    for c in src.columns:
+        if c == "doc_id":
+            cols.append((F.col("doc_id") + F.col("rep") * n).alias("doc_id"))
+        elif c == "text":
+            cols.append(
+                F.when(F.col("rep") == 0, F.col("text"))
+                .otherwise(shuffled)
+                .alias("text")
+            )
+        else:
+            cols.append(F.col(c))
+    src.crossJoin(reps).select(*cols).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(target)
+    return out
+
+
 def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     """Time the spot queries on the 10x fixture; scaleup is the wall
     ratio vs the same query's sf0.1 number this run (1.0 = pure fixed
@@ -108,6 +171,26 @@ def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
             "sec_base": timings[name],
             "scaleup": round(best / timings[name], 2) if timings[name] else None,
         }
+    # Organic 10x slope for the LSH query: same data volume as the
+    # replicated fixture but with the base corpus's natural dup-rate
+    # (round-4 verdict item 5 -- separates the adversarial replicas^2
+    # candidate growth from the organic scaling exponent).
+    if "minhash_lsh_pairs" in qs and "minhash_lsh_pairs" in timings:
+        org_dir = _sf1_organic_docs_dir(spark, sf_dir)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs["minhash_lsh_pairs"](spark, org_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        base = timings["minhash_lsh_pairs"]
+        out["minhash_lsh_pairs_organic"] = {
+            "sec": round(best, 3),
+            "sec_base": base,
+            "scaleup": round(best / base, 2) if base else None,
+        }
     return {"data_ratio": _SF1_REPLICAS, "queries": out}
 
 
@@ -128,31 +211,66 @@ def main() -> None:
     for name, fn in sorted(bench_queries().items()):
         # min of 2 runs: the first pays one-time Janino codegen compile for
         # this plan shape and absorbs background-noise spikes; min-of-k is
-        # the standard steady-state estimator
-        best = float("inf")
+        # the standard steady-state estimator. Queries past
+        # _MEDIAN_THRESHOLD_SEC get a third run and report the median,
+        # which trends more stably round-over-round.
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # queries that persist intermediates (minhash signatures,
             # shingle tables) must not bleed executor memory into the
             # next measurement
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        if min(runs) > _MEDIAN_THRESHOLD_SEC:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            runs.sort()
+            timings[name] = round(runs[1], 3)  # median of 3
+        else:
+            timings[name] = round(min(runs), 3)
 
+    spot = _sf1_spot(spark, sf_dir, timings)
+    full = {
+        "metric": "bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "sf1_spot": spot,
+    }
+    # Output order matters: the driver records only a ~2 KB TAIL of the
+    # combined stdout+stderr, so the delta report (stderr, long) goes
+    # first, the full JSON second, and a compact summary line LAST --
+    # the compact line always survives truncation and stays parseable
+    # (BENCH_r02-r04 all recorded parsed=null because the full JSON's
+    # head fell off the tail).
+    _report_deltas(timings)
+    sys.stderr.flush()
+    print(json.dumps(full))
+    worst3 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:3]
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_total",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "sf1_spot": _sf1_spot(spark, sf_dir, timings),
+                "sf": full["sf"],
+                "n_queries": len(timings),
+                "worst3": worst3,
+                "sf1_scaleup": {
+                    k: v.get("scaleup")
+                    for k, v in spot.get("queries", {}).items()
+                },
             }
         )
     )
-    _report_deltas(timings)
+    sys.stdout.flush()
 
 
 def _baseline() -> tuple[int, dict[str, float]] | None:
@@ -163,7 +281,10 @@ def _baseline() -> tuple[int, dict[str, float]] | None:
     back to extracting the queries object from the tail so deltas
     compare against the latest round, not a stale earlier one."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, dict[str, float]] | None = None
+    # (round, queries, usable-size tier); tier 1 means the recovered dict
+    # carries at least _MIN_BASELINE_QUERIES entries, so the newest round
+    # wins only when it actually has a comparable query set.
+    best: tuple[int, dict[str, float], int] | None = None
     for f in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
         if not m:
@@ -210,7 +331,7 @@ def _baseline() -> tuple[int, dict[str, float]] | None:
         # worse baseline than an older complete one: rank by
         # (usable-size tier, round) so the newest round wins only when
         # it actually carries a comparable query set
-        tier = 1 if len(qs) >= 5 else 0
+        tier = 1 if len(qs) >= _MIN_BASELINE_QUERIES else 0
         if best is None or (tier, rnd) > (best[2], best[0]):
             best = (rnd, qs, tier)
     return (best[0], best[1]) if best else None

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Module import order only populates REGISTRY; the effective driver-
 # check order is set by _reorder_registry() below (never-driver-checked
-# queries first, see _R4_PRIORITY).
+# queries first, see _R5_PRIORITY).
 import flights_etl_pipeline_spark.plans.queries_text  # noqa: F401
 
 try:  # keep entry green even if one module fails to import
@@ -141,73 +141,77 @@ _DRIVER_CHECKED = [
     "customer_rfm_segments", "acctbal_band_pairs",
     "revenue_seasonal_decomposition", "fuzzy_customer_clusters",
     "kmeans_embeddings",
+    # round 4 (CORRECTNESS_r04.json: all 50 sampled rows green)
+    "ann_pq_codes", "ann_recall_eval", "audio_decode_stats",
+    "bm25_scores", "chunk_dedup_scrub", "collocations_pmi",
+    "copurchase_hits", "curation_pipeline_v2", "decontaminated_train",
+    "dedup_keep_best", "dedup_rate_by_source", "dedup_recall_eval",
+    "doc_bigram_surprisal", "doc_length_log2_histogram",
+    "doc_scrub_adjacent_dups", "doc_unigram_logprob",
+    "docs_quality_gate_stream", "dsir_importance_weights",
+    "embedding_centroid_shift", "events_cms_freq",
+    "events_gapfill_hourly", "events_hopping_window",
+    "events_peak_concurrency", "events_salted_join",
+    "events_variant_buckets", "feature_hashing", "hard_negative_mining",
+    "image_decode_stats", "image_resize_stats",
+    "incremental_corpus_ingest", "incremental_neardup_probe",
+    "lang_id_confusion", "negative_sampling", "pca_projection",
+    "phrase_search", "q11_important_parts", "q16_part_supplier_counts",
+    "q20_excess_share_suppliers", "q2_min_cost_supplier",
+    "quality_gate_auc", "quality_gate_calibration",
+    "quality_logreg_score", "rag_retrieve", "revenue_holt_recursive",
+    "semantic_dedup", "simhash_neardup_pairs", "substring_dup_spans",
+    "tokenizer_apply", "video_decode_stats",
+    "weighted_systematic_sample",
 ]
 
-# Round-4 front window: everything that has never earned a driver row,
-# ordered as the round-3 verdict prescribed — the twelve round-3
-# additions it named first (judge-verified locally but never driver-
-# sampled), then the named r1/r2-era stragglers, then the remaining
-# never-checked queries grouped by family. 62 hash-checkable queries
-# exceed the driver's ~50 budget; the cut lands on the tail (events /
-# synth), which round 5 fronts next.
-_R4_PRIORITY = [
-    # the twelve round-3 ops, in the order VERDICT.md named them
-    "copurchase_hits", "pca_projection", "revenue_holt_recursive",
-    "quality_gate_auc", "quality_gate_calibration",
-    "quality_logreg_score", "dsir_importance_weights",
-    "chunk_dedup_scrub", "incremental_corpus_ingest",
-    "incremental_neardup_probe", "curation_pipeline_v2",
-    "docs_quality_gate_stream",
-    # named stragglers
-    "q2_min_cost_supplier", "q11_important_parts",
-    "q16_part_supplier_counts", "q20_excess_share_suppliers",
-    "bm25_scores", "phrase_search", "semantic_dedup",
-    # text family
-    "doc_unigram_logprob", "doc_bigram_surprisal", "collocations_pmi",
-    "lang_id_confusion", "doc_length_log2_histogram",
-    "tokenizer_apply", "doc_scrub_adjacent_dups",
-    # dedup family
-    "dedup_keep_best", "dedup_rate_by_source", "dedup_recall_eval",
-    "substring_dup_spans", "simhash_neardup_pairs",
-    # simsearch family
-    "ann_pq_codes", "ann_recall_eval", "rag_retrieve",
-    "hard_negative_mining",
-    # ml family
-    "negative_sampling", "feature_hashing",
-    "weighted_systematic_sample", "decontaminated_train",
-    "embedding_centroid_shift",
-    # multimodal decode stats
-    "audio_decode_stats", "image_decode_stats", "image_resize_stats",
-    "video_decode_stats",
-    # events family
-    "events_salted_join", "events_variant_buckets",
-    "events_gapfill_hourly", "events_cms_freq",
-    "events_hopping_window", "events_peak_concurrency",
-    "events_trailing_1h", "event_transitions",
-    "events_nullsafe_join", "events_dow_hour_heatmap",
-    "events_d1_retention", "events_hdr_percentiles",
-    "events_dynamic_sessions",
-    # streaming twins
+# Round-5 front window: the 45 queries that have never earned a
+# CORRECTNESS_r*.json row across rounds 1-4 (exact list = registry
+# minus the union of recorded keys; every one passed the judge's
+# independent sf0.01 parity run in round 4, so this is pure rotation).
+# Hash-checkable oracles first; the two by-design rows-only queries
+# close the window. 45 < the driver's ~50 budget, so cumulative
+# driver-green should reach 241/241 this round.
+_R5_PRIORITY = [
+    # round-4 statistics tail
+    "events_psi_drift", "events_cusum_changepoint",
+    "events_entropy_hourly", "orders_benford_audit",
+    "aqp_revenue_estimate", "events_poisson_anomaly",
+    "lineitem_anova_returnflag", "revenue_acf",
+    "customer_order_streaks", "events_ks_binned", "brand_abc_classes",
+    "cohort_ltv_matrix", "source_jsd_matrix",
+    "lineitem_mutual_information",
+    # round-4 operators
+    "gopher_quality_flags", "token_zipf_fit", "vocab_growth_curve",
+    "vocab_coverage_table", "source_quality_report",
+    "quality_weighted_mixture", "ann_ivfpq_topk", "lsh_banding_design",
+    "events_cdc_merge_stream", "revenue_holt_winters_recursive",
+    "epoch_shard_assign", "merge_apply_changelog", "scd2_with_deletes",
+    "copurchase_degree_powerlaw",
+    # SQL-surface trio
+    "sql_udf_discounted_revenue", "sql_parameterized_slice",
+    "sql_session_variable_gate",
+    # events / streaming / synth stragglers the round-4 budget cut
+    "events_trailing_1h", "event_transitions", "events_nullsafe_join",
+    "events_dow_hour_heatmap", "events_d1_retention",
+    "events_hdr_percentiles", "events_dynamic_sessions",
     "events_topk_stream", "events_view_purchase_outer_stream",
-    "events_hopping_stream",
-    # synth sources
-    "synth_source_revenue", "synth_source_stream",
-    # oracle-less (rows-only check; cheapest to lose at the cutoff —
-    # bpe/multimodal first: never rows-checked either)
+    "events_hopping_stream", "synth_source_revenue",
+    "synth_source_stream",
+    # oracle-less (rows-only check)
     "bpe_learn_merges", "multimodal_features",
-    "price_percentiles_approx", "events_hll_daily_merge",
 ]
 
 
 def _reorder_registry() -> None:
     """Front-load queries that still need a driver-green row.
 
-    Order: the round-3 verdict's named priority window (the twelve
-    round-3 ops first, then every remaining never-driver-checked
-    query), then any new additions with a hash-checkable oracle, then
-    new oracle-less ones, then the already-driver-checked back half.
+    Order: the round-4 verdict's named priority window (every query
+    without a CORRECTNESS row yet), then any new additions with a
+    hash-checkable oracle, then new oracle-less ones, then the
+    already-driver-checked back half.
     """
-    priority = [n for n in _R4_PRIORITY if n in REGISTRY]
+    priority = [n for n in _R5_PRIORITY if n in REGISTRY]
     checked = [
         n for n in _DRIVER_CHECKED if n in REGISTRY and n not in priority
     ]
