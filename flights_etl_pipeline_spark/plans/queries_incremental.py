@@ -693,3 +693,251 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loyalty_tier",
         F.coalesce(F.col("u_gen"), F.lit(0)).cast("long").alias("src_gen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-level reconcile: manifest diff between a table and its replica
+# ---------------------------------------------------------------------------
+
+_RECON_MOD = 1_000_000_007
+
+RECONCILE_SQL = f"""
+WITH src AS (
+  SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+         o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+dst AS (
+  SELECT * FROM src
+  WHERE ym % 7 <> 3
+    AND NOT (ym % 7 = 5 AND o_orderkey % 97 = 0)
+),
+sm AS (
+  SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_src,
+         CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
+           || ':' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_RECON_MOD}) AS BIGINT) AS sum_src
+  FROM src GROUP BY ym
+),
+dm AS (
+  SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_dst,
+         CAST(SUM(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
+           || ':' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_RECON_MOD}) AS BIGINT) AS sum_dst
+  FROM dst GROUP BY ym
+)
+SELECT s.ym,
+       s.n_src,
+       COALESCE(d.n_dst, 0) AS n_dst,
+       s.sum_src,
+       COALESCE(d.sum_dst, 0) AS sum_dst,
+       CASE WHEN d.ym IS NULL THEN 'copy'
+            WHEN s.n_src <> d.n_dst OR s.sum_src <> d.sum_dst THEN 'repair'
+            ELSE 'ok' END AS action
+FROM sm s LEFT JOIN dm d USING (ym)
+"""
+
+
+@register(
+    "partition_reconcile_repair",
+    oracle=RECONCILE_SQL,
+    survey=[
+        "partition-reconcile", "replication-audit", "checksum-manifest",
+        "incremental", "repair-plan",
+    ],
+)
+def partition_reconcile_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication audit at partition granularity: build a per-partition
+    manifest (row count + order-insensitive content checksum) for a
+    table and its replica, diff the manifests, and emit the repair plan
+    — 'copy' for partitions missing from the replica, 'repair' where
+    count or checksum diverge, 'ok' otherwise. The replica is derived
+    deterministically in-query (every 7th month-partition missing, rows
+    dropped from every 7th-offset-5 partition) so both engines audit
+    identical inputs. This is the scalable FIRST pass of replica
+    repair: row-level diffing (snapshot_diff above) then runs only
+    inside the partitions this query flags, never across the full
+    table.
+
+    Scale shape: each side is one scan + one map-side-combinable
+    aggregate keyed by partition (the manifest is |partitions| rows —
+    metadata-sized); the diff joins two manifest tables, so the
+    expensive compare never shuffles data rows. The checksum sums
+    per-row bounded hashes (md5 head mod 1e9+7, each < 2^30), keeping
+    the BIGINT sum exact on both engines to ~9e9 rows per partition."""
+    orders = load(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    src = orders.select(
+        ym.alias("ym"), "o_orderkey", cents.alias("cents")
+    )
+    dst = src.filter(
+        (F.col("ym") % 7 != 3)
+        & ~((F.col("ym") % 7 == 5) & (F.col("o_orderkey") % 97 == 0))
+    )
+    row_h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _RECON_MOD
+    )
+
+    def manifest(side: DataFrame, n: str, s: str) -> DataFrame:
+        return side.groupBy("ym").agg(
+            F.count(F.lit(1)).alias(n), F.sum(row_h).alias(s)
+        )
+
+    sm = manifest(src, "n_src", "sum_src")
+    dm = manifest(dst, "n_dst", "sum_dst")
+    diverged = (F.col("n_src") != F.col("n_dst")) | (
+        F.col("sum_src") != F.col("sum_dst")
+    )
+    return sm.join(dm.alias("d"), "ym", "left").select(
+        "ym",
+        "n_src",
+        F.coalesce(F.col("n_dst"), F.lit(0)).alias("n_dst"),
+        "sum_src",
+        F.coalesce(F.col("sum_dst"), F.lit(0)).alias("sum_dst"),
+        F.when(F.col("d.ym").isNull(), "copy")
+        .when(diverged, "repair")
+        .otherwise("ok")
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR forget pipeline: deletion-list propagation with a per-table audit
+# ---------------------------------------------------------------------------
+
+FORGET_SQL = """
+WITH forget AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0
+),
+ev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+         CAST(SUM(CASE WHEN f.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS rows_affected,
+         CAST(COUNT(DISTINCT f.c_custkey) AS BIGINT) AS n_users_affected
+  FROM events e LEFT JOIN forget f ON e.user_id = f.c_custkey
+),
+od AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+         CAST(SUM(CASE WHEN f.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS rows_affected,
+         CAST(COUNT(DISTINCT f.c_custkey) AS BIGINT) AS n_users_affected
+  FROM orders o LEFT JOIN forget f ON o.o_custkey = f.c_custkey
+),
+cu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+         CAST(SUM(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS rows_affected,
+         CAST(SUM(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_users_affected
+  FROM customer
+)
+SELECT 'events' AS table_name, 'delete' AS policy, rows_before,
+       rows_affected, rows_before - rows_affected AS rows_after,
+       n_users_affected
+FROM ev
+UNION ALL
+SELECT 'orders', 'anonymize', rows_before, rows_affected,
+       rows_before, n_users_affected
+FROM od
+UNION ALL
+SELECT 'customer', 'delete', rows_before, rows_affected,
+       rows_before - rows_affected, n_users_affected
+FROM cu
+"""
+
+
+@register(
+    "forget_user_pipeline",
+    oracle=FORGET_SQL,
+    survey=[
+        "gdpr-forget", "deletion-propagation", "anti-join", "audit",
+        "incremental",
+    ],
+)
+def forget_user_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: a deletion list (every 13th
+    customer) fans out across every table that references the subject,
+    each with its own policy — events rows are DELETED (anti-join
+    rewrite), orders are ANONYMIZED in place (the fact rows survive for
+    accounting, the subject key is scrubbed), the customer dim row is
+    deleted. The query returns the audit record a compliance pipeline
+    must durably log: per table, rows before / affected / after plus
+    the count of distinct subjects touched.
+
+    Scale shape: each table is scanned once and joined against the
+    deletion list on its subject key (the list is dim-derived —
+    unhinted, AQE broadcasts a daily-sized list and shuffles a backfill
+    -sized one); every audit row is a scalar aggregate, so nothing
+    wider than the join's key shuffle ever moves. The actual purge
+    write is the same anti-join/scrub projection streamed to a new
+    partition generation — the audit and the rewrite share one plan."""
+    forget = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select("c_custkey")
+    )
+
+    def audit(df: DataFrame, key: str) -> DataFrame:
+        hit = F.col("c_custkey").isNotNull()
+        return df.join(
+            forget, df[key] == forget.c_custkey, "left"
+        ).agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("rows_affected"),
+            F.countDistinct("c_custkey").alias("n_users_affected"),
+        )
+
+    ev = audit(load(spark, sf_dir, "events"), "user_id").select(
+        F.lit("events").alias("table_name"),
+        F.lit("delete").alias("policy"),
+        "rows_before",
+        "rows_affected",
+        (F.col("rows_before") - F.col("rows_affected")).alias("rows_after"),
+        "n_users_affected",
+    )
+    od = audit(load(spark, sf_dir, "orders"), "o_custkey").select(
+        F.lit("orders").alias("table_name"),
+        F.lit("anonymize").alias("policy"),
+        "rows_before",
+        "rows_affected",
+        F.col("rows_before").alias("rows_after"),
+        "n_users_affected",
+    )
+    affected = F.sum(
+        F.when(F.col("c_custkey") % 13 == 0, 1).otherwise(0)
+    )
+    cu = (
+        load(spark, sf_dir, "customer")
+        .agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            affected.alias("rows_affected"),
+        )
+        .select(
+            F.lit("customer").alias("table_name"),
+            F.lit("delete").alias("policy"),
+            "rows_before",
+            "rows_affected",
+            (F.col("rows_before") - F.col("rows_affected")).alias(
+                "rows_after"
+            ),
+            F.col("rows_affected").alias("n_users_affected"),
+        )
+    )
+    return ev.unionAll(od).unionAll(cu)
