@@ -198,8 +198,10 @@ _R5_PRIORITY = [
     "events_topk_stream", "events_view_purchase_outer_stream",
     "events_hopping_stream", "synth_source_revenue",
     "synth_source_stream",
-    # oracle-less (rows-only check)
-    "bpe_learn_merges", "multimodal_features",
+    # (oracle-less bpe_learn_merges is NOT listed: _reorder_registry
+    # already sorts never-checked rows-only queries after the
+    # never-checked hash-checkable ones, and the round-5 additions
+    # with oracles must outrank it in the ~50-row sample budget)
 ]
 
 
