@@ -27,7 +27,7 @@ from flights_etl_pipeline_spark.session import get_spark
 # Queries whose 100 TB claims most deserve a measured slope: the three
 # round-2 flags (fixed cost vs slope) plus — per the round-3 verdict —
 # the dedup/ANN family's banded/bucketed plans, re-timed at 10x volume
-# to show the scaling exponent. All six read ONLY the documents and/or
+# to show the scaling exponent. All spots read ONLY the documents and/or
 # embeddings tables, so the scaled fixture needs just those two files.
 # Note the replicated corpus is an EXTREME-duplication workload for the
 # dedup spots (every doc appears _SF1_REPLICAS times): candidate sets
@@ -40,6 +40,9 @@ _SF1_SPOT = (
     "minhash_lsh_pairs",
     "chunk_dedup_scrub",
     "ann_ivf_topk",
+    # the composed dedup->gate->shard pipeline: its slope is the sum of
+    # its stages' slopes, so a blow-up in any one shows here first
+    "training_shard_manifest",
 )
 _SF1_REPLICAS = 10
 _SF1_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}

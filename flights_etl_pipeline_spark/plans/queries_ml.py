@@ -2414,3 +2414,167 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental shard-manifest delta: re-manifest only what today's batch adds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shard_manifest_delta",
+    oracle=None,  # set below: composes IDX/DELTA fixtures from queries_dedup
+    survey=[
+        "pipeline-composed", "incremental-dedup", "quality-gate",
+        "sharding", "manifest", "ingest",
+    ],
+)
+def shard_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-2 twin of ``training_shard_manifest``: today's crawl
+    delta is deduped AGAINST THE HISTORICAL FINGERPRINT INDEX (and
+    within itself, keep-first), quality-gated, hash-sharded with the
+    SAME stateless scheme as the base manifest, and accounted as a
+    per-shard manifest DELTA — doc/token/char increments plus the
+    content-checksum increment. Because both the shard hash and the
+    checksum are stateless row-local functions, the updated shard
+    manifest is base + delta without reading a single base shard: the
+    operational loop that keeps 100 TB of training shards verifiable
+    under daily ingest.
+
+    Scale shape: the history contributes ONE distinct-fp column
+    (petabytes of text never move); the anti-join keys on fp and the
+    within-delta keep-first window REUSES that fp partitioning (no
+    second exchange); gate/shard/checksum are row-local; the final
+    aggregate is 8 groups. Everything is delta-sized except the
+    fp-column scan of the index."""
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        _delta_corpus,
+        _idx_corpus,
+    )
+
+    ifp = (
+        _idx_corpus(spark, sf_dir)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    dfp = _delta_corpus(spark, sf_dir).select(
+        "doc_id", "text", fingerprint("text").alias("fp")
+    )
+    fresh = dfp.join(ifp, "fp", "left_anti")
+    first_id = F.min("doc_id").over(Window.partitionBy("fp"))
+    kept = (
+        fresh.withColumn("first_id", first_id)
+        .filter(F.col("doc_id") == F.col("first_id"))
+        .select("doc_id", "text", "fp")
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    feat = kept.select(
+        "doc_id",
+        "fp",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_words"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).alias(
+            "n_alpha"
+        ),
+    )
+    gated = feat.filter(
+        F.col("n_words").between(5, 5000)
+        & (F.col("n_alpha") * 5 >= F.col("n_words") * 4)
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % _MANIFEST_SHARDS
+    )
+    content_h = (
+        F.conv(F.substring("fp", 1, 15), 16, 10).cast("long") % _MANIFEST_MOD
+    )
+    return (
+        gated.select(
+            shard.alias("shard"),
+            "n_words",
+            "n_chars",
+            content_h.alias("content_h"),
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_docs"),
+            F.sum("n_words").alias("n_new_tokens"),
+            F.sum("n_chars").cast("long").alias("n_new_chars"),
+            F.sum("content_h").alias("content_sum_delta"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def _shard_manifest_delta_oracle() -> str:
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        DELTA_SQL,
+        IDX_SQL,
+        NORM_SQL,
+    )
+
+    return f"""
+WITH idx AS ({IDX_SQL}),
+delta AS ({DELTA_SQL}),
+ifp AS (SELECT DISTINCT MD5({NORM_SQL}) AS fp FROM idx),
+dfp AS (SELECT doc_id, text, MD5({NORM_SQL}) AS fp FROM delta),
+fresh AS (
+  SELECT d.doc_id, d.text, d.fp
+  FROM dfp d LEFT JOIN ifp i USING (fp) WHERE i.fp IS NULL
+),
+kept AS (
+  SELECT doc_id, text, fp FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS first_id FROM fresh
+  ) WHERE doc_id = first_id
+),
+feat AS (
+  SELECT doc_id, fp, LENGTH(text) AS n_chars,
+         LEN(string_split_regex(text, '\\s+')) AS n_words,
+         LEN(LIST_FILTER(string_split_regex(text, '\\s+'),
+             t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha
+  FROM kept
+),
+gated AS (
+  SELECT * FROM feat
+  WHERE n_words BETWEEN 5 AND 5000 AND n_alpha * 5 >= n_words * 4
+),
+sh AS (
+  SELECT *,
+         CAST(concat('0x', substr(md5(concat('shard-',
+           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {_MANIFEST_SHARDS} AS shard,
+         CAST(concat('0x', substr(fp, 1, 15)) AS BIGINT)
+           % {_MANIFEST_MOD} AS content_h
+  FROM gated
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_new_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_new_chars,
+       CAST(SUM(content_h) AS BIGINT) AS content_sum_delta,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM sh GROUP BY shard
+"""
+
+
+_registry.REGISTRY["shard_manifest_delta"] = _registry.QuerySpec(
+    shard_manifest_delta,
+    _shard_manifest_delta_oracle(),
+    ("pipeline-composed", "incremental-dedup", "quality-gate",
+     "sharding", "manifest", "ingest"),
+    False,
+)
