@@ -645,43 +645,9 @@ def stream_merge_upsert(
     state_dir = os.path.join(out_dir, "state")
     n_batches = itertools.count()
 
-    def recover_state() -> None:
-        # The swap below is TWO renames (state -> .old-N, staging ->
-        # state); a crash between them leaves no state_dir while the
-        # fully-written state survives in the orphaned dir. Restore the
-        # newest complete orphan before merging, otherwise the
-        # _SUCCESS check would silently treat the target as empty and
-        # discard previously merged state.
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            return
-        base = os.path.basename(state_dir)
-        parent = os.path.dirname(state_dir)
-        orphans = [
-            os.path.join(parent, d)
-            for d in (os.listdir(parent) if os.path.isdir(parent) else [])
-            if d.startswith(base + ".old-") or d.startswith(base + ".staging-")
-        ]
-        complete = [
-            d for d in orphans
-            if os.path.exists(os.path.join(d, "_SUCCESS"))
-        ]
-        if complete:
-            # Prefer the post-merge staging dir over the pre-merge
-            # .old dir for the same batch (merge is idempotent either
-            # way, staging just skips one replay).
-            newest = max(
-                complete,
-                key=lambda d: (
-                    int(d.rsplit("-", 1)[-1]),
-                    ".staging-" in d,
-                ),
-            )
-            shutil.rmtree(state_dir, ignore_errors=True)
-            os.replace(newest, state_dir)
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         next(n_batches)
-        recover_state()
+        _recover_state_dir(state_dir)
         w = Window.partitionBy("user_id", "event_type").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
         )
@@ -738,6 +704,42 @@ def stream_merge_upsert(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return next(n_batches)
+
+
+def _recover_state_dir(state_dir: str) -> None:
+    """Restore ``state_dir`` from an orphaned generation after a crash
+    inside :func:`stream_merge_upsert`'s two-rename swap (state ->
+    .old-N, then .staging-N -> state): a crash between the renames
+    leaves no state_dir while the fully-written state survives in the
+    orphan. Without this, the next batch's ``_SUCCESS`` existence check
+    would silently treat the target as empty and discard previously
+    merged state (round-4 ADVICE). Picks the newest complete orphan,
+    preferring the post-merge ``.staging-N`` over the pre-merge
+    ``.old-N`` for the same batch (the merge is idempotent either way;
+    staging just skips one replay), then clears the remaining orphans
+    so crash debris never accumulates."""
+    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        return
+    base = os.path.basename(state_dir)
+    parent = os.path.dirname(state_dir)
+    orphans = [
+        os.path.join(parent, d)
+        for d in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if d.startswith(base + ".old-") or d.startswith(base + ".staging-")
+    ]
+    complete = [
+        d for d in orphans if os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if complete:
+        newest = max(
+            complete,
+            key=lambda d: (int(d.rsplit("-", 1)[-1]), ".staging-" in d),
+        )
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.replace(newest, state_dir)
+        for d in orphans:
+            if d != newest:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def events_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
