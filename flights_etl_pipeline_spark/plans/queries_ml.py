@@ -229,17 +229,20 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks identically to log-idf at fixed tf.
 
     Plan shape: tokenize+explode (map-only) -> tf hash agg keyed
-    (doc_id, term) -> df hash agg keyed term -> broadcast-join df back
-    (term cardinality << corpus size) -> per-doc window top-k. The
-    corpus size N arrives via a 1-row cross join, not a driver
-    ``.count()`` round-trip, so the whole plan is one job."""
+    (doc_id, term) -> df hash agg keyed term -> join df back on term
+    UNHINTED: the vocabulary grows with the corpus (Heaps' law), so
+    like the SF-linear dims it must stay under AQE's size check —
+    broadcast at bench scale, shuffled (on the tf exchange's own term
+    partitioning) at a 10^8-term corpus. The corpus size N arrives via
+    a 1-row cross join, not a driver ``.count()`` round-trip, so the
+    whole plan is one job."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(idf, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

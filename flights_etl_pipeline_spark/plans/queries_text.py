@@ -1360,16 +1360,21 @@ def tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint of the ordered ids (position-exact -- a swapped or
     dropped id changes the hash) plus token/unk counts.
 
-    Scale: the vocabulary is broadcast (vocab-sized); encoding is one
-    explode -> broadcast join -> per-doc ordered reassembly, shuffling
-    (doc_id, pos, id) triples once. At 100 TB the ids array would write
-    straight to the training shard sink instead of fingerprinting."""
+    Scale: the vocabulary joins UNHINTED — a shipped tokenizer vocab is
+    usually capped (32k-256k rows, AQE broadcasts it), but THIS one is
+    the uncapped vocab_build table, which grows with the corpus
+    (Heaps' law), so a forced broadcast would hit the 8 GB limit on a
+    10^7+-term corpus where AQE's fallback shuffles on the token key
+    instead. Encoding is one explode -> token join -> per-doc ordered
+    reassembly, shuffling (doc_id, pos, id) triples once. At 100 TB
+    the ids array would write straight to the training shard sink
+    instead of fingerprinting."""
     docs = load(spark, sf_dir, "documents")
     vocab = vocab_build(spark, sf_dir).select("token", "token_id")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "token")
     )
-    ids = toks.join(F.broadcast(vocab), "token", "left").select(
+    ids = toks.join(vocab, "token", "left").select(
         "doc_id",
         "i",
         F.coalesce(F.col("token_id"), F.lit(1)).cast("int").alias("tid"),

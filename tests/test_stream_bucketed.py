@@ -21,7 +21,6 @@ def rolled(spark):
 
 def test_rollup_matches_batch(rolled):
     spark = rolled
-    ev = spark.read.parquet(f"{SF}/events.parquet")
     from flights_etl_pipeline_spark.plans.registry import load
 
     ev = load(spark, SF, "events")
