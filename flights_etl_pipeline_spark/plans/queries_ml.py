@@ -982,6 +982,106 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRI_SAMPLE_K = 200
+
+PRIORITY_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents,
+         CAST(concat('0x', substr(md5(concat('ps|',
+              CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) + 1 AS u
+  FROM orders
+),
+p AS (
+  SELECT o_orderkey, w_cents,
+         CAST(w_cents AS DOUBLE)
+           / (CAST(u AS DOUBLE) / 1152921504606846976.0) AS pri
+  FROM base
+),
+topk AS (
+  SELECT * FROM p ORDER BY pri DESC, o_orderkey LIMIT {_PRI_SAMPLE_K + 1}
+),
+t AS (SELECT MIN(pri) AS tau FROM topk)
+SELECT k.o_orderkey, k.w_cents,
+       CAST(FLOOR(GREATEST(CAST(k.w_cents AS DOUBLE), t.tau) * 1000)
+            AS BIGINT) AS est_milli
+FROM topk k, t
+WHERE k.pri > t.tau
+"""
+
+
+@register(
+    "orders_priority_sample",
+    oracle=PRIORITY_SAMPLE_SQL,
+    survey=["sampling", "priority-sampling", "weighted", "top-k",
+            "training-prep"],
+)
+def orders_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): weight-
+    proportional without-replacement sample with an unbiased subset-sum
+    estimator. Each order draws priority w/u (u uniform on (0,1]); the
+    k highest priorities form the sample, and every sampled item's
+    weight estimate is max(w, tau) with tau the (k+1)-th priority --
+    E[sum of estimates] equals the true total weight, so downstream
+    aggregations over the 200-row sample stand in for the full table.
+
+    Engine-portable randomness: u is the 60-bit md5 prefix of the
+    salted key (+1, never zero) -- same construction as
+    train_test_split; priority is ONE IEEE division of exactly-derived
+    operands, bit-identical in any engine, and the estimate is floored
+    to integer milli-units before output so no raw double is compared.
+    The (k+1)-th row is removed by the strict `pri > tau` filter (no
+    window needed); a boundary tie would drop identically on both
+    engines, keeping the pick set deterministic.
+
+    Scale shape: one scan computing (w, u, pri) in codegen -> global
+    top-(k+1) plans as TakeOrderedAndProject (each task keeps a k+1
+    heap, driver merges k+1-sized partials -- O(k) memory at any input
+    size, no shuffle of raw rows); tau is a 1-row broadcast. At 100 TB
+    this is THE way to cut a weighted subsample without a weight-sum
+    pass or a global sort.
+    """
+    k = _PRI_SAMPLE_K
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ps|"), F.col("o_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    # u01 in (0, 2^60]/2^60 = (0,1]: two correctly-rounded IEEE ops
+    # (cast, divide), bit-identical in any engine
+    u01 = u.cast("double") / F.lit(float(2**60))
+    base = orders.select(
+        "o_orderkey",
+        w.alias("w_cents"),
+        (w.cast("double") / u01).alias("pri"),
+    )
+    top = base.orderBy(F.desc("pri"), F.asc("o_orderkey")).limit(k + 1)
+    tau = top.agg(F.min("pri").alias("tau"))
+    return (
+        top.crossJoin(F.broadcast(tau))
+        .where(F.col("pri") > F.col("tau"))
+        .select(
+            "o_orderkey",
+            "w_cents",
+            F.floor(
+                F.greatest(F.col("w_cents").cast("double"), F.col("tau"))
+                * 1000
+            )
+            .cast("bigint")
+            .alias("est_milli"),
+        )
+    )
+
+
 @register(
     "decontaminated_train",
     oracle=f"""
