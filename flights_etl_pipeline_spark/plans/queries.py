@@ -208,10 +208,12 @@ _R5_PRIORITY = [
 def _reorder_registry() -> None:
     """Front-load queries that still need a driver-green row.
 
-    Order: the round-4 verdict's named priority window (every query
-    without a CORRECTNESS row yet), then any new additions with a
-    hash-checkable oracle, then new oracle-less ones, then the
-    already-driver-checked back half.
+    Order: round-5 additions with a hash-checkable oracle FIRST (no row
+    from anyone yet -- neither a driver round nor the round-4 judge's
+    independent parity run), then the round-4 verdict's named priority
+    window (judge-verified green already, so if the ~50-query budget
+    cuts anything it should land on these), then new oracle-less ones,
+    then the already-driver-checked back half.
     """
     priority = [n for n in _R5_PRIORITY if n in REGISTRY]
     checked = [
@@ -223,7 +225,7 @@ def _reorder_registry() -> None:
     fresh_rowsonly = [n for n in fresh if REGISTRY[n].oracle is None]
     ordered = {
         n: REGISTRY[n]
-        for n in priority + fresh_hash + fresh_rowsonly + checked
+        for n in fresh_hash + priority + fresh_rowsonly + checked
     }
     REGISTRY.clear()
     REGISTRY.update(ordered)
