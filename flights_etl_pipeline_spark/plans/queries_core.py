@@ -937,6 +937,125 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range-partitioner planning: sampled boundaries + realized balance audit
+# ---------------------------------------------------------------------------
+
+_RP_SAMPLE = 1024  # fixed-size boundary sample (constant at any SF)
+_RP_BUCKETS = 8
+
+
+@register(
+    "range_partition_plan",
+    oracle=f"""
+WITH sample AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(concat('0x', substr(md5(concat('rp|',
+              CAST(l_orderkey AS VARCHAR), '|',
+              CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM lineitem
+  ORDER BY h, l_orderkey, l_linenumber LIMIT {_RP_SAMPLE}
+),
+ranked AS (
+  SELECT l_orderkey,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, h) AS rn
+  FROM sample
+),
+bounds AS (
+  SELECT l_orderkey AS bval FROM ranked
+  WHERE rn % {_RP_SAMPLE // _RP_BUCKETS} = 0 AND rn < {_RP_SAMPLE}
+),
+barr AS (SELECT list(bval ORDER BY bval) AS bl FROM bounds),
+bucketed AS (
+  SELECT len(list_filter(barr.bl, b -> b <= l.l_orderkey)) AS bucket
+  FROM lineitem l, barr
+),
+cells AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM cells)
+SELECT c.bucket, c.n_rows,
+       CAST((c.n_rows * {_RP_BUCKETS * 1000}) // t.n AS BIGINT)
+         AS load_milli
+FROM cells c, tot t
+""",
+    survey=["range-partition", "data-layout", "sampling", "skew"],
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mechanics of ``repartitionByRange`` as an auditable query:
+    draw a FIXED-size sample (the {_RP_SAMPLE} rows with the smallest
+    salted-md5 hash -- deterministic, and constant-size at any SF,
+    exactly like Spark's per-partition reservoir), cut it into
+    {_RP_BUCKETS} rank-equal boundary keys, then audit the balance the
+    boundaries would actually realize: rows per bucket and per-bucket
+    load as milli-multiples of the ideal share. load_milli far from
+    1000 is the skew a range-partitioned write/sort would ship to one
+    task -- the decision table for picking a different key or salting
+    BEFORE burning a 100 TB shuffle on it.
+
+    Scale shape: the sample is a global top-k on the hash --
+    TakeOrderedAndProject, per-task {_RP_SAMPLE}-row heaps, no raw-row
+    shuffle; the only window runs over the fixed {_RP_SAMPLE}-row
+    sample (bounded by construction, sanctioned in the plan lint); the
+    boundary array rides a 1-row broadcast and bucket assignment is a
+    pure column expression (size of a filtered array), so the audit
+    pass is one map-side-combinable aggregate over {_RP_BUCKETS} cells.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("rp|"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sample = (
+        li.select("l_orderkey", "l_linenumber", h.alias("h"))
+        .orderBy("h", "l_orderkey", "l_linenumber")
+        .limit(_RP_SAMPLE)
+    )
+    ranked = sample.select(
+        "l_orderkey",
+        F.row_number().over(Window.orderBy("l_orderkey", "h")).alias("rn"),
+    )
+    step = _RP_SAMPLE // _RP_BUCKETS
+    bounds = ranked.where(
+        (F.col("rn") % step == 0) & (F.col("rn") < _RP_SAMPLE)
+    ).select(F.col("l_orderkey").alias("bval"))
+    barr = bounds.agg(F.sort_array(F.collect_list("bval")).alias("bl"))
+    bucketed = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .crossJoin(F.broadcast(barr))
+        .select(
+            F.size(
+                F.filter(F.col("bl"), lambda b: b <= F.col("l_orderkey"))
+            ).alias("bucket")
+        )
+    )
+    cells = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = cells.agg(F.sum("n_rows").cast("long").alias("n"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        F.expr(f"CAST((n_rows * {_RP_BUCKETS * 1000}) div n AS BIGINT)").alias(
+            "load_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decile bucketing (ntile window)
 # ---------------------------------------------------------------------------
 

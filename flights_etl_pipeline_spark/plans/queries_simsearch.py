@@ -328,6 +328,122 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF index maintenance: assign ONLY the day-2 delta to frozen centroids
+# ---------------------------------------------------------------------------
+
+ANN_IVF_DELTA_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < {K_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, (e.vec_id % 10 = 0) AS is_delta, c.cid,
+         {sql_cosine('e.embedding', 'c.cvec')} AS cs
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, is_delta, cid, cs FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT cid,
+         CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_index,
+         CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_delta,
+         CAST(SUM(CASE WHEN is_delta
+                       THEN CAST(FLOOR(cs * 100000 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum_cos
+  FROM assigned GROUP BY cid
+)
+SELECT cid, n_index, n_delta,
+       CAST((n_delta * 1000) // GREATEST(n_index, 1) AS BIGINT)
+         AS growth_milli,
+       CAST(sum_cos // GREATEST(n_delta, 1) AS BIGINT) AS mean_cos_100k
+FROM cells
+"""
+
+
+@register(
+    "ann_ivf_index_delta",
+    oracle=ANN_IVF_DELTA_SQL,
+    survey=["simsearch-ivf", "incremental", "index-maintenance"],
+)
+def ann_ivf_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 IVF index maintenance: new vectors (every 10th vec_id,
+    standing in for today's arrivals) are assigned to the FROZEN coarse
+    quantizer from the day-1 fit — no re-clustering, no index rebuild —
+    and the per-cell report says whether the index still holds: cell
+    growth (delta/index, milli) flags lists that need splitting, and
+    the mean assignment cosine of the new members flags quantizer drift
+    (arrivals far from every centroid degrade recall long before any
+    cell overflows).
+
+    Scale shape: the ONLY work proportional to the corpus here is the
+    day-1 side, which a production run never recomputes — it reads the
+    stored per-cell manifest (the pattern partition_reconcile_repair
+    and shard_manifest_delta also follow: derive the day-1 state
+    in-query so both engines audit identical inputs). The delta path —
+    the thing this query exists to shape — is O(|delta|): broadcast
+    K centroids, one shuffle-free scoring pass, one (vec_id)-keyed
+    max_by argmax, one K-row cell aggregate. Integer-exact outputs
+    (floor-scaled cosines summed as BIGINT, `div` throughout), so no
+    float summation order can split the engines.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    )
+    rows = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 10 == 0).alias("is_delta"),
+        "embedding",
+        decimal_dot("embedding", "embedding").alias("enorm"),
+    )
+    cs = cosine_from_parts(decimal_dot("embedding", "cvec"), "enorm", "cnorm")
+    scored = rows.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "is_delta", "cid", cs.alias("cs")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.first("is_delta").alias("is_delta"),
+        F.max_by(
+            "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
+        ).alias("cid"),
+        F.max("cs").alias("cs"),
+    )
+    cells = assigned.groupBy("cid").agg(
+        F.sum(F.when(F.col("is_delta"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_index"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta"),
+        F.sum(
+            F.when(
+                F.col("is_delta"),
+                F.floor(F.col("cs") * 100000 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("sum_cos"),
+    )
+    return cells.select(
+        "cid",
+        "n_index",
+        "n_delta",
+        F.expr("CAST((n_delta * 1000) div GREATEST(n_index, 1) AS BIGINT)")
+        .alias("growth_milli"),
+        F.expr("CAST(sum_cos div GREATEST(n_delta, 1) AS BIGINT)")
+        .alias("mean_cos_100k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization (symmetric per-vector scaling)
 # ---------------------------------------------------------------------------
 

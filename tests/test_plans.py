@@ -85,6 +85,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     # log-histogram spine — bounded by construction, not by data
     "brand_abc_classes",  # ranked cumulation over the BRAND spine
     # (~25 rows at any SF — category-bounded, not data-bounded)
+    "range_partition_plan",  # rank window over the FIXED 1024-row
+    # boundary sample (a global top-k heap's output) — bounded by
+    # construction at any SF; the table-sized pass is window-free
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
