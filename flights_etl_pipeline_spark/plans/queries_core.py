@@ -957,7 +957,7 @@ WITH sample AS (
 ),
 ranked AS (
   SELECT l_orderkey,
-         ROW_NUMBER() OVER (ORDER BY l_orderkey, h) AS rn
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
   FROM sample
 ),
 bounds AS (
@@ -1023,9 +1023,14 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "l_orderkey", "l_linenumber")
         .limit(_RP_SAMPLE)
     )
+    # rank on the table's unique key (orderkey, linenumber): a TOTAL
+    # order, so ROW_NUMBER is deterministic on both engines even if two
+    # sampled hashes collided
     ranked = sample.select(
         "l_orderkey",
-        F.row_number().over(Window.orderBy("l_orderkey", "h")).alias("rn"),
+        F.row_number()
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("rn"),
     )
     step = _RP_SAMPLE // _RP_BUCKETS
     bounds = ranked.where(

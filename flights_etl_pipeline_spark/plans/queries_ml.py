@@ -1040,6 +1040,11 @@ def orders_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, no shuffle of raw rows); tau is a 1-row broadcast. At 100 TB
     this is THE way to cut a weighted subsample without a weight-sum
     pass or a global sort.
+
+    Headroom note: est_milli fits int64 while tau < 9.2e15, i.e. while
+    fewer than k+1 rows draw u01 below w/9.2e15 (~6e-9) -- holds with
+    huge margin through ~1e10 rows; a larger corpus should emit cents
+    (or keep tau as a double) instead of milli-units.
     """
     k = _PRI_SAMPLE_K
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
