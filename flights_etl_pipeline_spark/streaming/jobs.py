@@ -481,6 +481,75 @@ def stream_to_parquet_exactly_once(
     return next(n_batches)
 
 
+def stream_to_jdbc_exactly_once(
+    spark: SparkSession,
+    sf_dir: str,
+    url: str,
+    table: str,
+    props: dict[str, str],
+) -> int:
+    """Exactly-once streaming JDBC sink: delete-then-append keyed by
+    the epoch id. A plain ``append`` through ``foreachBatch`` is
+    at-least-once (a crash between sink write and checkpoint commit
+    replays the epoch into duplicates); making the DATA write
+    idempotent closes the gap without needing the sink transaction to
+    span the checkpoint: every row carries its ``batch_id``, and a
+    (re)played epoch first DELETEs its own rows — one driver-side
+    statement on the epoch KEY, never row data — then appends. Any
+    crash point replays to the same final state. The relational twin
+    of ``stream_to_parquet_exactly_once``'s dynamic partition
+    overwrite; at scale the DELETE is a partition/index-range drop and
+    the append runs through ``df.write.jdbc``'s per-partition
+    executor connections (numPartitions-controlled), so no data moves
+    through the driver. Returns the number of micro-batches written.
+    """
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    # create the target with the right schema (overwrite: fresh run)
+    empty = (
+        spark.createDataFrame([], ev.schema)
+        .withColumn("batch_id", F.lit(0).cast("long"))
+    )
+    empty.write.jdbc(url, table, mode="overwrite", properties=props)
+    n_batches = itertools.count()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        next(n_batches)
+        jvm = spark._sc._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            # epoch-keyed, value-free: idempotent and replay-safe.
+            # ("batch_id" quoted: Spark's JDBC writer creates quoted
+            # case-sensitive columns, which Derby/ANSI fold rules would
+            # otherwise miss)
+            st.executeUpdate(
+                f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'
+            )
+            st.close()
+        finally:
+            conn.close()
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.jdbc(url, table, mode="append", properties=props)
+        )
+
+    ckpt = os.path.join(_SCRATCH, f"jdbcsink-{uuid.uuid4().hex[:8]}")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return next(n_batches)
+
+
 def events_view_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every view emits, with the
     matching purchase (within 1 hour after) or NULL once the event-time
