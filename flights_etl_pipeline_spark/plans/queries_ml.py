@@ -1001,12 +1001,12 @@ p AS (
 topk AS (
   SELECT * FROM p ORDER BY pri DESC, o_orderkey LIMIT {_PRI_SAMPLE_K + 1}
 ),
-t AS (SELECT MIN(pri) AS tau FROM topk)
-SELECT k.o_orderkey, k.w_cents,
-       CAST(FLOOR(GREATEST(CAST(k.w_cents AS DOUBLE), t.tau) * 1000)
+wt AS (SELECT *, MIN(pri) OVER () AS tau FROM topk)
+SELECT o_orderkey, w_cents,
+       CAST(FLOOR(GREATEST(CAST(w_cents AS DOUBLE), tau) * 1000)
             AS BIGINT) AS est_milli
-FROM topk k, t
-WHERE k.pri > t.tau
+FROM wt
+WHERE pri > tau
 """
 
 
@@ -1037,7 +1037,8 @@ def orders_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan computing (w, u, pri) in codegen -> global
     top-(k+1) plans as TakeOrderedAndProject (each task keeps a k+1
     heap, driver merges k+1-sized partials -- O(k) memory at any input
-    size, no shuffle of raw rows); tau is a 1-row broadcast. At 100 TB
+    size, no shuffle of raw rows); tau is a windowed min over the
+    heap's own 201-row output, so the table is scanned ONCE. At 100 TB
     this is THE way to cut a weighted subsample without a weight-sum
     pass or a global sort.
 
@@ -1070,9 +1071,14 @@ def orders_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w.cast("double") / u01).alias("pri"),
     )
     top = base.orderBy(F.desc("pri"), F.asc("o_orderkey")).limit(k + 1)
-    tau = top.agg(F.min("pri").alias("tau"))
+    # tau via a window over the heap's own k+1-row output: referencing
+    # `top` twice (separate min aggregate + join) would duplicate the
+    # TakeOrdered subtree and scan orders a second time; the window
+    # funnels only 201 rows (bounded by construction -- sanctioned in
+    # the plan lint), keeping the whole query ONE scan
+    tau = F.min("pri").over(Window.partitionBy())
     return (
-        top.crossJoin(F.broadcast(tau))
+        top.withColumn("tau", tau)
         .where(F.col("pri") > F.col("tau"))
         .select(
             "o_orderkey",

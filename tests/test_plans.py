@@ -88,6 +88,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "range_partition_plan",  # rank window over the FIXED 1024-row
     # boundary sample (a global top-k heap's output) — bounded by
     # construction at any SF; the table-sized pass is window-free
+    "orders_priority_sample",  # tau = min window over the top-(k+1)
+    # heap's own 201-row output — bounded by construction; avoids
+    # duplicating the TakeOrdered subtree (a second table scan)
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")

@@ -47,6 +47,25 @@ def test_scan_prunes_to_two_columns(spark):
     assert "o_comment" not in plan and "o_custkey" not in plan
 
 
+def test_range_partition_plan_sample_is_heap_topk(spark):
+    """range_partition_plan shares the heap-top-k discipline: its fixed
+    boundary sample must plan as TakeOrderedAndProject, and the only
+    window may run over that bounded sample -- never the table."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        range_partition_plan,
+    )
+
+    df = range_partition_plan(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 1 <= len(rows) <= 8
+    total = sum(r.n_rows for r in rows)
+    # load_milli is per-bucket share scaled by 8*1000/total
+    for r in rows:
+        assert r.load_milli == (r.n_rows * 8000) // total
+
+
 def test_estimator_invariants(spark):
     rows = orders_priority_sample(spark, SF_DIR).collect()
     # exactly k sampled (a priority tie at the boundary could drop more,
