@@ -43,6 +43,9 @@ _SF1_SPOT = (
     # the composed dedup->gate->shard pipeline: its slope is the sum of
     # its stages' slopes, so a blow-up in any one shows here first
     "training_shard_manifest",
+    # index maintenance: 10x the vectors against the SAME 8 frozen
+    # centroids -- the slope of the O(|delta|) assignment path
+    "ann_ivf_index_delta",
 )
 _SF1_REPLICAS = 10
 _SF1_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}

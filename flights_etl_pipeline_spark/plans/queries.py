@@ -165,13 +165,15 @@ _DRIVER_CHECKED = [
     "weighted_systematic_sample",
 ]
 
-# Round-5 front window: the 45 queries that have never earned a
+# Round-5 window: the 45 queries that have never earned a
 # CORRECTNESS_r*.json row across rounds 1-4 (exact list = registry
 # minus the union of recorded keys; every one passed the judge's
-# independent sf0.01 parity run in round 4, so this is pure rotation).
-# Hash-checkable oracles first; the two by-design rows-only queries
-# close the window. 45 < the driver's ~50 budget, so cumulative
-# driver-green should reach 241/241 this round.
+# independent sf0.01 parity run in round 4, so sampling them is pure
+# rotation). The round-5 ADDITIONS outrank this window (see
+# _reorder_registry): they have no row from anyone yet, so with
+# ~10 additions + 45 window entries against the driver's ~50 budget,
+# the cut lands on the window's judge-verified tail -- those rotate
+# forward again next round.
 _R5_PRIORITY = [
     # round-4 statistics tail
     "events_psi_drift", "events_cusum_changepoint",

@@ -371,6 +371,7 @@ FROM cells
     "ann_ivf_index_delta",
     oracle=ANN_IVF_DELTA_SQL,
     survey=["simsearch-ivf", "incremental", "index-maintenance"],
+    bench=True,
 )
 def ann_ivf_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-2 IVF index maintenance: new vectors (every 10th vec_id,
