@@ -98,6 +98,34 @@ def test_forget_audit_matches_independent_subject_list(spark):
     )
 
 
+def test_merge_schema_evolution_semantics(spark):
+    """The evolved column must be present ONLY on rows last touched by
+    the post-evolution generation; untouched rows keep original values.
+    gen1 = keys %5==0 (no loyalty_tier), gen2 = keys %7==0 (adds it);
+    latest-generation-wins on overlap (%35==0)."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        merge_schema_evolution,
+    )
+
+    out = {r.c_custkey: r for r in merge_schema_evolution(spark, SF_DIR).collect()}
+    orig = {
+        r.c_custkey: r
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    assert set(out) == set(orig)
+    for k, r in out.items():
+        if k % 7 == 0:  # gen2 wins, including the %35 overlap
+            assert r.src_gen == 2
+            assert r.loyalty_tier == ("GOLD" if k % 14 == 0 else "SILVER")
+            assert abs(r.c_acctbal - (orig[k].c_acctbal + 200.0)) < 1e-9
+        elif k % 5 == 0:  # pre-evolution producer: no tier column value
+            assert r.src_gen == 1 and r.loyalty_tier is None
+            assert abs(r.c_acctbal - (orig[k].c_acctbal + 100.0)) < 1e-9
+        else:  # untouched
+            assert r.src_gen == 0 and r.loyalty_tier is None
+            assert r.c_acctbal == orig[k].c_acctbal
+
+
 def test_reconcile_flags_exactly_the_damaged_partitions(spark):
     rows = partition_reconcile_repair(spark, SF_DIR).collect()
     by_status: dict[str, int] = {}
