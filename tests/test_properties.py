@@ -174,6 +174,55 @@ def test_systematic_sample_crosses_each_boundary_once(weights, k):
             assert i in picks, f"row {i} (w={w}) spans a stratum but missed"
 
 
+# ---------------------------------------------------------------------------
+# Priority sampling invariants (pure-model properties of the
+# orders_priority_sample construction)
+# ---------------------------------------------------------------------------
+
+
+def _priority_sample_model(weights: list[int], k: int):
+    """Reference model of orders_priority_sample's selection rule:
+    pri = w/u01 with u01 from the salted md5 of the index, top-(k+1)
+    with (pri desc, idx) tie-break, tau = the set's min, keep pri>tau."""
+    import hashlib
+
+    def u01(i: int) -> float:
+        h = int(hashlib.md5(f"ps|{i}".encode()).hexdigest()[:15], 16) + 1
+        return h / 2**60
+
+    pri = {i: w / u01(i) for i, w in enumerate(weights)}
+    top = sorted(pri, key=lambda i: (-pri[i], i))[: k + 1]
+    tau = min(pri[i] for i in top)
+    return {i for i in top if pri[i] > tau}, tau, pri
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=5, max_size=300),
+    st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_priority_sample_invariants(weights, k):
+    picks, tau, pri = _priority_sample_model(weights, k)
+    assert len(picks) <= k
+    if len(weights) > k + 1:
+        # distinct priorities (md5-derived, ties measure-zero) => full k
+        assert len(picks) == k
+    # certainty property: pri >= w (u01 <= 1), so any weight above tau
+    # is guaranteed into the sample -- the heavy-item guarantee that
+    # makes the estimator's variance collapse on skewed data
+    for i, w in enumerate(weights):
+        if w > tau:
+            assert i in picks, f"item {i} (w={w} > tau={tau:.3g}) missed"
+    # weight-monotonicity: growing a sampled item's weight (same u)
+    # only improves its rank, so it stays sampled
+    if picks:
+        i0 = min(picks)
+        boosted = list(weights)
+        boosted[i0] *= 7
+        picks2, _, _ = _priority_sample_model(boosted, k)
+        assert i0 in picks2
+
+
 @given(st.integers(min_value=1, max_value=2**62))
 @settings(max_examples=500, deadline=None)
 def test_bit_length_bucket_is_floor_log2(v):
