@@ -1061,6 +1061,167 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Runtime bloom-filter semi-join reduction (explicit, audited)
+# ---------------------------------------------------------------------------
+
+_BF_BITS = 65536  # bloom width: constant at any SF (sized to dim-side NDV)
+_BF_WORDS = _BF_BITS // 64
+_BF_K = 3  # hash functions
+_BF_SEGMENT = "MACHINERY"
+
+
+def _bf_pos_sql(key: str, seed: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('bf{seed}|', "
+        f"CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) % {_BF_BITS}"
+    )
+
+
+def _bf_pos_col(col: F.Column, seed: int) -> F.Column:
+    h = F.md5(F.concat(F.lit(f"bf{seed}|"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BF_BITS
+
+
+@register(
+    "bloom_semijoin_reduction",
+    oracle=f"""
+WITH seg AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BF_SEGMENT}'
+),
+pos AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(concat('bf', s, '|',
+      CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % {_BF_BITS} AS pos
+  FROM seg CROSS JOIN (VALUES (1), (2), (3)) AS t(s)
+),
+o AS (
+  SELECT o_custkey, o_totalprice,
+         {_bf_pos_sql('o_custkey', 1)} AS p1,
+         {_bf_pos_sql('o_custkey', 2)} AS p2,
+         {_bf_pos_sql('o_custkey', 3)} AS p3
+  FROM orders
+),
+passed AS (
+  SELECT o_custkey, o_totalprice FROM o
+  WHERE p1 IN (SELECT pos FROM pos)
+    AND p2 IN (SELECT pos FROM pos)
+    AND p3 IN (SELECT pos FROM pos)
+),
+truem AS (
+  SELECT p.o_totalprice FROM passed p
+  JOIN seg s ON p.o_custkey = s.c_custkey
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_passed_bloom,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM truem) AS n_true_match,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+    - (SELECT CAST(COUNT(*) AS BIGINT) FROM truem) AS n_false_positive,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pos) AS n_bits_set,
+  (SELECT CAST(COUNT(*) * 1000 // {_BF_BITS} AS BIGINT) FROM pos)
+    AS fill_milli,
+  (SELECT CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)), 0)
+     AS BIGINT) FROM truem) AS revenue_cents
+""",
+    survey=["runtime-filter", "bloom", "join-reduction", "shuffle"],
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime bloom-filter join reduction, with the bill audited.
+
+    The 100 TB problem: fact JOIN selective-dim shuffles the ENTIRE fact
+    table even though most fact rows have no dim partner. Spark's own
+    answer is the runtime row-level bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this query is
+    that mechanism made explicit and auditable. Build a {_BF_BITS}-bit
+    bloom over the filtered dim's keys ({_BF_K} salted-md5 hashes),
+    pre-filter the fact side with O(1) bit tests BEFORE the join, then
+    run the exact join on the survivors. The result is EXACT regardless
+    of bloom false positives (the join removes them) -- what the bloom
+    changes is the shuffle bill, and the output itemizes it:
+    rows passed vs true matches vs false positives, plus the filter's
+    fill ratio (fill_milli near 1000 = saturated = resize M).
+
+    Scale shape: the bloom is ONE scan of the filtered dim producing at
+    most {_BF_BITS} distinct bit positions -- a CONSTANT-size driver
+    collect (same sanctioned model channel as the K-means centroids),
+    re-broadcast as a {_BF_WORDS}-word literal bitmap. The fact-side
+    probe is a row-local constant-folded array index + shift (no join,
+    no shuffle, whole-stage codegen), so non-matching fact rows die at
+    the scan stage and never reach the exchange. False negatives are
+    impossible by construction (tests/test_runtime_filters.py asserts
+    the bloomed join count equals the direct join count).
+    """
+    seg = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == _BF_SEGMENT)
+        .select("c_custkey")
+    )
+    pos_rows = (
+        seg.select(
+            F.explode(
+                F.array(
+                    *[_bf_pos_col(F.col("c_custkey"), s) for s in range(1, _BF_K + 1)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = {int(r["pos"]) for r in pos_rows}
+    n_bits_set = len(bits)
+    words = [0] * _BF_WORDS
+    for p in bits:
+        words[p >> 6] |= 1 << (p & 63)
+    # int -> signed 64-bit for the long literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    probed = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        *[
+            _bf_pos_col(F.col("o_custkey"), s).alias(f"p{s}")
+            for s in range(1, _BF_K + 1)
+        ],
+    ).withColumn("bm", F.array(*[F.lit(w).cast("long") for w in words]))
+    hit = " AND ".join(
+        f"((shiftright(bm[CAST(p{s} DIV 64 AS INT)], "
+        f"CAST(p{s} % 64 AS INT))) & 1) = 1"
+        for s in range(1, _BF_K + 1)
+    )
+    passed = probed.where(F.expr(hit)).select("o_custkey", "o_totalprice")
+
+    n_orders = orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    n_passed = passed.agg(F.count(F.lit(1)).cast("long").alias("n_passed_bloom"))
+    # no broadcast hint: seg is customer-derived (SF-linear) -- AQE picks
+    # broadcast at test SFs and falls back to shuffle at scale
+    truem = passed.join(seg, passed.o_custkey == seg.c_custkey)
+    t_agg = truem.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_match"),
+        F.coalesce(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(n_passed))
+        .crossJoin(F.broadcast(t_agg))
+        .select(
+            "n_orders",
+            "n_passed_bloom",
+            "n_true_match",
+            (F.col("n_passed_bloom") - F.col("n_true_match"))
+            .cast("long")
+            .alias("n_false_positive"),
+            F.lit(n_bits_set).cast("long").alias("n_bits_set"),
+            F.lit(n_bits_set * 1000 // _BF_BITS).cast("long").alias("fill_milli"),
+            "revenue_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decile bucketing (ntile window)
 # ---------------------------------------------------------------------------
 

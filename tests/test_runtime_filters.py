@@ -80,3 +80,36 @@ def test_bloom_filter_result_unchanged(bloom_session):
         orders, F.col("l_orderkey") == F.col("o_orderkey")
     ).count()
     assert with_bloom == without
+
+
+# ---------------------------------------------------------------------------
+# Explicit bloom semi-join reduction (the registered, audited variant)
+# ---------------------------------------------------------------------------
+
+
+def test_explicit_bloom_no_false_negatives(spark):
+    """The bloom pre-filter must never drop a true match: the bloomed
+    join's count and revenue equal the direct join's, and the audit
+    columns are internally consistent."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        _BF_SEGMENT,
+        bloom_semijoin_reduction,
+    )
+
+    row = bloom_semijoin_reduction(spark, SF_DIR).collect()[0]
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").where(
+        F.col("c_mktsegment") == _BF_SEGMENT
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    direct = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+    ).collect()[0]
+    assert row["n_true_match"] == direct["n"]
+    assert row["revenue_cents"] == direct["rev"]
+    assert row["n_false_positive"] >= 0
+    assert row["n_passed_bloom"] == row["n_true_match"] + row["n_false_positive"]
+    assert row["n_passed_bloom"] <= row["n_orders"]
+    assert 0 <= row["fill_milli"] <= 1000
