@@ -445,6 +445,149 @@ def ann_ivf_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed serving read path: frozen IVF index + unmerged delta segment
+# ---------------------------------------------------------------------------
+
+ANN_SERVE_DELTA_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < {K_CENTROIDS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+idx AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 <> 0
+),
+delta AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+scored AS (
+  SELECT i.vec_id, i.label, i.embedding, c.cid,
+         {sql_cosine('i.embedding', 'c.cvec')} AS cs
+  FROM idx i CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY {sql_cosine('cvec', 'qv')} DESC, cid
+  LIMIT {N_PROBE}
+),
+cand AS (
+  SELECT a.vec_id, a.label, a.embedding, 'index' AS segment
+  FROM assigned a JOIN probes p ON a.cid = p.cid
+  UNION ALL
+  SELECT vec_id, label, embedding, 'delta' AS segment FROM delta
+)
+SELECT c.vec_id, c.label, c.segment,
+       FLOOR({sql_cosine('c.embedding', 'q.qv')} * 100000000 + 0.5)
+         / 100000000 AS cosine
+FROM cand c CROSS JOIN q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "ann_serve_with_delta",
+    oracle=ANN_SERVE_DELTA_SQL,
+    survey=["simsearch-ivf", "index-delta", "composed"],
+)
+def ann_serve_with_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ANN serving READ path over a frozen index plus its
+    unmerged delta: the FAISS/Lucene "main segment + memtable" shape.
+    ``ann_ivf_index_delta`` is the WRITE path (assign today's arrivals
+    to the frozen quantizer, audit cell growth); this query is the
+    search that must stay correct BETWEEN merges. Index-side candidates
+    come from the frozen IVF's probed cells only (same quantizer, same
+    probes as ``ann_ivf_topk``); the delta segment -- small by
+    definition until the nightly merge folds it in -- is brute-forced
+    in full; one exact top-k merges the two candidate streams, each row
+    tagged with the segment that produced it.
+
+    Scale shape: the index path scans nprobe/K of the frozen corpus
+    (partition-pruned at scan time when the index is written
+    cid-partitioned, as ann_ivf_topk documents); the delta path is
+    O(|delta|) with no join at all; the final top-k is a
+    TakeOrderedAndProject over both streams (per-task heaps, no global
+    sort). Centroids, probe list, and query vector all ride 1-row/K-row
+    broadcasts. Recall is exactly the frozen index's recall: a miss can
+    only come from the quantizer, never from staleness, because the
+    delta is searched exhaustively.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    )
+    q = (
+        emb.filter(F.col("vec_id") == 1)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
+    idx = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id",
+        "label",
+        "embedding",
+        decimal_dot("embedding", "embedding").alias("enorm"),
+    )
+    delta = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        "label",
+        "embedding",
+        decimal_dot("embedding", "embedding").alias("enorm"),
+    )
+    cs = cosine_from_parts(decimal_dot("embedding", "cvec"), "enorm", "cnorm")
+    assigned = (
+        idx.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "enorm", "cid", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.first("embedding").alias("embedding"),
+            F.first("enorm").alias("enorm"),
+            F.max_by(
+                "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
+            ).alias("cid"),
+        )
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .orderBy(
+            cosine_from_parts(decimal_dot("cvec", "qv"), "cnorm", "qnorm").desc(),
+            "cid",
+        )
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .select(
+            "vec_id", "label", "embedding", "enorm",
+            F.lit("index").alias("segment"),
+        )
+        .unionAll(
+            delta.select(
+                "vec_id", "label", "embedding", "enorm",
+                F.lit("delta").alias("segment"),
+            )
+        )
+    )
+    qcos = cosine_from_parts(decimal_dot("embedding", "qv"), "enorm", "qnorm")
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "segment", dround(qcos, 8).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization (symmetric per-vector scaling)
 # ---------------------------------------------------------------------------
 

@@ -130,3 +130,44 @@ def test_ivfpq_rerank_recall_vs_bruteforce(spark):
     pq = {r["vec_id"] for r in ann_ivfpq_topk(spark, SF_DIR).collect()}
     bf = {r["vec_id"] for r in ann_bruteforce_topk(spark, SF_DIR).collect()}
     assert len(pq & bf) >= 6, (sorted(pq), sorted(bf))
+
+
+def test_serve_with_delta_never_misses_delta(spark):
+    """The composed serving path's staleness guarantee: every delta
+    vector that belongs in the GLOBAL brute-force top-10 must appear in
+    the served top-10 (the delta segment is searched exhaustively, so a
+    miss can only ever come from IVF probe pruning on the index side).
+    Segment tags must agree with the vec_id % 10 membership rule."""
+    from pyspark.sql import functions as F
+
+    from flights_etl_pipeline_spark.functions.vectors import cosine_similarity
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        ann_serve_with_delta,
+    )
+
+    served = ann_serve_with_delta(spark, SF_DIR).collect()
+    assert len(served) == 10
+    for r in served:
+        assert (r["vec_id"] % 10 == 0) == (r["segment"] == "delta"), r
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("qv")
+    )
+    brute = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    served_ids = {r["vec_id"] for r in served}
+    cut = brute[-1]["c"]
+    for r in brute:
+        # margin guards the rank-10 boundary against the served side's
+        # 8-decimal rounding
+        if r["vec_id"] % 10 == 0 and r["c"] > cut + 1e-7:
+            assert r["vec_id"] in served_ids, (r, sorted(served_ids))
