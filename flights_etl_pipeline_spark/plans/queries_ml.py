@@ -2692,3 +2692,177 @@ _registry.REGISTRY["shard_manifest_delta"] = _registry.QuerySpec(
      "sharding", "manifest", "ingest"),
     False,
 )
+
+
+# ---------------------------------------------------------------------------
+# UniMax / temperature mixture allocation (training-budget waterfill)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_BUDGET_MILLI = 900  # budget = 90% of the corpus's total tokens
+_UNIMAX_EPOCH_CAP = 1  # UniMax canonical: at most 1 epoch per source
+
+UNIMAX_SQL = f"""
+WITH t AS (
+  SELECT source, CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS m
+  FROM t
+),
+b AS (
+  SELECT (total * {_UNIMAX_BUDGET_MILLI}) // 1000 AS budget, m, total
+  FROM tot
+),
+s AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (ORDER BY n, source) AS j,
+         SUM(n) OVER (ORDER BY n, source) AS cum
+  FROM t
+),
+k AS (
+  SELECT COALESCE(MAX(j), 0) AS k
+  FROM s, b
+  WHERE n * (b.m - j + 1) + (cum - n) <= b.budget
+),
+caps AS (
+  SELECT COALESCE(SUM(n), 0) AS cumk FROM s, k WHERE s.j <= k.k
+),
+q AS (
+  SELECT (b.budget - caps.cumk) // GREATEST(b.m - k.k, 1) AS q,
+         (b.budget - caps.cumk) % GREATEST(b.m - k.k, 1) AS r
+  FROM b, k, caps
+),
+sq AS (
+  SELECT source,
+         CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS s_milli
+  FROM t
+),
+sqs AS (SELECT CAST(SUM(s_milli) AS BIGINT) AS s_total FROM sq),
+alloc AS (
+  SELECT s.source, s.n,
+         CASE WHEN s.j <= k.k THEN s.n
+              ELSE q.q + CASE WHEN s.j - k.k <= q.r THEN 1 ELSE 0 END
+         END AS ua
+  FROM s, k, q
+)
+SELECT a.source, a.n AS n_tokens,
+       CAST(a.ua AS BIGINT) AS unimax_tokens,
+       CAST((a.ua * 1000) // a.n AS BIGINT) AS unimax_epochs_milli,
+       CAST((b.budget * sq.s_milli) // sqs.s_total AS BIGINT) AS temp_tokens
+FROM alloc a JOIN sq ON a.source = sq.source, b, sqs
+"""
+
+
+@register(
+    "unimax_mixture_allocation",
+    oracle=UNIMAX_SQL,
+    survey=["mixture", "training-data", "unimax", "sampling"],
+)
+def unimax_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token allocation two ways: UniMax (Chung et
+    al. 2023 — spread a token budget uniformly across sources, capping
+    any source at {_UNIMAX_EPOCH_CAP} epoch so no corpus repeats) and
+    temperature sampling at alpha=0.5 (the mT5-style n^alpha share).
+    Budget = {_UNIMAX_BUDGET_MILLI}/1000 of total corpus tokens.
+
+    UniMax is an exact integer waterfill: sort sources by size
+    ascending; a PREFIX of them is capped at their full token count
+    (monotone: if source j is capped, so is every smaller one), found
+    as the largest j with n_j*(m-j+1) + cum_{{j-1}} <= budget; the
+    remaining sources split the leftover evenly, the div remainder
+    going one token each to the smallest uncapped sources — so the
+    allocation sums EXACTLY to the budget with no float anywhere.
+    Temperature shares use sqrt (IEEE correctly-rounded on both
+    engines, unlike pow/log), floor-milli'd per source BEFORE the sum
+    so the normalizer is an integer total.
+
+    Scale shape: ONE map-side-combinable token-count aggregate touches
+    the corpus; everything after runs on the per-source spine (~20
+    rows, source-bounded at any SF — the lint-sanctioned bounded
+    window, same class as brand_abc_classes' brand spine) via 1-row
+    broadcast scalars. The output is the decision table a 100 TB
+    mixture job consumes BEFORE sampling: per-source token grants and
+    milli-epochs under each policy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        docs.select("source", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n"))
+    )
+    tot = t.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    b = tot.select(
+        F.expr(f"(total * {_UNIMAX_BUDGET_MILLI}) div 1000").alias("budget"),
+        "m",
+    )
+    w = Window.orderBy("n", "source")
+    s = t.select(
+        "source",
+        "n",
+        F.row_number().over(w).alias("j"),
+        F.sum("n").over(w).alias("cum"),
+    )
+    k = (
+        s.crossJoin(F.broadcast(b))
+        .where(
+            F.col("n") * (F.col("m") - F.col("j") + 1)
+            + (F.col("cum") - F.col("n"))
+            <= F.col("budget")
+        )
+        .agg(F.coalesce(F.max("j"), F.lit(0)).cast("long").alias("k"))
+    )
+    caps = (
+        s.crossJoin(F.broadcast(k))
+        .where(F.col("j") <= F.col("k"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("cumk"))
+    )
+    q = (
+        b.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(caps))
+        .select(
+            F.expr("(budget - cumk) div GREATEST(m - k, 1)").alias("q"),
+            F.expr("(budget - cumk) % GREATEST(m - k, 1)").alias("r"),
+        )
+    )
+    sq = t.select(
+        "source",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000)
+        .cast("long")
+        .alias("s_milli"),
+    )
+    sqs = sq.agg(F.sum("s_milli").cast("long").alias("s_total"))
+    alloc = (
+        s.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "source",
+            "n",
+            F.when(F.col("j") <= F.col("k"), F.col("n"))
+            .otherwise(
+                F.col("q")
+                + F.when(F.col("j") - F.col("k") <= F.col("r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ua"),
+        )
+    )
+    return (
+        alloc.join(sq, "source")
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(sqs))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.col("ua").alias("unimax_tokens"),
+            F.expr("CAST((ua * 1000) div n AS BIGINT)").alias(
+                "unimax_epochs_milli"
+            ),
+            F.expr("CAST((budget * s_milli) div s_total AS BIGINT)").alias(
+                "temp_tokens"
+            ),
+        )
+    )

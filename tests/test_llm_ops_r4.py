@@ -171,3 +171,34 @@ def test_serve_with_delta_never_misses_delta(spark):
         # 8-decimal rounding
         if r["vec_id"] % 10 == 0 and r["c"] > cut + 1e-7:
             assert r["vec_id"] in served_ids, (r, sorted(served_ids))
+
+
+def test_unimax_allocation_invariants(spark):
+    """What parity can't prove about the waterfill: the UniMax grants
+    must sum EXACTLY to the budget (floor of 90% of total tokens), no
+    source may exceed its 1-epoch cap, and the capped set must be a
+    prefix of the size-ascending order (every capped source smaller
+    than every uncapped one)."""
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        _UNIMAX_BUDGET_MILLI,
+        unimax_mixture_allocation,
+    )
+
+    rows = unimax_mixture_allocation(spark, SF_DIR).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * _UNIMAX_BUDGET_MILLI // 1000
+    assert sum(r["unimax_tokens"] for r in rows) == budget
+    for r in rows:
+        assert 0 < r["unimax_tokens"] <= r["n_tokens"], r
+        assert r["unimax_epochs_milli"] <= 1000, r
+    capped = [r for r in rows if r["unimax_tokens"] == r["n_tokens"]]
+    uncapped = [r for r in rows if r["unimax_tokens"] < r["n_tokens"]]
+    if capped and uncapped:
+        # prefix property: ties at the boundary compare by (n, source)
+        mx = max((r["n_tokens"], r["source"]) for r in capped)
+        mn = min((r["n_tokens"], r["source"]) for r in uncapped)
+        assert mx < mn, (mx, mn)
+    # uncapped grants are equal up to the +1 remainder spread
+    grants = sorted(r["unimax_tokens"] for r in uncapped)
+    if grants:
+        assert grants[-1] - grants[0] <= 1, grants

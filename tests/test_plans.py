@@ -91,6 +91,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "orders_priority_sample",  # tau = min window over the top-(k+1)
     # heap's own 201-row output — bounded by construction; avoids
     # duplicating the TakeOrdered subtree (a second table scan)
+    "unimax_mixture_allocation",  # waterfill rank/prefix-sum window
+    # over the per-SOURCE token aggregate (~20 rows, source-bounded
+    # at any SF — the corpus-sized pass is one window-free agg)
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
