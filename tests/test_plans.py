@@ -94,6 +94,10 @@ _SINGLE_PARTITION_SANCTIONED = {
     "unimax_mixture_allocation",  # waterfill rank/prefix-sum window
     # over the per-SOURCE token aggregate (~20 rows, source-bounded
     # at any SF — the corpus-sized pass is one window-free agg)
+    "exact_percentiles_two_pass",  # prefix sums over the pass-1
+    # bucket spine (domain/65536 rows — domain-bounded, data-size
+    # independent) and the <=65536-row pass-2 per-rank refinement;
+    # the data itself is touched only by two window-free aggregates
 }
 
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")

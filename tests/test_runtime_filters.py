@@ -113,3 +113,29 @@ def test_explicit_bloom_no_false_negatives(spark):
     assert row["n_passed_bloom"] == row["n_true_match"] + row["n_false_positive"]
     assert row["n_passed_bloom"] <= row["n_orders"]
     assert 0 <= row["fill_milli"] <= 1000
+
+
+def test_two_pass_percentiles_match_sorted_order_statistics(spark):
+    """The histogram-refinement result must equal the k-th order
+    statistic computed the naive way (full sort), for every target
+    rank — and the plan must contain no global Sort of the data."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        exact_percentiles_two_pass,
+    )
+
+    got = {
+        r["q_milli"]: (r["k_rank"], r["value_cents"])
+        for r in exact_percentiles_two_pass(spark, SF_DIR).collect()
+    }
+    cents = sorted(
+        r["c"]
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .selectExpr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c"
+        )
+        .collect()
+    )
+    n = len(cents)
+    for q in (500, 900, 990):
+        k = (q * n + 999) // 1000
+        assert got[q] == (k, cents[k - 1]), (q, got[q], k, cents[k - 1])
