@@ -694,6 +694,7 @@ SELECT ks.q_milli, ks.k_rank, r.cents AS value_cents
 FROM ks JOIN r ON r.rn = ks.k_rank
 """,
     survey=["percentile", "two-pass", "histogram", "scale-pattern"],
+    bench=True,
 )
 def exact_percentiles_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global percentiles (lower order statistic, k = ceil(q*n))
@@ -1173,16 +1174,19 @@ _BF_K = 3  # hash functions
 _BF_SEGMENT = "MACHINERY"
 
 
+# all K positions come from ONE md5 per key: disjoint 4-hex-char slices
+# are exact 16-bit values (= _BF_BITS range), so no modulo and a third
+# of the hashing work vs one salted digest per position
 def _bf_pos_sql(key: str, seed: int) -> str:
     return (
-        f"CAST(concat('0x', substr(md5(concat('bf{seed}|', "
-        f"CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT) % {_BF_BITS}"
+        f"CAST(concat('0x', substr(md5(concat('bf|', "
+        f"CAST({key} AS VARCHAR))), {4 * seed - 3}, 4)) AS BIGINT)"
     )
 
 
 def _bf_pos_col(col: F.Column, seed: int) -> F.Column:
-    h = F.md5(F.concat(F.lit(f"bf{seed}|"), col.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BF_BITS
+    h = F.md5(F.concat(F.lit("bf|"), col.cast("string")))
+    return F.conv(F.substring(h, 4 * seed - 3, 4), 16, 10).cast("long")
 
 
 @register(
@@ -1193,8 +1197,8 @@ WITH seg AS (
 ),
 pos AS (
   SELECT DISTINCT
-    CAST(concat('0x', substr(md5(concat('bf', s, '|',
-      CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % {_BF_BITS} AS pos
+    CAST(concat('0x', substr(md5(concat('bf|',
+      CAST(c_custkey AS VARCHAR))), 4 * s - 3, 4)) AS BIGINT) AS pos
   FROM seg CROSS JOIN (VALUES (1), (2), (3)) AS t(s)
 ),
 o AS (
@@ -1227,6 +1231,7 @@ SELECT
      AS BIGINT) FROM truem) AS revenue_cents
 """,
     survey=["runtime-filter", "bloom", "join-reduction", "shuffle"],
+    bench=True,
 )
 def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit runtime bloom-filter join reduction, with the bill audited.
@@ -1238,7 +1243,9 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     that mechanism made explicit and auditable. Build a {_BF_BITS}-bit
     bloom over the filtered dim's keys ({_BF_K} salted-md5 hashes),
     pre-filter the fact side with O(1) bit tests BEFORE the join, then
-    run the exact join on the survivors. The result is EXACT regardless
+    run the exact join on the survivors. All {_BF_K} positions per key
+    are disjoint 16-bit slices of ONE md5 digest (double-hashing
+    economy: one hash per probe, not one per position). The result is EXACT regardless
     of bloom false positives (the join removes them) -- what the bloom
     changes is the shuffle bill, and the output itemizes it:
     rows passed vs true matches vs false positives, plus the filter's
@@ -1279,14 +1286,26 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    probed = orders.select(
-        "o_custkey",
-        "o_totalprice",
-        *[
-            _bf_pos_col(F.col("o_custkey"), s).alias(f"p{s}")
-            for s in range(1, _BF_K + 1)
-        ],
-    ).withColumn("bm", F.array(*[F.lit(w).cast("long") for w in words]))
+    # ONE md5 per row; the three positions are slices of the same digest.
+    # The bitmap rides as a true array Literal (F.lit of the list), so
+    # codegen indexes a shared constant instead of re-building a
+    # 1024-element array per row.
+    probed = (
+        orders.withColumn(
+            "h", F.md5(F.concat(F.lit("bf|"), F.col("o_custkey").cast("string")))
+        )
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            *[
+                F.conv(F.substring("h", 4 * s - 3, 4), 16, 10)
+                .cast("long")
+                .alias(f"p{s}")
+                for s in range(1, _BF_K + 1)
+            ],
+        )
+        .withColumn("bm", F.lit(words))
+    )
     hit = " AND ".join(
         f"((shiftright(bm[CAST(p{s} DIV 64 AS INT)], "
         f"CAST(p{s} % 64 AS INT))) & 1) = 1"
@@ -1294,8 +1313,12 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     passed = probed.where(F.expr(hit)).select("o_custkey", "o_totalprice")
 
-    n_orders = orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    n_passed = passed.agg(F.count(F.lit(1)).cast("long").alias("n_passed_bloom"))
+    counts = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr(f"CAST(({hit}) AS INT)"))
+        .cast("long")
+        .alias("n_passed_bloom"),
+    )
     # no broadcast hint: seg is customer-derived (SF-linear) -- AQE picks
     # broadcast at test SFs and falls back to shuffle at scale
     truem = passed.join(seg, passed.o_custkey == seg.c_custkey)
@@ -1308,8 +1331,7 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_cents"),
     )
     return (
-        n_orders.crossJoin(F.broadcast(n_passed))
-        .crossJoin(F.broadcast(t_agg))
+        counts.crossJoin(F.broadcast(t_agg))
         .select(
             "n_orders",
             "n_passed_bloom",
