@@ -2866,3 +2866,149 @@ def unimax_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct feature snapshot (leakage-free training matrix)
+# ---------------------------------------------------------------------------
+
+_PIT_CUTOFF = "1997-06-01"  # feature/label boundary T
+_PIT_LABEL_DAYS = 30  # label window: any order in [T, T+30d)
+
+FEATURE_SNAPSHOT_SQL = f"""
+WITH feat_orders AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS spend_cents,
+         MAX(o_orderdate) AS last_order,
+         MIN(o_orderdate) AS first_order
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_PIT_CUTOFF}'
+  GROUP BY o_custkey
+),
+feat_lines AS (
+  SELECT o.o_custkey,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '{_PIT_CUTOFF}'
+  GROUP BY o.o_custkey
+),
+lab AS (
+  SELECT DISTINCT o_custkey
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_PIT_CUTOFF}'
+    AND o_orderdate < TIMESTAMP '{_PIT_CUTOFF}'
+        + INTERVAL {_PIT_LABEL_DAYS} DAY
+)
+SELECT f.o_custkey AS custkey,
+       CAST(f.n_orders AS BIGINT) AS n_orders,
+       f.spend_cents,
+       CAST(f.spend_cents // f.n_orders AS BIGINT) AS avg_order_cents,
+       CAST(DATEDIFF('day', f.last_order, TIMESTAMP '{_PIT_CUTOFF}')
+         AS BIGINT) AS days_since_last,
+       CAST(DATEDIFF('day', f.first_order, f.last_order)
+         AS BIGINT) AS tenure_days,
+       CAST(fl.n_lines AS BIGINT) AS n_lines,
+       CAST(FLOOR(CAST(fl.n_returns AS DOUBLE) * 1000 / fl.n_lines)
+         AS BIGINT) AS return_rate_milli,
+       CASE WHEN lb.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+FROM feat_orders f
+JOIN feat_lines fl ON f.o_custkey = fl.o_custkey
+LEFT JOIN lab lb ON f.o_custkey = lb.o_custkey
+"""
+
+
+@register(
+    "feature_snapshot_pit",
+    oracle=FEATURE_SNAPSHOT_SQL,
+    survey=["feature-store", "point-in-time", "training-data", "composition"],
+)
+def feature_snapshot_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training snapshot (the feature-store
+    contract): per customer, every feature is computed ONLY from orders
+    strictly before the cutoff T, and the binary label is "placed an
+    order in [T, T+30d)" — the construction that makes a supervised
+    training set leakage-free. Emits RFM-style features (order count,
+    exact spend in cents, integer-division average order value, recency,
+    tenure) plus a lineitem-derived return rate.
+
+    Engine-exactness: money is summed as integer cents, the average is
+    integer division, and the return rate is FLOOR-milli — no float sum
+    ever crosses an aggregate, so the matrix is bit-identical on both
+    engines at any partitioning.
+
+    Scale shape: three independent hash aggregates over date-pruned
+    scans (the T predicate reaches the parquet scan, so a
+    date-partitioned 100 TB layout reads only the feature window), then
+    two custkey equi-joins of per-customer aggregates — the shuffle
+    carries one row per customer, never raw orders or lineitems. The
+    lineitem leg pre-joins orders only to inherit the date bound and
+    custkey, then aggregates before joining the other legs. No windows,
+    no driver round-trips; label-window scans prune to 30 days of
+    partitions.
+    """
+    cutoff = F.lit(_PIT_CUTOFF).cast("timestamp")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    feat_o = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+            F.max("o_orderdate").alias("last_order"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+    )
+    feat_l = (
+        li.join(
+            orders.filter(F.col("o_orderdate") < cutoff).select(
+                "o_orderkey", "o_custkey"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returns"),
+        )
+    )
+    lab = (
+        orders.filter(
+            (F.col("o_orderdate") >= cutoff)
+            & (
+                F.col("o_orderdate")
+                < F.date_add(cutoff, _PIT_LABEL_DAYS).cast("timestamp")
+            )
+        )
+        .select("o_custkey")
+        .distinct()
+        .withColumn("pos", F.lit(1))
+    )
+    return (
+        feat_o.join(feat_l, "o_custkey")
+        .join(lab, "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "spend_cents",
+            F.expr("spend_cents div n_orders").alias("avg_order_cents"),
+            F.datediff(cutoff, F.col("last_order"))
+            .cast("long")
+            .alias("days_since_last"),
+            F.datediff(F.col("last_order"), F.col("first_order"))
+            .cast("long")
+            .alias("tenure_days"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.floor(F.col("n_returns").cast("double") * 1000 / F.col("n_lines"))
+            .cast("long")
+            .alias("return_rate_milli"),
+            F.coalesce(F.col("pos"), F.lit(0)).cast("int").alias("label"),
+        )
+    )

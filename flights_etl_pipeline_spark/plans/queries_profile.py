@@ -506,3 +506,100 @@ def price_ols2_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("b1"), 6).alias("beta_quantity"),
         dround(F.col("b2"), 6).alias("beta_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal referential-integrity audit (documents <-> embeddings)
+# ---------------------------------------------------------------------------
+
+CORPUS_INTEGRITY_SQL = """
+WITH snap AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 17 = 5 THEN embedding[1:32]
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 7 <> 3
+),
+orphans AS (
+  SELECT vec_id + 10000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+snap_all AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM orphans
+),
+audit AS (
+  SELECT CASE
+           WHEN e.vec_id IS NULL THEN 'missing_embedding'
+           WHEN d.doc_id IS NULL THEN 'orphan_embedding'
+           WHEN LEN(e.embedding) <> 64 THEN 'dim_mismatch'
+           ELSE 'ok'
+         END AS status,
+         COALESCE(d.source, 'unknown') AS source
+  FROM documents d FULL OUTER JOIN snap_all e ON d.doc_id = e.vec_id
+),
+tot AS (SELECT COUNT(*) AS n_total FROM audit)
+SELECT status, source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000 // t.n_total AS BIGINT) AS share_milli
+FROM audit, tot t
+GROUP BY status, source, t.n_total
+"""
+
+
+@register(
+    "corpus_integrity_audit",
+    oracle=CORPUS_INTEGRITY_SQL,
+    survey=["data-quality", "integrity", "cross-modal", "audit"],
+)
+def corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the text/vector modalities:
+    full-outer join documents to an embedding-index snapshot and
+    classify every row as ok / missing_embedding (doc never indexed) /
+    orphan_embedding (index entry whose doc was deleted) /
+    dim_mismatch (truncated vector from a partial write) — the health
+    check a multimodal corpus needs before any retrieval or dedup job
+    trusts the doc_id==vec_id contract. The snapshot deterministically
+    simulates a stale index (drop vec_id%7==3, orphan +10000 copies of
+    vec_id%11==0, halve the dimension of vec_id%17==5), the same
+    injected-defect discipline as ``semantic_dedup``'s planted copies.
+
+    Scale shape: one key-partitioned full-outer join (both sides
+    shuffle on the id — at 100 TB both are bucketed by id and the join
+    is Exchange-free); status is a row-local CASE; output is bounded by
+    statuses × sources, and the grand total arrives as a broadcast
+    1-row aggregate, never a driver round-trip. Shares are integer
+    milli via integer division — engine-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    snap = emb.filter(F.col("vec_id") % 7 != 3).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 17 == 5, F.slice(F.col("embedding"), 1, 32)
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    orphans = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    snap_all = snap.unionAll(orphans)
+    audit = docs.join(
+        snap_all, docs.doc_id == snap_all.vec_id, "full_outer"
+    ).select(
+        F.when(F.col("vec_id").isNull(), "missing_embedding")
+        .when(F.col("doc_id").isNull(), "orphan_embedding")
+        .when(F.size("embedding") != 64, "dim_mismatch")
+        .otherwise("ok")
+        .alias("status"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+    )
+    counts = audit.groupBy("status", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = audit.agg(F.count(F.lit(1)).alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "status",
+        "source",
+        "n",
+        F.expr("(n * 1000) div n_total").alias("share_milli"),
+    )

@@ -1651,3 +1651,148 @@ ann_ivfpq_topk.__doc__ = ann_ivfpq_topk.__doc__.format(
     rr=_IVFPQ_RERANK,
     ratio=DIM * 4 // PQ_M,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical leg + exact-cosine semantic leg, fused
+# with Reciprocal Rank Fusion (RRF)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF damping constant (Cormack et al.)
+_HYBRID_LEG_K = 20  # per-leg candidate depth
+_HYBRID_TOPK = 10  # fused result size
+
+def _hybrid_rrf_sql() -> str:
+    from flights_etl_pipeline_spark.plans.queries_text import BM25_SQL
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM ( {BM25_SQL} )
+),
+sem0 AS (
+  SELECT vec_id AS doc_id,
+         FLOOR({sql_cosine('e.embedding', 'q.qv')} * 100000000 + 0.5)
+           / 100000000 AS cosine
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  ORDER BY cosine DESC, doc_id
+  LIMIT {_HYBRID_LEG_K}
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM sem0
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(1000000 // ({_RRF_K} + l.lex_rank), 0)
+           + COALESCE(1000000 // ({_RRF_K} + s.sem_rank), 0) AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {_HYBRID_TOPK}
+"""
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=None,  # replaced immediately below once queries_text is importable
+    survey=["rag", "hybrid-retrieval", "rrf", "bm25", "simsearch", "composition"],
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with Reciprocal Rank Fusion:
+    the BM25 top-20 (registered query ``bm25_scores``, composed as-is)
+    and the exact-cosine top-20 for query vector 0 are each ranked,
+    then fused with the standard RRF formula score = sum over legs of
+    1/(K + rank), K=60 — the rank-only fusion every hybrid search
+    deployment (lexical index + vector index) runs because it needs no
+    score calibration between incomparable leg scales.
+
+    Engine-exactness: RRF contributions are integer micro-units via
+    integer division 1000000 DIV (60+rank) — no float division, so the
+    fused score is exact on both engines at any scale.
+
+    Scale shape: each leg ends in a TakeOrdered top-k cut (the lexical
+    leg's aggregates are map-side combinable, the semantic leg is one
+    broadcast-query scan), so the fusion full-outer join sees 2×k rows
+    total — driver-trivial regardless of corpus size. The rank windows
+    run over each leg's own k-row heap output (bounded by construction,
+    sanctioned in tests/test_plans.py like orders_priority_sample); the
+    corpus-sized passes are window-free.
+    """
+    from flights_etl_pipeline_spark.plans.queries_text import bm25_scores
+
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
+    cos = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), dround(cos, 8).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_HYBRID_LEG_K)
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + sem_rank)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(_HYBRID_TOPK)
+
+
+def _attach_hybrid_oracle() -> None:
+    """BM25_SQL lives in queries_text; inject the composed oracle after
+    both modules are imported (registry entries are frozen dataclasses,
+    so re-register)."""
+    from dataclasses import replace
+
+    from flights_etl_pipeline_spark.plans.registry import REGISTRY
+
+    spec = REGISTRY["hybrid_retrieval_rrf"]
+    if spec.oracle is None:
+        REGISTRY["hybrid_retrieval_rrf"] = replace(spec, oracle=_hybrid_rrf_sql())
+
+
+_attach_hybrid_oracle()

@@ -94,6 +94,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "unimax_mixture_allocation",  # waterfill rank/prefix-sum window
     # over the per-SOURCE token aggregate (~20 rows, source-bounded
     # at any SF — the corpus-sized pass is one window-free agg)
+    "hybrid_retrieval_rrf",  # rank windows over each retrieval leg's
+    # own top-20 heap output (TakeOrdered result — bounded by
+    # construction at any SF); the corpus-sized passes are window-free
     "exact_percentiles_two_pass",  # prefix sums over the pass-1
     # bucket spine (domain/65536 rows — domain-bounded, data-size
     # independent) and the <=65536-row pass-2 per-rank refinement;
