@@ -341,3 +341,96 @@ def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_sum LONG, frame0_sum LONG, max_byte INT"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blob-level exact dedup manifest (content-addressed storage bill)
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_DEDUP_SQL = f"""
+WITH blobs AS (
+  SELECT doc_id, {_MEDIA_CASE} AS media_type,
+         md5(text) AS digest,
+         octet_length(encode(text)) AS byte_len
+  FROM documents
+),
+grp AS (
+  SELECT media_type, digest,
+         COUNT(*) AS n_copies,
+         MIN(doc_id) AS keeper_doc_id,
+         CAST(SUM(byte_len) AS BIGINT) AS bytes_all,
+         MIN(byte_len) AS keeper_bytes
+  FROM blobs
+  GROUP BY media_type, digest
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(n_copies) AS BIGINT) AS n_blobs,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_rows,
+       CAST(SUM(bytes_all) AS BIGINT) AS bytes_total,
+       CAST(SUM(bytes_all) - SUM(keeper_bytes) AS BIGINT) AS bytes_saved,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       MIN(keeper_doc_id) AS min_keeper_doc_id
+FROM grp
+GROUP BY media_type
+"""
+
+
+@register(
+    "multimodal_dedup_manifest",
+    oracle=MULTIMODAL_DEDUP_SQL,
+    survey=["multimodal", "dedup-exact", "composition", "manifest"],
+)
+def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup manifest over the opaque payload table —
+    the storage bill a multimodal lake computes before physical dedup:
+    hash every payload (md5 of the binary column), elect the
+    minimum-doc_id copy per (media_type, digest) as keeper, and emit
+    the per-type accounting: unique blobs, duplicate rows, total bytes,
+    and bytes reclaimed by keeping one copy per digest. The multimodal
+    twin of ``training_shard_manifest``'s content-checksum discipline.
+
+    Scale shape: one scan computing digest+length row-locally (the
+    payload is hashed once and never shuffled — the exchange carries
+    the 16-byte digest and a long, not blob bytes, which is the entire
+    point of content addressing at 100 TB), then two map-side-
+    combinable hash aggregates (digest groups → per-type manifest).
+    MIN election is order/partitioning-independent, so the manifest is
+    byte-identical on reruns and across layouts. No windows, no
+    Python, no driver round-trips.
+
+    Note the hash is computed on the payload BYTES (Spark ``F.md5`` on
+    the binary column); DuckDB's ``md5(text)`` hashes the same UTF-8
+    byte sequence, so digests agree across engines.
+    """
+    blobs = with_blob(load(spark, sf_dir, "documents"))
+    m = F.col("meta")
+    grp = (
+        blobs.select(
+            "doc_id",
+            m["media_type"].alias("media_type"),
+            F.md5("payload").alias("digest"),
+            m["byte_len"].alias("byte_len"),
+        )
+        .groupBy("media_type", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sum("byte_len").cast("long").alias("bytes_all"),
+            F.min("byte_len").alias("keeper_bytes"),
+        )
+    )
+    return grp.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("n_copies").cast("long").alias("n_blobs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("long").alias("n_dup_rows"),
+        F.sum("bytes_all").cast("long").alias("bytes_total"),
+        (F.sum("bytes_all") - F.sum("keeper_bytes"))
+        .cast("long")
+        .alias("bytes_saved"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.min("keeper_doc_id").alias("min_keeper_doc_id"),
+    )
