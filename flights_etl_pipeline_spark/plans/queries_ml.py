@@ -2924,6 +2924,7 @@ LEFT JOIN lab lb ON f.o_custkey = lb.o_custkey
     "feature_snapshot_pit",
     oracle=FEATURE_SNAPSHOT_SQL,
     survey=["feature-store", "point-in-time", "training-data", "composition"],
+    bench=True,
 )
 def feature_snapshot_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct training snapshot (the feature-store
