@@ -2047,6 +2047,235 @@ _registry.REGISTRY["curation_pipeline_v2"] = _registry.QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# Corpus release pipeline: gate -> exact dedup -> decontaminate -> pack bill
+# ---------------------------------------------------------------------------
+
+# The dedup-exercising corpus (same injection as queries_dedup._corpus,
+# widened to carry source/lang for the per-source funnel).
+_RELEASE_CORPUS_SQL = """
+  SELECT doc_id, source, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, source, lang, text
+  FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, source, lang, text || ' qq zz' AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 200
+"""
+
+
+def _release_oracle() -> str:
+    from flights_etl_pipeline_spark.plans.queries_text import gopher_gate_sql
+
+    return f"""
+WITH corpus AS ({_RELEASE_CORPUS_SQL}),
+tr AS (SELECT * FROM corpus WHERE {_SPLIT_CASE_SQL} = 'train'),
+g AS ({gopher_gate_sql('tr', 'doc_id, source, text')}),
+agg_raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gate_fail
+  FROM g GROUP BY source
+),
+k1 AS (SELECT doc_id, source, text FROM g WHERE keep),
+d AS (
+  SELECT doc_id, source, text,
+         doc_id > MIN(doc_id) OVER (PARTITION BY MD5({_NORM_SQL}))
+           AS is_dup
+  FROM k1
+),
+agg_dup AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM d GROUP BY source
+),
+k2 AS (SELECT doc_id, source, text FROM d WHERE NOT is_dup),
+tsh AS (
+  SELECT DISTINCT UNNEST({_SHINGLES_SQL}) AS sh
+  FROM corpus WHERE {_SPLIT_CASE_SQL} = 'test'
+),
+dsh AS (
+  SELECT DISTINCT doc_id, UNNEST({_SHINGLES_SQL}) AS sh FROM k2
+),
+per AS (
+  SELECT dsh.doc_id, COUNT(*) AS n_tot,
+         SUM(CASE WHEN tsh.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+  FROM dsh LEFT JOIN tsh ON dsh.sh = tsh.sh
+  GROUP BY dsh.doc_id
+),
+contam AS (SELECT doc_id FROM per WHERE 2 * n_shared >= n_tot),
+agg_contam AS (
+  SELECT k2.source, CAST(COUNT(*) AS BIGINT) AS n_contam
+  FROM k2 JOIN contam USING (doc_id) GROUP BY k2.source
+),
+rel AS (
+  SELECT source, LEN(string_split(text, ' ')) AS n_tokens
+  FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+agg_rel AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_released,
+         CAST(SUM(n_tokens) AS BIGINT) AS released_tokens
+  FROM rel GROUP BY source
+)
+SELECT r.source, r.n_raw, r.n_gate_fail,
+       CAST(COALESCE(d2.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(COALESCE(c2.n_contam, 0) AS BIGINT) AS n_contam,
+       CAST(COALESCE(a.n_released, 0) AS BIGINT) AS n_released,
+       CAST(COALESCE(a.released_tokens, 0) AS BIGINT) AS released_tokens,
+       CAST((COALESCE(a.released_tokens, 0) + {PACK_CAPACITY - 1})
+            // {PACK_CAPACITY} AS BIGINT) AS n_packs
+FROM agg_raw r
+LEFT JOIN agg_dup d2 USING (source)
+LEFT JOIN agg_contam c2 USING (source)
+LEFT JOIN agg_rel a USING (source)
+"""
+
+
+from flights_etl_pipeline_spark.plans.queries_text import (  # noqa: E402
+    gopher_gate,
+)
+
+
+@register(
+    "corpus_release_pipeline",
+    survey=[
+        "composed-pipeline", "gopher-rules", "dedup-exact",
+        "decontamination", "seq-packing", "training-prep", "data-card",
+    ],
+    bench=True,
+)
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CORPUS RELEASE: the per-source waterfall a training-data
+    release publishes alongside the shards. One lazy plan runs, in order:
+    (1) Gopher quality gate (integer rule columns, row-local — shared
+    fragment with ``gopher_quality_flags``), (2) exact dedup among gate
+    survivors (md5 fingerprint, keep-min canonical), (3) decontamination
+    of the train split against the test split's word-trigram shingles —
+    a doc is contaminated when >= 50 % of its distinct shingles appear
+    in the test set (2*n_shared >= n_tot, integer-exact; a RELATIVE
+    threshold, because the absolute shared count grows with the test
+    split's vocabulary coverage as the corpus scales, while the overlap
+    ratio of a leaked document is ~1 at any scale), and (4) the packing
+    bill:
+    released token totals and the {cap}-token context-window count
+    (ceil-division, integer-exact). Output: one funnel row per source —
+    n_raw / n_gate_fail / n_dup / n_contam / n_released / released_tokens
+    / n_packs — the "data card" accounting every release ships.
+
+    Composes the round-4/5 surfaces (gopher_quality_flags, dedup_exact,
+    decontaminated_train, seq_packing) into the release artifact itself;
+    runs over the same copy-injected corpus the dedup family uses so the
+    dedup stage is exercised (queries_dedup._corpus, widened with
+    source/lang).
+
+    Scale shape: the gate is a zero-shuffle map that runs FIRST, so the
+    fingerprint shuffle and the shingle explode see only survivors; the
+    dedup window shuffles on the fingerprint (hash-balanced — md5 of
+    content); decontamination is linear in the shingle space (distinct
+    per side, one semi-join keyed on the shingle — at 100 TB the test
+    shingle set is tiny and AQE broadcasts it); the funnel joins are on
+    10-row per-source aggregates. Every stage aggregates before joining,
+    so nothing doc-shaped crosses a stage boundary twice."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    copies = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "source", "lang", "text"
+    )
+    near = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        "source",
+        "lang",
+        F.concat("text", F.lit(" qq zz")).alias("text"),
+    )
+    corpus = docs.unionAll(copies).unionAll(near)
+
+    tr = corpus.filter(split_assign("doc_id") == "train")
+    g = gopher_gate(tr, "doc_id", "source", "text")
+    agg_raw = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gate_fail"),
+    )
+
+    k1 = g.filter(F.col("keep")).select("doc_id", "source", "text")
+    w = Window.partitionBy("fp")
+    d = k1.withColumn("fp", fingerprint("text")).withColumn(
+        "is_dup", F.col("doc_id") > F.min("doc_id").over(w)
+    )
+    agg_dup = d.groupBy("source").agg(
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup")
+    )
+
+    k2 = d.filter(~F.col("is_dup")).select("doc_id", "source", "text")
+    tsh = (
+        shingle_rows(corpus.filter(split_assign("doc_id") == "test"), [])
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    dsh = shingle_rows(k2, ["doc_id"]).distinct()
+    contam = (
+        dsh.join(tsh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tot"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_shared"),
+        )
+        .filter(2 * F.col("n_shared") >= F.col("n_tot"))
+        .select("doc_id")
+    )
+    agg_contam = (
+        k2.join(contam, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    rel = k2.join(contam, "doc_id", "left_anti").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    agg_rel = rel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_released"),
+        F.sum("n_tokens").alias("released_tokens"),
+    )
+
+    z = F.lit(0).cast("long")
+    return (
+        agg_raw.join(agg_dup, "source", "left")
+        .join(agg_contam, "source", "left")
+        .join(agg_rel, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "n_gate_fail",
+            F.coalesce("n_dup", z).alias("n_dup"),
+            F.coalesce("n_contam", z).alias("n_contam"),
+            F.coalesce("n_released", z).alias("n_released"),
+            F.coalesce("released_tokens", z).alias("released_tokens"),
+            F.expr(
+                f"(coalesce(released_tokens, 0L) + {PACK_CAPACITY - 1}) "
+                f"DIV {PACK_CAPACITY}"
+            ).alias("n_packs"),
+        )
+    )
+
+
+corpus_release_pipeline.__doc__ = corpus_release_pipeline.__doc__.format(
+    cap=PACK_CAPACITY
+)
+
+_registry.REGISTRY["corpus_release_pipeline"] = _registry.QuerySpec(
+    fn=_registry.REGISTRY["corpus_release_pipeline"].fn,
+    oracle=_release_oracle(),
+    survey=_registry.REGISTRY["corpus_release_pipeline"].survey,
+    bench=True,
+)
+
+
+# ---------------------------------------------------------------------------
 # Quality-gate ROC-AUC: exact Mann-Whitney over the score histogram
 # ---------------------------------------------------------------------------
 

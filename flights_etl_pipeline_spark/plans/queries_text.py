@@ -1540,14 +1540,10 @@ def _duck_stop_distinct() -> str:
     return "CASE lang " + " ".join(cases) + " ELSE 0 END"
 
 
-GOPHER_SQL = f"""
-WITH t AS (
-  SELECT doc_id, lang, source, text,
-         string_split_regex(text, '\\s+') AS toks
-  FROM documents
-),
-m AS (
-  SELECT doc_id, lang, source,
+# Metric expressions over a relation exposing (text, lang) plus a
+# pre-split `toks` column — the shared fragment for GOPHER_SQL and any
+# composed pipeline that reuses the gate (see corpus_release_pipeline).
+_GOPHER_METRICS_SQL = f"""
          CAST(LEN(toks) AS BIGINT) AS n_words,
          CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS BIGINT)
            AS total_chars,
@@ -1556,7 +1552,38 @@ m AS (
          CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
               + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
            AS BIGINT) AS n_symbols,
-         CAST({_duck_stop_distinct()} AS BIGINT) AS n_stop_distinct
+         CAST({_duck_stop_distinct()} AS BIGINT) AS n_stop_distinct"""
+
+# The composite keep condition over the metric column names above.
+GOPHER_KEEP_SQL = f"""(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+         AND 3 * n_words <= total_chars AND total_chars <= 10 * n_words
+         AND 10 * n_symbols < n_words
+         AND 5 * n_alpha_words > 4 * n_words
+         AND n_stop_distinct >= 2"""
+
+
+def gopher_gate_sql(src: str, carry: str = "doc_id, source, text") -> str:
+    """DuckDB fragment: ``SELECT {carry}, keep FROM <metrics over src>``.
+
+    The reusable oracle half of the Gopher gate — composed pipelines
+    inline this as a CTE body so the gate stays bit-identical to
+    ``gopher_quality_flags`` without duplicating the rule text."""
+    return f"""
+  SELECT {carry}, {GOPHER_KEEP_SQL} AS keep
+  FROM (
+    SELECT *, {_GOPHER_METRICS_SQL}
+    FROM (SELECT *, string_split_regex(text, '\\s+') AS toks FROM {src})
+  )"""
+
+
+GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         string_split_regex(text, '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source,{_GOPHER_METRICS_SQL}
   FROM t
 )
 SELECT doc_id, lang, source, n_words, total_chars, n_alpha_words,
@@ -1568,41 +1595,15 @@ SELECT doc_id, lang, source, n_words, total_chars, n_alpha_words,
        10 * n_symbols < n_words AS flag_symbol_ratio,
        5 * n_alpha_words > 4 * n_words AS flag_alpha_words,
        n_stop_distinct >= 2 AS flag_stopwords,
-       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
-         AND 3 * n_words <= total_chars AND total_chars <= 10 * n_words
-         AND 10 * n_symbols < n_words
-         AND 5 * n_alpha_words > 4 * n_words
-         AND n_stop_distinct >= 2 AS keep
+       {GOPHER_KEEP_SQL} AS keep
 FROM m
 """
 
 
-@register(
-    "gopher_quality_flags",
-    oracle=GOPHER_SQL,
-    survey=["quality-filter", "gopher-rules", "text", "llm-curation"],
-)
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style document quality rules (Rae et al. 2021 App. A —
-    the rule set FineWeb/Dolma-class curation pipelines start from),
-    restricted to the rules this corpus can exercise: word count in
-    [{lo}, {hi}], mean word length in [3, 10], symbol-to-word ratio
-    (# and ellipsis) < 0.1, >80% of words contain an alphabetic
-    character, and >= 2 distinct stopwords of the document's own
-    language (the single-line synthetic corpus makes the line-shape
-    rules — bullet/ellipsis line fractions — degenerate, so they are
-    omitted rather than shipped as constants).
-
-    Every threshold is evaluated as an INTEGER cross-multiplication
-    (e.g. mean_word_len <= 10 as total_chars <= 10*n_words), so there
-    is no float division anywhere and both engines agree bit-for-bit.
-
-    Scale shape: pure row-local map over one scan — no shuffle, no
-    join, whole-stage codegen end to end; the keep flag composes with
-    the quality-gate/DSIR stages in curation_pipeline_v2. At 100 TB
-    this is the cheapest stage of the pipeline and runs first so later
-    stages see only survivors."""
-    docs = load(spark, sf_dir, "documents")
+def gopher_metrics(docs: DataFrame, *carry: str) -> DataFrame:
+    """Project ``carry`` plus the five integer Gopher metrics — the
+    Spark half of the shared gate fragment (`_GOPHER_METRICS_SQL`).
+    Pure row-local map, no shuffle; needs ``text`` and ``lang``."""
     toks = F.split(F.col("text"), r"\s+")
     ltoks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
     n_words = F.size(toks).cast("long")
@@ -1633,16 +1634,19 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_intersect(ltoks, F.array(*[F.lit(w) for w in words]))
             ).cast("long"),
         ).otherwise(stop_expr)
-    m = docs.select(
-        "doc_id",
-        "lang",
-        "source",
+    return docs.select(
+        *carry,
         n_words.alias("n_words"),
         total_chars.alias("total_chars"),
         n_alpha.alias("n_alpha_words"),
         n_symbols.alias("n_symbols"),
         stop_expr.alias("n_stop_distinct"),
     )
+
+
+def _gopher_flag_conds():
+    """The five rule conditions over the metric column names, in the
+    same order GOPHER_SQL emits the flags."""
     f_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
     f_mwl = (3 * F.col("n_words") <= F.col("total_chars")) & (
         F.col("total_chars") <= 10 * F.col("n_words")
@@ -1650,6 +1654,47 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_sym = 10 * F.col("n_symbols") < F.col("n_words")
     f_alpha = 5 * F.col("n_alpha_words") > 4 * F.col("n_words")
     f_stop = F.col("n_stop_distinct") >= 2
+    return f_wc, f_mwl, f_sym, f_alpha, f_stop
+
+
+def gopher_gate(docs: DataFrame, *carry: str) -> DataFrame:
+    """``carry`` columns + boolean ``keep`` — the reusable Spark gate
+    matching ``gopher_gate_sql`` bit for bit."""
+    m = gopher_metrics(docs, *carry)
+    f_wc, f_mwl, f_sym, f_alpha, f_stop = _gopher_flag_conds()
+    return m.select(
+        *carry, (f_wc & f_mwl & f_sym & f_alpha & f_stop).alias("keep")
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=GOPHER_SQL,
+    survey=["quality-filter", "gopher-rules", "text", "llm-curation"],
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 App. A —
+    the rule set FineWeb/Dolma-class curation pipelines start from),
+    restricted to the rules this corpus can exercise: word count in
+    [{lo}, {hi}], mean word length in [3, 10], symbol-to-word ratio
+    (# and ellipsis) < 0.1, >80% of words contain an alphabetic
+    character, and >= 2 distinct stopwords of the document's own
+    language (the single-line synthetic corpus makes the line-shape
+    rules — bullet/ellipsis line fractions — degenerate, so they are
+    omitted rather than shipped as constants).
+
+    Every threshold is evaluated as an INTEGER cross-multiplication
+    (e.g. mean_word_len <= 10 as total_chars <= 10*n_words), so there
+    is no float division anywhere and both engines agree bit-for-bit.
+
+    Scale shape: pure row-local map over one scan — no shuffle, no
+    join, whole-stage codegen end to end; the keep flag composes with
+    the quality-gate/DSIR stages in curation_pipeline_v2. At 100 TB
+    this is the cheapest stage of the pipeline and runs first so later
+    stages see only survivors."""
+    docs = load(spark, sf_dir, "documents")
+    m = gopher_metrics(docs, "doc_id", "lang", "source")
+    f_wc, f_mwl, f_sym, f_alpha, f_stop = _gopher_flag_conds()
     return m.select(
         "*",
         f_wc.alias("flag_word_count"),

@@ -1,0 +1,88 @@
+"""Semantic invariants of corpus_release_pipeline that the DuckDB
+parity gate cannot prove (the oracle re-expresses the same logic):
+
+- the funnel must be a true waterfall: raw - gate_fail - dup - contam
+  = released, per source, with no stage double-counting a document;
+- n_raw must equal a closed-form count of train-split corpus docs
+  computed WITHOUT the pipeline (direct filters on the base table);
+- the packing bill must be exactly ceil(tokens / capacity);
+- every stage must be exercised (non-degenerate on the injected-copy
+  corpus): some docs fail the gate, some are dups, some are
+  contaminated, and some are RELEASED.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flights_etl_pipeline_spark.plans.queries_ml import (
+    PACK_CAPACITY,
+    corpus_release_pipeline,
+    split_assign,
+)
+from flights_etl_pipeline_spark.plans.registry import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark):
+    return corpus_release_pipeline(spark, SF_DIR).collect()
+
+
+def test_funnel_waterfall_identity(spark):
+    for r in _rows(spark):
+        assert r.n_raw - r.n_gate_fail - r.n_dup - r.n_contam == (
+            r.n_released
+        ), r.source
+        # stage counts can never go negative or exceed the stage input
+        assert 0 <= r.n_gate_fail <= r.n_raw
+        assert 0 <= r.n_dup <= r.n_raw - r.n_gate_fail
+        assert 0 <= r.n_contam <= r.n_raw - r.n_gate_fail - r.n_dup
+
+
+def test_n_raw_matches_closed_form_corpus_count(spark):
+    """Recompute the per-source train-split corpus size directly from
+    the base table + the documented copy injection — no gate, no dedup,
+    no shingles — and require the pipeline's n_raw to agree."""
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "source")
+    copies = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "source"
+    )
+    near = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).select((F.col("doc_id") + 20000).alias("doc_id"), "source")
+    corpus = docs.unionAll(copies).unionAll(near)
+    expect = {
+        r.source: r.n
+        for r in corpus.filter(split_assign("doc_id") == "train")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r.source: r.n_raw for r in _rows(spark)}
+    assert got == expect
+
+
+def test_pack_bill_is_ceil_division(spark):
+    for r in _rows(spark):
+        assert r.n_packs == (
+            r.released_tokens + PACK_CAPACITY - 1
+        ) // PACK_CAPACITY, r.source
+        if r.n_released == 0:
+            assert r.released_tokens == 0 and r.n_packs == 0
+
+
+def test_every_stage_exercised(spark):
+    rows = _rows(spark)
+    tot = {
+        k: sum(getattr(r, k) for r in rows)
+        for k in ("n_raw", "n_gate_fail", "n_dup", "n_contam", "n_released")
+    }
+    # the injected exact copies guarantee dups; the near-copies with a
+    # test-split original guarantee contamination candidates; short
+    # synthetic docs guarantee gate failures; and the pipeline must
+    # still RELEASE something or the funnel is vacuous.
+    assert tot["n_gate_fail"] > 0
+    assert tot["n_dup"] > 0
+    assert tot["n_released"] > 0
+    assert tot["n_raw"] > tot["n_gate_fail"]
