@@ -2167,14 +2167,17 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup stage is exercised (queries_dedup._corpus, widened with
     source/lang).
 
-    Scale shape: the gate is a zero-shuffle map that runs FIRST, so the
-    fingerprint shuffle and the shingle explode see only survivors; the
-    dedup window shuffles on the fingerprint (hash-balanced — md5 of
-    content); decontamination is linear in the shingle space (distinct
-    per side, one semi-join keyed on the shingle — at 100 TB the test
-    shingle set is tiny and AQE broadcasts it); the funnel joins are on
-    10-row per-source aggregates. Every stage aggregates before joining,
-    so nothing doc-shaped crosses a stage boundary twice."""
+    Scale shape: ONE doc-level chain — scan -> gate columns (row-local)
+    -> fingerprint window (the only content shuffle; dup-among-keepers
+    is a min-over-CASE inside that same window, so gating does NOT fork
+    the dataflow) -> left join of doc-local contamination stats -> one
+    final per-source aggregate. The shingle branch explodes only
+    gate+dedup SURVIVORS and is linear in the shingle space (distinct
+    per side, join keyed on the shingle; the test shingle set is tiny
+    and AQE broadcasts it). Per-stage counts come from conditional sums
+    in the single final aggregate, not per-stage aggregation branches —
+    the corpus is scanned a bounded number of times instead of once per
+    funnel row."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
     )
@@ -2193,73 +2196,79 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = corpus.filter(split_assign("doc_id") == "train")
     g = gopher_gate(tr, "doc_id", "source", "text")
-    agg_raw = g.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_gate_fail"),
-    )
 
-    k1 = g.filter(F.col("keep")).select("doc_id", "source", "text")
+    # Dedup among gate survivors WITHOUT splitting the dataflow: the
+    # min-keeper window runs over every train doc (partitioned by
+    # content fingerprint), but only keepers compete for canonical —
+    # so a doc is a dup iff it keeps AND a smaller keeper shares its
+    # fingerprint. One window, no branch.
     w = Window.partitionBy("fp")
-    d = k1.withColumn("fp", fingerprint("text")).withColumn(
-        "is_dup", F.col("doc_id") > F.min("doc_id").over(w)
-    )
-    agg_dup = d.groupBy("source").agg(
-        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dup")
+    d = g.withColumn("fp", fingerprint("text")).withColumn(
+        "is_dup",
+        F.col("keep")
+        & (
+            F.col("doc_id")
+            > F.min(F.when(F.col("keep"), F.col("doc_id"))).over(w)
+        ),
     )
 
-    k2 = d.filter(~F.col("is_dup")).select("doc_id", "source", "text")
+    # Contamination stats for the surviving subset only (at 100 TB you
+    # never shingle gate-rejects); the overlap ratio is doc-local, so
+    # the flag joins back by doc_id.
     tsh = (
         shingle_rows(corpus.filter(split_assign("doc_id") == "test"), [])
         .select("sh")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    dsh = shingle_rows(k2, ["doc_id"]).distinct()
-    contam = (
-        dsh.join(tsh, "sh", "left")
+    k2 = d.filter(F.col("keep") & ~F.col("is_dup")).select("doc_id", "text")
+    per = (
+        shingle_rows(k2, ["doc_id"])
+        .distinct()
+        .join(tsh, "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tot"),
             F.sum(F.coalesce("hit", F.lit(0))).alias("n_shared"),
         )
-        .filter(2 * F.col("n_shared") >= F.col("n_tot"))
-        .select("doc_id")
-    )
-    agg_contam = (
-        k2.join(contam, "doc_id")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_contam"))
-    )
-    rel = k2.join(contam, "doc_id", "left_anti").select(
-        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
-    )
-    agg_rel = rel.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_released"),
-        F.sum("n_tokens").alias("released_tokens"),
     )
 
-    z = F.lit(0).cast("long")
-    return (
-        agg_raw.join(agg_dup, "source", "left")
-        .join(agg_contam, "source", "left")
-        .join(agg_rel, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            "n_gate_fail",
-            F.coalesce("n_dup", z).alias("n_dup"),
-            F.coalesce("n_contam", z).alias("n_contam"),
-            F.coalesce("n_released", z).alias("n_released"),
-            F.coalesce("released_tokens", z).alias("released_tokens"),
-            F.expr(
-                f"(coalesce(released_tokens, 0L) + {PACK_CAPACITY - 1}) "
-                f"DIV {PACK_CAPACITY}"
-            ).alias("n_packs"),
-        )
+    flags = d.join(per, "doc_id", "left").select(
+        "source",
+        "keep",
+        "is_dup",
+        (
+            F.col("keep")
+            & ~F.col("is_dup")
+            & (2 * F.coalesce("n_shared", F.lit(0)) >= F.col("n_tot"))
+        ).alias("is_contam"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    released = F.col("keep") & ~F.col("is_dup") & ~F.col("is_contam")
+    one = F.lit(1)
+    zero = F.lit(0)
+    return flags.groupBy("source").agg(
+        F.count(one).alias("n_raw"),
+        F.sum(F.when(~F.col("keep"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_gate_fail"),
+        F.sum(F.when(F.col("is_dup"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_dup"),
+        F.sum(F.when(F.col("is_contam"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_contam"),
+        F.sum(F.when(released, one).otherwise(zero))
+        .cast("long")
+        .alias("n_released"),
+        F.sum(F.when(released, F.col("n_tokens")).otherwise(zero))
+        .cast("long")
+        .alias("released_tokens"),
+        F.expr(
+            f"(sum(CASE WHEN keep AND NOT is_dup AND NOT is_contam "
+            f"THEN n_tokens ELSE 0 END) + {PACK_CAPACITY - 1}) "
+            f"DIV {PACK_CAPACITY}"
+        ).alias("n_packs"),
     )
 
 
