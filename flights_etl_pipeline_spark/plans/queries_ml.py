@@ -2063,7 +2063,11 @@ _RELEASE_CORPUS_SQL = """
 """
 
 
-def _release_oracle() -> str:
+def _release_oracle(canon_key_sql: str = "doc_id") -> str:
+    """Release-funnel oracle; ``canon_key_sql`` is the dedup canonical
+    ordering key — ``doc_id`` for the batch pipeline (global-min
+    canonical), an arrival-order key for the streaming twin (first
+    SEEN keeper wins; see jobs.corpus_release_stream)."""
     from flights_etl_pipeline_spark.plans.queries_text import gopher_gate_sql
 
     return f"""
@@ -2079,7 +2083,8 @@ agg_raw AS (
 k1 AS (SELECT doc_id, source, text FROM g WHERE keep),
 d AS (
   SELECT doc_id, source, text,
-         doc_id > MIN(doc_id) OVER (PARTITION BY MD5({_NORM_SQL}))
+         ({canon_key_sql}) >
+           MIN({canon_key_sql}) OVER (PARTITION BY MD5({_NORM_SQL}))
            AS is_dup
   FROM k1
 ),

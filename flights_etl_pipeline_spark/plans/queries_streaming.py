@@ -266,3 +266,36 @@ def events_stream_bucketed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     over exact decimals, so the drained state equals the batch
     aggregate regardless of chunking."""
     return jobs.stream_bucketed_rollup(spark, sf_dir)
+
+
+def _release_stream_oracle() -> str:
+    from flights_etl_pipeline_spark.plans.queries_ml import _release_oracle
+    from flights_etl_pipeline_spark.streaming.jobs import (
+        _RELEASE_CHUNKS,
+        _RELEASE_KEY_BASE,
+    )
+
+    # arrival key: batch = doc_id % chunks, then doc_id within the batch
+    return _release_oracle(
+        f"((doc_id % {_RELEASE_CHUNKS}) * {_RELEASE_KEY_BASE} + doc_id)"
+    )
+
+
+@register(
+    "corpus_release_stream",
+    oracle=_release_stream_oracle(),
+    survey=[
+        "streaming", "composed-pipeline", "gopher-rules",
+        "dedup-incremental", "decontamination", "foreachBatch",
+        "training-prep",
+    ],
+)
+def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of corpus_release_pipeline: micro-batched gate ->
+    incremental fingerprint-index dedup (first-seen keeper wins) ->
+    stream-static decontamination -> drained per-source funnel. The
+    oracle is the SAME release funnel with the canonical ordered by
+    arrival key ((doc_id % n_chunks) * base + doc_id), proving the
+    incremental index converges to the offline re-run of the same
+    rule."""
+    return jobs.corpus_release_stream(spark, sf_dir)

@@ -979,3 +979,215 @@ def bucketed_rollup_join(spark: SparkSession) -> DataFrame:
             F.sum("total_dec").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus release: gate -> incremental dedup index -> decontam
+# ---------------------------------------------------------------------------
+
+_RELEASE_KEY_BASE = 1_000_000  # > any doc_id; arrival key = batch*BASE + id
+_RELEASE_CHUNKS = 4
+
+
+def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``corpus_release_pipeline``: documents replayed
+    as {n} micro-batches (chunk = doc_id % {n}), each batch flowing
+    through (1) the stateless Gopher gate, (2) INCREMENTAL exact dedup
+    against a persistent fingerprint index — first-SEEN keeper wins, the
+    real semantics of a crawl-ingest dedup service (the canonical is the
+    earliest-arriving keeper, ordered by (batch, doc_id); the batch
+    pipeline's global-min canonical is the offline re-run of the same
+    rule), and (3) decontamination against the STATIC test-split shingle
+    set (the eval set is fixed upfront, so the overlap join is
+    stream-static). Per-batch doc flags land in replay-idempotent
+    per-batch directories; the drained flags re-aggregate into the same
+    per-source funnel schema as the batch pipeline.
+
+    Exactness: batches ascend by chunk index and the arrival key is
+    (batch * {base} + doc_id), so "first seen keeper" equals the global
+    minimum of that key — which the DuckDB oracle expresses as
+    MIN((doc_id % {n}) * {base} + doc_id) per fingerprint. Gate, contam
+    ratio, token counts, and the funnel sums are all doc-local integer
+    arithmetic, identical to the batch pipeline.
+
+    Scale shape: the index is keyed parquet merged once per batch (delta
+    keepers vs index — at warehouse scale a transactional keyed table
+    bucketed on fp); the shingle join explodes only THIS BATCH's
+    gate+dedup survivors against the fixed eval shingle set (tiny,
+    AQE-broadcast); nothing doc-shaped is held in executor state."""
+    from flights_etl_pipeline_spark.plans.queries_ml import split_assign
+    from flights_etl_pipeline_spark.plans.queries_text import gopher_gate
+    from flights_etl_pipeline_spark.functions.text import (
+        fingerprint,
+        shingle_rows,
+    )
+    from flights_etl_pipeline_spark.streaming.source import (
+        prepare_docs_stream_dir,
+        read_docs_stream,
+    )
+
+    def _inject(docs: DataFrame) -> DataFrame:
+        base = docs.select("doc_id", "source", "lang", "text")
+        copies = base.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            "source",
+            "lang",
+            "text",
+        )
+        near = base.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+        ).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            "source",
+            "lang",
+            F.concat("text", F.lit(" qq zz")).alias("text"),
+        )
+        return base.unionAll(copies).unionAll(near)
+
+    # the FIXED eval-set shingles (known upfront; stream-static side)
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    tsh = (
+        shingle_rows(
+            _inject(load(spark, sf_dir, "documents")).filter(
+                split_assign("doc_id") == "test"
+            ),
+            [],
+        )
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint()
+    )
+
+    run = uuid.uuid4().hex[:8]
+    out_dir = os.path.join(_SCRATCH, f"release-{run}")
+    index_dir = os.path.join(out_dir, "fp_index")
+    flags_dir = os.path.join(out_dir, "flags")
+    os.makedirs(flags_dir, exist_ok=True)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_state_dir(index_dir)
+        tr = _inject(batch_df).filter(split_assign("doc_id") == "train")
+        g = gopher_gate(tr, "doc_id", "source", "text")
+        key = (
+            F.lit(int(batch_id) * _RELEASE_KEY_BASE) + F.col("doc_id")
+        ).cast("long")
+        d = (
+            g.withColumn("fp", fingerprint("text"))
+            .withColumn("key", key)
+            .localCheckpoint()
+        )
+        w = Window.partitionBy("fp")
+        batch_min = F.min(F.when(F.col("keep"), F.col("key"))).over(w)
+        if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+            idx = spark.read.parquet(index_dir)
+        else:
+            idx = spark.createDataFrame([], "fp string, min_key long")
+        d2 = (
+            d.withColumn("batch_min", batch_min)
+            .join(idx, "fp", "left")
+            .withColumn(
+                "global_min", F.least("min_key", "batch_min")
+            )
+            .withColumn(
+                "is_dup",
+                F.col("keep") & (F.col("key") > F.col("global_min")),
+            )
+        )
+        k2 = d2.filter(F.col("keep") & ~F.col("is_dup")).select(
+            "doc_id", "text"
+        )
+        per = (
+            shingle_rows(k2, ["doc_id"])
+            .distinct()
+            .join(tsh, "sh", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tot"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_shared"),
+            )
+        )
+        flags = d2.join(per, "doc_id", "left").select(
+            "source",
+            "keep",
+            "is_dup",
+            (
+                F.col("keep")
+                & ~F.col("is_dup")
+                & (2 * F.coalesce("n_shared", F.lit(0)) >= F.col("n_tot"))
+            ).alias("is_contam"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        # replay-idempotent: one overwrite directory per batch id
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"batch-{int(batch_id):04d}")
+        )
+        # merge this batch's keepers into the index (two-rename swap)
+        keepers = (
+            d2.filter(F.col("keep") & ~F.col("is_dup"))
+            .groupBy("fp")
+            .agg(F.min("key").alias("min_key"))
+        )
+        merged = (
+            idx.unionAll(keepers)
+            .groupBy("fp")
+            .agg(F.min("min_key").alias("min_key"))
+        )
+        staging = f"{index_dir}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        trash = f"{index_dir}.old-{batch_id}"
+        if os.path.exists(index_dir):
+            os.replace(index_dir, trash)
+        os.replace(staging, index_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+
+    stream_dir = prepare_docs_stream_dir(
+        spark, sf_dir, n_chunks=_RELEASE_CHUNKS
+    )
+    docs = read_docs_stream(spark, stream_dir)
+    ckpt = os.path.join(_SCRATCH, f"release-ckpt-{run}")
+    q = (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    from flights_etl_pipeline_spark.plans.queries_ml import PACK_CAPACITY
+
+    flags = spark.read.parquet(os.path.join(flags_dir, "batch-*"))
+    released = F.col("keep") & ~F.col("is_dup") & ~F.col("is_contam")
+    one, zero = F.lit(1), F.lit(0)
+    return flags.groupBy("source").agg(
+        F.count(one).alias("n_raw"),
+        F.sum(F.when(~F.col("keep"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_gate_fail"),
+        F.sum(F.when(F.col("is_dup"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_dup"),
+        F.sum(F.when(F.col("is_contam"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_contam"),
+        F.sum(F.when(released, one).otherwise(zero))
+        .cast("long")
+        .alias("n_released"),
+        F.sum(F.when(released, F.col("n_tokens")).otherwise(zero))
+        .cast("long")
+        .alias("released_tokens"),
+        F.expr(
+            f"(sum(CASE WHEN keep AND NOT is_dup AND NOT is_contam "
+            f"THEN n_tokens ELSE 0 END) + {PACK_CAPACITY - 1}) "
+            f"DIV {PACK_CAPACITY}"
+        ).alias("n_packs"),
+    )
+
+
+corpus_release_stream.__doc__ = corpus_release_stream.__doc__.format(
+    n=_RELEASE_CHUNKS, base=_RELEASE_KEY_BASE
+)

@@ -86,3 +86,38 @@ def test_every_stage_exercised(spark):
     assert tot["n_dup"] > 0
     assert tot["n_released"] > 0
     assert tot["n_raw"] > tot["n_gate_fail"]
+
+
+def test_stream_funnel_totals_equal_batch(spark):
+    """The streaming twin picks a DIFFERENT canonical per duplicate
+    group (first-arrival vs global-min), but the funnel TOTALS are
+    canonical-choice-invariant: per fingerprint group exactly
+    (size - 1) docs are dups whichever keeper wins, and contamination
+    / token counts depend only on the surviving TEXT (identical across
+    choices). So every column must agree in total, even where the
+    per-source rows legitimately differ."""
+    from flights_etl_pipeline_spark.streaming.jobs import (
+        corpus_release_stream,
+    )
+
+    batch = {r.source: r for r in _rows(spark)}
+    stream = {
+        r.source: r for r in corpus_release_stream(spark, SF_DIR).collect()
+    }
+    assert set(batch) == set(stream)
+    for col in (
+        "n_raw",
+        "n_gate_fail",
+        "n_dup",
+        "n_contam",
+        "n_released",
+        "released_tokens",
+    ):
+        assert sum(getattr(r, col) for r in batch.values()) == sum(
+            getattr(r, col) for r in stream.values()
+        ), col
+    # n_raw and n_gate_fail are per-doc properties independent of the
+    # dedup choice: they must match per source, not just in total
+    for s in batch:
+        assert batch[s].n_raw == stream[s].n_raw
+        assert batch[s].n_gate_fail == stream[s].n_gate_fail
