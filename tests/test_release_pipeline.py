@@ -121,3 +121,18 @@ def test_stream_funnel_totals_equal_batch(spark):
     for s in batch:
         assert batch[s].n_raw == stream[s].n_raw
         assert batch[s].n_gate_fail == stream[s].n_gate_fail
+
+
+def test_release_plan_shape_stays_single_chain(spark):
+    """Guard the round-5 restructure: the funnel must stay ONE doc-level
+    chain with conditional sums in a single final aggregate. The first
+    cut branched per stage and re-scanned the corpus once per funnel
+    column (48 parquet scans / 44 exchanges); the shipped plan reads it
+    a bounded number of times. A regression past these bounds means
+    someone re-introduced per-stage aggregation branches."""
+    from tests.test_plans import plan_str
+
+    s = plan_str(corpus_release_pipeline(spark, SF_DIR))
+    assert s.count("Scan parquet") <= 20
+    assert s.count("Exchange") <= 18
+    assert "BatchEvalPython" not in s
