@@ -46,6 +46,11 @@ _SF1_SPOT = (
     # index maintenance: 10x the vectors against the SAME 8 frozen
     # centroids -- the slope of the O(|delta|) assignment path
     "ann_ivf_index_delta",
+    # the release funnel: gate -> dedup window -> shingle decontam ->
+    # one aggregate; on the replicated fixture every fingerprint group
+    # is 10x denser (extreme-duplication, like the LSH spot) so a
+    # near-linear slope here covers the whole funnel's stages at once
+    "corpus_release_pipeline",
 )
 _SF1_REPLICAS = 10
 _SF1_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}

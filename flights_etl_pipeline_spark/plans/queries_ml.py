@@ -2050,15 +2050,22 @@ _registry.REGISTRY["curation_pipeline_v2"] = _registry.QuerySpec(
 # Corpus release pipeline: gate -> exact dedup -> decontaminate -> pack bill
 # ---------------------------------------------------------------------------
 
-# The dedup-exercising corpus (same injection as queries_dedup._corpus,
-# widened to carry source/lang for the per-source funnel).
-_RELEASE_CORPUS_SQL = """
+# The dedup-exercising corpus (same injection shape as
+# queries_dedup._corpus, widened to carry source/lang for the
+# per-source funnel). Offsets are 1e8/2e8 — far past any fixture's id
+# space (the 10x bench fixture synthesizes ids up to replicas * |docs|)
+# so injected ids can never collide with real ones.
+_RELEASE_COPY_OFFSET = 100_000_000
+_RELEASE_NEAR_OFFSET = 200_000_000
+
+_RELEASE_CORPUS_SQL = f"""
   SELECT doc_id, source, lang, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, source, lang, text
+  SELECT doc_id + {_RELEASE_COPY_OFFSET} AS doc_id, source, lang, text
   FROM documents WHERE doc_id < 100
   UNION ALL
-  SELECT doc_id + 20000 AS doc_id, source, lang, text || ' qq zz' AS text
+  SELECT doc_id + {_RELEASE_NEAR_OFFSET} AS doc_id, source, lang,
+         text || ' qq zz' AS text
   FROM documents WHERE doc_id >= 100 AND doc_id < 200
 """
 
@@ -2168,9 +2175,9 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes the round-4/5 surfaces (gopher_quality_flags, dedup_exact,
     decontaminated_train, seq_packing) into the release artifact itself;
-    runs over the same copy-injected corpus the dedup family uses so the
-    dedup stage is exercised (queries_dedup._corpus, widened with
-    source/lang).
+    runs over a copy-injected corpus (the queries_dedup._corpus shape,
+    widened with source/lang, offsets collision-proofed to 1e8/2e8) so
+    the dedup stage is exercised.
 
     Scale shape: ONE doc-level chain — scan -> gate columns (row-local)
     -> fingerprint window (the only content shuffle; dup-among-keepers
@@ -2187,12 +2194,15 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "text"
     )
     copies = docs.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "source", "lang", "text"
+        (F.col("doc_id") + _RELEASE_COPY_OFFSET).alias("doc_id"),
+        "source",
+        "lang",
+        "text",
     )
     near = docs.filter(
         (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
     ).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
+        (F.col("doc_id") + _RELEASE_NEAR_OFFSET).alias("doc_id"),
         "source",
         "lang",
         F.concat("text", F.lit(" qq zz")).alias("text"),

@@ -985,7 +985,8 @@ def bucketed_rollup_join(spark: SparkSession) -> DataFrame:
 # Streaming corpus release: gate -> incremental dedup index -> decontam
 # ---------------------------------------------------------------------------
 
-_RELEASE_KEY_BASE = 1_000_000  # > any doc_id; arrival key = batch*BASE + id
+_RELEASE_KEY_BASE = 1_000_000_000  # > any doc_id incl. the 2e8-offset
+# injected copies; arrival key = batch * BASE + doc_id
 _RELEASE_CHUNKS = 4
 
 
@@ -1026,10 +1027,15 @@ def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_docs_stream,
     )
 
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        _RELEASE_COPY_OFFSET as _COPY_OFF,
+        _RELEASE_NEAR_OFFSET as _NEAR_OFF,
+    )
+
     def _inject(docs: DataFrame) -> DataFrame:
         base = docs.select("doc_id", "source", "lang", "text")
         copies = base.filter(F.col("doc_id") < 100).select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
+            (F.col("doc_id") + _COPY_OFF).alias("doc_id"),
             "source",
             "lang",
             "text",
@@ -1037,7 +1043,7 @@ def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         near = base.filter(
             (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
         ).select(
-            (F.col("doc_id") + 20000).alias("doc_id"),
+            (F.col("doc_id") + _NEAR_OFF).alias("doc_id"),
             "source",
             "lang",
             F.concat("text", F.lit(" qq zz")).alias("text"),

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.plans.queries_ml import (
     PACK_CAPACITY,
+    _RELEASE_COPY_OFFSET,
+    _RELEASE_NEAR_OFFSET,
     corpus_release_pipeline,
     split_assign,
 )
@@ -46,11 +48,11 @@ def test_n_raw_matches_closed_form_corpus_count(spark):
     no shingles — and require the pipeline's n_raw to agree."""
     docs = load(spark, SF_DIR, "documents").select("doc_id", "source")
     copies = docs.filter(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "source"
+        (F.col("doc_id") + _RELEASE_COPY_OFFSET).alias("doc_id"), "source"
     )
     near = docs.filter(
         (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
-    ).select((F.col("doc_id") + 20000).alias("doc_id"), "source")
+    ).select((F.col("doc_id") + _RELEASE_NEAR_OFFSET).alias("doc_id"), "source")
     corpus = docs.unionAll(copies).unionAll(near)
     expect = {
         r.source: r.n
