@@ -200,10 +200,10 @@ _R5_PRIORITY = [
     "events_topk_stream", "events_view_purchase_outer_stream",
     "events_hopping_stream", "synth_source_revenue",
     "synth_source_stream",
-    # (oracle-less bpe_learn_merges is NOT listed: _reorder_registry
-    # already sorts never-checked rows-only queries after the
-    # never-checked hash-checkable ones, and the round-5 additions
-    # with oracles must outrank it in the ~50-row sample budget)
+    # (bpe_learn_merges is NOT listed: it gained an unrolled DuckDB
+    # oracle in round 5 and has no driver row, so _reorder_registry
+    # already fronts it with the other never-checked hash-checkable
+    # queries)
 ]
 
 

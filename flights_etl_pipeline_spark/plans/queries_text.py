@@ -1125,10 +1125,64 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N_MERGES = 8
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE-training oracle (same pattern as the K-means and
+    PageRank unrolls): per round, a pair-count aggregate, an argmax CTE,
+    and a rewrite CTE. The fuse step ("replace every non-overlapping
+    (a,b) left-to-right") is expressed EXACTLY as a string REPLACE over
+    a separator-encoded symbol string — encode ␟s1␟␟s2␟␟…␟sn␟ (CHR(31),
+    absent from the corpus alphabet), replace ␟a␟␟b␟ with ␟ab␟, decode
+    by splitting on the double separator. REPLACE's left-to-right
+    non-overlapping scan is precisely BPE's greedy fuse, and the
+    separators anchor full-symbol boundaries so a pattern can never
+    match inside or across symbols."""
+    sep = "CHR(31)"
+    parts = [
+        """
+WITH w0 AS (
+  SELECT list_transform(generate_series(1, LENGTH(word)), i -> word[i])
+           AS syms,
+         freq
+  FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT UNNEST(string_split_regex(LOWER(text), '\\s+')) AS word
+      FROM documents
+    ) WHERE LEN(word) > 0 GROUP BY word
+  )
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        enc = f"{sep} || array_to_string(w.syms, {sep}||{sep}) || {sep}"
+        parts.append(f"""
+p{r} AS (
+  SELECT syms[i] AS a, syms[i+1] AS b,
+         CAST(SUM(freq) AS BIGINT) AS pf
+  FROM w{p}, UNNEST(generate_series(1, LEN(syms) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, pf FROM p{r} ORDER BY pf DESC, a, b LIMIT 1),
+w{r} AS (
+  SELECT string_split(
+           TRIM(REPLACE({enc},
+                        {sep} || m.a || {sep}||{sep} || m.b || {sep},
+                        {sep} || m.a || m.b || {sep}),
+                CHR(31)),
+           {sep}||{sep}) AS syms,
+         w.freq
+  FROM w{p} w CROSS JOIN m{r} m
+)""")
+    final = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INT) AS merge_rank, a AS "left", '
+        f'b AS "right", pf AS pair_freq FROM m{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return ",".join(parts) + "\n" + final
+
+
 @register(
     "bpe_learn_merges",
-    oracle=None,  # iterative argmax loop; not SQL-expressible. Value-
-    # checked against a pure-Python BPE reference in tests/test_text.py.
+    oracle=_bpe_oracle(_BPE_N_MERGES),
     survey=["tokenizer-training", "bpe", "iterative"],
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
