@@ -1147,6 +1147,10 @@ def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.replace(index_dir, trash)
         os.replace(staging, index_dir)
         shutil.rmtree(trash, ignore_errors=True)
+        # free this batch's checkpoint blocks (both sinks are written;
+        # without this, per-batch localCheckpoint storage accumulates
+        # for the life of the stream)
+        d.unpersist()
 
     stream_dir = prepare_docs_stream_dir(
         spark, sf_dir, n_chunks=_RELEASE_CHUNKS
@@ -1163,6 +1167,7 @@ def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        tsh.unpersist()
 
     from flights_etl_pipeline_spark.plans.queries_ml import PACK_CAPACITY
 
