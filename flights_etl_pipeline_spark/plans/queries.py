@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Module import order only populates REGISTRY; the effective driver-
 # check order is set by _reorder_registry() below (never-driver-checked
-# queries first, see _R5_PRIORITY).
+# queries first, see _driver_green/_reorder_registry below).
 import flights_etl_pipeline_spark.plans.queries_text  # noqa: F401
 
 try:  # keep entry green even if one module fails to import
@@ -70,165 +70,67 @@ except ImportError:
 
 from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
-# Names with a driver row already on record across rounds 1-2:
-# hash_match=true in CORRECTNESS_r01/r02.json, or (for the two
-# approximate queries where no exact oracle exists) the rows-only check
-# that is the strongest available. The driver walks the registry
-# front-to-back with a ~50-query budget per round, so these take the
-# back of the registry; everything still waiting for its first driver
-# row goes first.
-_DRIVER_CHECKED = [
-    # round 1 (CORRECTNESS_r01.json)
-    "pricing_summary", "revenue_by_nation", "revenue_by_month",
-    "priority_avg_price", "high_watermark", "distinct_segments",
-    "orders_without_lineitems", "customers_with_orders", "dim_date",
-    "filtered_revenue", "top_orders", "rank_orders_per_customer",
-    "running_revenue", "nation_set_ops", "pivot_returnflag",
-    "rollup_revenue", "cube_revenue", "sql_between_slice",
-    "price_percentiles", "corr_price_qty", "orders_price_histogram",
-    "lineitem_unpivot_measures", "price_percentiles_approx",
-    "zorder_clustering", "order_price_deciles", "smallqty_part_revenue",
-    "winsorized_order_stats", "customer_cohort_retention", "part_tokens",
-    "segments_normalize", "ts_segments", "token_counts",
-    "token_positions", "zip_token_lengths", "events_hourly",
-    "events_first_per_user_type", "event_type_shares",
-    "events_salted_agg", "events_asof_join", "events_range_join_pairs",
-    "events_distinct_users", "events_hll_daily_merge", "events_funnel",
-    "events_session_window", "cdc_latest_state", "events_ohlc_hourly",
-    "events_mad_outliers",
-    # round 2 (CORRECTNESS_r02.json; inverted_index stayed red there --
-    # list-typed column the driver's hasher can't sort -- and re-leads
-    # this round after the string-head fix)
-    "duration_agg", "events_sessionize", "events_json_stats",
-    "minhash_lsh_pairs", "dedup_clusters", "ann_ivf_topk",
-    "copurchase_pagerank", "events_sessionize_stream", "doc_stats",
-    "doc_lang_id", "token_freq_topk", "doc_quality",
-    "doc_rolling_fingerprint", "bpe_token_stats", "doc_pii_scrub",
-    "doc_repetition", "doc_chunks", "vocab_build", "dedup_exact",
-    "simhash_docs", "ngram_jaccard_pairs", "fuzzy_customer_pairs",
-    "ann_bruteforce_topk", "lsh_bucket_sizes", "ann_lsh_topk",
-    "embedding_neardup", "embedding_quantize", "multimodal_meta",
-    "multimodal_features", "video_frames", "events_wma",
-    "events_hourly_stream", "events_hourly_stream_append",
-    "events_dedup_stream", "events_view_purchase_stream",
-    "events_enrich_stream", "events_user_stats_stream",
-    "merge_upsert_customers", "scd2_customer_merge", "train_test_split",
-    "stratified_sample", "label_centroids", "doc_top_terms",
-    "split_contamination", "boilerplate_ngrams", "seq_packing",
-    "source_mixture_sample", "embedding_zscore",
-    "label_median_embedding", "label_rebalance", "kfold_assign",
-    # round 3 (CORRECTNESS_r03.json: all 50 sampled rows green)
-    "inverted_index", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q8_market_share",
-    "q9_profit_by_nation_year", "q10_returned_items",
-    "q12_priority_classes", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier",
-    "q18_large_volume_customers", "q21_single_return_supplier",
-    "q22_idle_customers", "copurchase_triangles",
-    "copurchase_linkpred", "copurchase_bfs_levels", "snapshot_diff",
-    "ivm_revenue_by_month", "orders_pit_segment",
-    "loyalty_balance_recursive", "revenue_ewma_recursive",
-    "llm_corpus_pipeline", "table_profile", "segment_priority_chi2",
-    "orders_expectations", "kanonymity_report", "nation_revenue_hhi",
-    "price_ols2_normal_equations", "association_rules",
-    "orders_interarrival", "nation_pareto_customers",
-    "priority_skyline", "group_sample_orders", "nation_top2_lateral",
-    "revenue_mom_change", "revenue_grouping_sets",
-    "disjunctive_promo_revenue", "nation_trade_flows",
-    "revenue_seasonal_index", "order_price_percentrank",
-    "weighted_median_price", "nation_revenue_gini",
-    "pipe_syntax_revenue", "nation_revenue_trend_ols",
-    "customer_rfm_segments", "acctbal_band_pairs",
-    "revenue_seasonal_decomposition", "fuzzy_customer_clusters",
-    "kmeans_embeddings",
-    # round 4 (CORRECTNESS_r04.json: all 50 sampled rows green)
-    "ann_pq_codes", "ann_recall_eval", "audio_decode_stats",
-    "bm25_scores", "chunk_dedup_scrub", "collocations_pmi",
-    "copurchase_hits", "curation_pipeline_v2", "decontaminated_train",
-    "dedup_keep_best", "dedup_rate_by_source", "dedup_recall_eval",
-    "doc_bigram_surprisal", "doc_length_log2_histogram",
-    "doc_scrub_adjacent_dups", "doc_unigram_logprob",
-    "docs_quality_gate_stream", "dsir_importance_weights",
-    "embedding_centroid_shift", "events_cms_freq",
-    "events_gapfill_hourly", "events_hopping_window",
-    "events_peak_concurrency", "events_salted_join",
-    "events_variant_buckets", "feature_hashing", "hard_negative_mining",
-    "image_decode_stats", "image_resize_stats",
-    "incremental_corpus_ingest", "incremental_neardup_probe",
-    "lang_id_confusion", "negative_sampling", "pca_projection",
-    "phrase_search", "q11_important_parts", "q16_part_supplier_counts",
-    "q20_excess_share_suppliers", "q2_min_cost_supplier",
-    "quality_gate_auc", "quality_gate_calibration",
-    "quality_logreg_score", "rag_retrieve", "revenue_holt_recursive",
-    "semantic_dedup", "simhash_neardup_pairs", "substring_dup_spans",
-    "tokenizer_apply", "video_decode_stats",
-    "weighted_systematic_sample",
-]
+def _driver_green() -> dict[str, int]:
+    """Query name -> earliest round with a green driver row, derived
+    directly from the CORRECTNESS_r*.json files the driver writes at
+    the repo root (green = hash_match true, or — for oracle-less
+    queries where the driver records err='no_oracle' — a rows-only run
+    that produced rows). Replaces the hand-kept _DRIVER_CHECKED /
+    _R*_PRIORITY lists (VERDICT r5 item 4: zero hand-kept driver
+    state; r5 item 2: the never-green set IS the priority window).
 
-# Round-5 window: the 45 queries that have never earned a
-# CORRECTNESS_r*.json row across rounds 1-4 (exact list = registry
-# minus the union of recorded keys; every one passed the judge's
-# independent sf0.01 parity run in round 4, so sampling them is pure
-# rotation). The round-5 ADDITIONS outrank this window (see
-# _reorder_registry): they have no row from anyone yet, so with
-# ~10 additions + 45 window entries against the driver's ~50 budget,
-# the cut lands on the window's judge-verified tail -- those rotate
-# forward again next round.
-_R5_PRIORITY = [
-    # round-4 statistics tail
-    "events_psi_drift", "events_cusum_changepoint",
-    "events_entropy_hourly", "orders_benford_audit",
-    "aqp_revenue_estimate", "events_poisson_anomaly",
-    "lineitem_anova_returnflag", "revenue_acf",
-    "customer_order_streaks", "events_ks_binned", "brand_abc_classes",
-    "cohort_ltv_matrix", "source_jsd_matrix",
-    "lineitem_mutual_information",
-    # round-4 operators
-    "gopher_quality_flags", "token_zipf_fit", "vocab_growth_curve",
-    "vocab_coverage_table", "source_quality_report",
-    "quality_weighted_mixture", "ann_ivfpq_topk", "lsh_banding_design",
-    "events_cdc_merge_stream", "revenue_holt_winters_recursive",
-    "epoch_shard_assign", "merge_apply_changelog", "scd2_with_deletes",
-    "copurchase_degree_powerlaw",
-    # SQL-surface trio
-    "sql_udf_discounted_revenue", "sql_parameterized_slice",
-    "sql_session_variable_gate",
-    # events / streaming / synth stragglers the round-4 budget cut
-    "events_trailing_1h", "event_transitions", "events_nullsafe_join",
-    "events_dow_hour_heatmap", "events_d1_retention",
-    "events_hdr_percentiles", "events_dynamic_sessions",
-    "events_topk_stream", "events_view_purchase_outer_stream",
-    "events_hopping_stream", "synth_source_revenue",
-    "synth_source_stream",
-    # (bpe_learn_merges is NOT listed: it gained an unrolled DuckDB
-    # oracle in round 5 and has no driver row, so _reorder_registry
-    # already fronts it with the other never-checked hash-checkable
-    # queries)
-]
+    Missing/unreadable files degrade to "never checked", which only
+    affects sampling ORDER, never which queries exist.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    earliest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if ok and (name not in earliest or rnd < earliest[name]):
+                earliest[name] = rnd
+    return earliest
 
 
 def _reorder_registry() -> None:
     """Front-load queries that still need a driver-green row.
 
-    Order: round-5 additions with a hash-checkable oracle FIRST (no row
-    from anyone yet -- neither a driver round nor the round-4 judge's
-    independent parity run), then the round-4 verdict's named priority
-    window (judge-verified green already, so if the ~50-query budget
-    cuts anything it should land on these), then new oracle-less ones,
-    then the already-driver-checked back half.
+    Tiers, all derived from CORRECTNESS_r*.json via _driver_green():
+    (1) never-green queries with a hash-checkable oracle, (2) never-
+    green rows-only queries, (3) already-green queries ordered oldest
+    evidence first (earliest green round, then registry order), so the
+    driver's leftover ~50-query budget re-verifies the stalest rows
+    instead of re-hitting last round's sample.
     """
-    priority = [n for n in _R5_PRIORITY if n in REGISTRY]
-    checked = [
-        n for n in _DRIVER_CHECKED if n in REGISTRY and n not in priority
-    ]
-    placed = set(priority) | set(checked)
-    fresh = [n for n in REGISTRY if n not in placed]
+    green = _driver_green()
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    fresh = [n for n in REGISTRY if n not in green]
     fresh_hash = [n for n in fresh if REGISTRY[n].oracle is not None]
-    fresh_rowsonly = [n for n in fresh if REGISTRY[n].oracle is None]
-    ordered = {
-        n: REGISTRY[n]
-        for n in fresh_hash + priority + fresh_rowsonly + checked
-    }
+    fresh_rows = [n for n in fresh if REGISTRY[n].oracle is None]
+    checked = sorted(
+        (n for n in REGISTRY if n in green),
+        key=lambda n: (green[n], reg_pos[n]),
+    )
+    ordered = {n: REGISTRY[n] for n in fresh_hash + fresh_rows + checked}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -112,6 +112,20 @@ try:
 except ImportError:
     _HAS_PROTOBUF = False
 
+# Registrations skipped in THIS environment because an optional
+# dependency is missing: name -> (reason, implementation site, survey
+# tags). tools/gen_coverage.py lists these in COVERAGE.md with an
+# availability note so the registry table stays complete even in slim
+# containers (VERDICT r5 item 4).
+UNREGISTERED: dict[str, tuple[str, str, list[str]]] = {}
+if not _HAS_PROTOBUF:
+    UNREGISTERED["events_user_stats_stream"] = (
+        "needs google.protobuf (transformWithStateInPandas state "
+        "protocol); registers on any standard cluster",
+        "streaming/jobs.py::events_user_stats_stream",
+        ["streaming", "transformWithState", "stateful"],
+    )
+
 if _HAS_PROTOBUF:
 
     @register(

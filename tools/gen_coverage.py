@@ -165,6 +165,21 @@ def main() -> None:
         lines.append(
             f"| `{name}` | {check} | {bench} | {drv} | {', '.join(spec.survey)} |"
         )
+
+    # Registrations gated on optional dependencies absent from THIS
+    # environment still belong in the table (the driver record may hold
+    # green rows for them from environments where they register).
+    from flights_etl_pipeline_spark.plans.queries_streaming import UNREGISTERED
+
+    for name in sorted(UNREGISTERED):
+        if name in REGISTRY:
+            continue
+        reason, impl, tags = UNREGISTERED[name]
+        drv = ",".join(driver_rounds.get(name, []))
+        lines.append(
+            f"| `{name}` (env-gated: {reason}; `{impl}`) | oracle | | "
+            f"{drv} | {', '.join(tags)} |"
+        )
     lines.append("")
 
     out = os.path.join(REPO, "COVERAGE.md")
