@@ -51,16 +51,32 @@ _SF1_SPOT = (
     # is 10x denser (extreme-duplication, like the LSH spot) so a
     # near-linear slope here covers the whole funnel's stages at once
     "corpus_release_pipeline",
+    # the two heaviest headline queries (r5 verdict item 5): the
+    # 4-stage curation pipeline and the basket-bounded pair generator
+    # need a measured slope, not just a local wall number
+    "curation_pipeline_v2",
+    "association_rules",
 )
 _SF1_REPLICAS = 10
-_SF1_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+# table -> (id column, key domain). The replica shift is a multiple of
+# the key DOMAIN size (max key + 1 — equals row count for the dense
+# doc/vec ids), so id uniqueness and id-derived modular properties
+# hold. lineitem shifts by the ORDERS key domain so the l_orderkey ->
+# o_orderkey join stays consistent across replicas.
+_SF1_TABLES = {
+    "documents": ("doc_id", None),
+    "embeddings": ("vec_id", None),
+    "orders": ("o_orderkey", None),
+    "lineitem": ("l_orderkey", ("orders", "o_orderkey")),
+}
 
-# Queries above this wall time get a third run and report the MEDIAN of
-# three instead of min-of-two: the round-4 verdict found the two most
-# expensive queries moving +-15% between rounds with no code change, and
-# a median resists the one-off GC/compile spike that min-of-two lets
-# through on long plans.
-_MEDIAN_THRESHOLD_SEC = 1.5
+# Every query (headline and sf1 spot) runs _N_RUNS times and reports
+# the MEDIAN: the round-4/5 verdicts found timings moving +-15-50%
+# round-over-round with no code change — min-of-two lets a one-off
+# GC/compile spike through on long plans and a lucky cache hit through
+# on short ones, while a median trends stably. The first run also pays
+# the one-time Janino codegen compile for the plan shape.
+_N_RUNS = 3
 
 # A recovered baseline must carry at least this many per-query timings to
 # outrank an older-but-complete round in _baseline().
@@ -68,10 +84,11 @@ _MIN_BASELINE_QUERIES = 5
 
 
 def _sf1_docs_dir(spark, sf_dir: str) -> str:
-    """documents + embeddings at 10x the bench scale factor (sf0.1 ->
+    """The spot tables at 10x the bench scale factor (sf0.1 ->
     sf1-equivalent): each replica shifts the id column by a multiple of
-    the table size, so id uniqueness and every id-derived modular
-    property hold. Built once, cached in /tmp, reused across runs."""
+    its key DOMAIN size (see _SF1_TABLES), so id uniqueness, id-derived
+    modular properties, and cross-table key joins all hold. Built once,
+    cached in /tmp, reused across runs."""
     from pyspark.sql import functions as F
 
     # Version the cache by the source files' identity: the driver
@@ -90,15 +107,28 @@ def _sf1_docs_dir(spark, sf_dir: str) -> str:
         f"/tmp/spark_graft_bench_sf1_"
         f"{os.path.basename(sf_dir.rstrip('/'))}_{fp.hexdigest()[:10]}"
     )
-    for table, idcol in _SF1_TABLES.items():
+    domain_size: dict[tuple[str, str], int] = {}
+
+    def _domain(table: str, idcol: str) -> int:
+        key = (table, idcol)
+        if key not in domain_size:
+            src = spark.read.parquet(
+                os.path.join(sf_dir, f"{table}.parquet")
+            )
+            domain_size[key] = (
+                src.agg(F.max(idcol)).collect()[0][0] or 0
+            ) + 1
+        return domain_size[key]
+
+    for table, (idcol, domain) in _SF1_TABLES.items():
         target = os.path.join(out, f"{table}.parquet")
         if os.path.exists(os.path.join(target, "_SUCCESS")):
             continue
         src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-        n = src.count()
+        shift = _domain(*(domain or (table, idcol)))
         reps = spark.range(_SF1_REPLICAS).select(F.col("id").alias("rep"))
         cols = [
-            (F.col(idcol) + F.col("rep") * n).alias(idcol)
+            (F.col(idcol) + F.col("rep") * shift).alias(idcol)
             if c == idcol
             else c
             for c in src.columns
@@ -159,6 +189,22 @@ def _sf1_organic_docs_dir(spark, sf_dir: str) -> str:
     return out
 
 
+def _timed(spark, fn, sf_dir: str) -> float:
+    """Median wall seconds over _N_RUNS end-to-end noop-sink runs.
+
+    The cache clear between runs keeps queries that persist
+    intermediates (minhash signatures, shingle tables) from bleeding
+    executor memory into the next measurement."""
+    runs: list[float] = []
+    for _ in range(_N_RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    runs.sort()
+    return round(runs[len(runs) // 2], 3)
+
+
 def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     """Time the spot queries on the 10x fixture; scaleup is the wall
     ratio vs the same query's sf0.1 number this run (1.0 = pure fixed
@@ -169,18 +215,11 @@ def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     for name in _SF1_SPOT:
         if name not in qs or name not in timings:
             continue
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, big_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+        sec = _timed(spark, qs[name], big_dir)
         out[name] = {
-            "sec": round(best, 3),
+            "sec": sec,
             "sec_base": timings[name],
-            "scaleup": round(best / timings[name], 2) if timings[name] else None,
+            "scaleup": round(sec / timings[name], 2) if timings[name] else None,
         }
     # Organic 10x slope for the LSH query: same data volume as the
     # replicated fixture but with the base corpus's natural dup-rate
@@ -188,19 +227,12 @@ def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     # candidate growth from the organic scaling exponent).
     if "minhash_lsh_pairs" in qs and "minhash_lsh_pairs" in timings:
         org_dir = _sf1_organic_docs_dir(spark, sf_dir)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs["minhash_lsh_pairs"](spark, org_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+        sec = _timed(spark, qs["minhash_lsh_pairs"], org_dir)
         base = timings["minhash_lsh_pairs"]
         out["minhash_lsh_pairs_organic"] = {
-            "sec": round(best, 3),
+            "sec": sec,
             "sec_base": base,
-            "scaleup": round(best / base, 2) if base else None,
+            "scaleup": round(sec / base, 2) if base else None,
         }
     return {"data_ratio": _SF1_REPLICAS, "queries": out}
 
@@ -220,29 +252,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):
-        # min of 2 runs: the first pays one-time Janino codegen compile for
-        # this plan shape and absorbs background-noise spikes; min-of-k is
-        # the standard steady-state estimator. Queries past
-        # _MEDIAN_THRESHOLD_SEC get a third run and report the median,
-        # which trends more stably round-over-round.
-        runs: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            # queries that persist intermediates (minhash signatures,
-            # shingle tables) must not bleed executor memory into the
-            # next measurement
-            spark.catalog.clearCache()
-        if min(runs) > _MEDIAN_THRESHOLD_SEC:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
-            runs.sort()
-            timings[name] = round(runs[1], 3)  # median of 3
-        else:
-            timings[name] = round(min(runs), 3)
+        timings[name] = _timed(spark, fn, sf_dir)
 
     spot = _sf1_spot(spark, sf_dir, timings)
     full = {
@@ -285,7 +295,10 @@ def main() -> None:
 
 
 def _baseline() -> tuple[int, dict[str, float]] | None:
-    """Latest driver-recorded BENCH_r{N}.json at the repo root.
+    """Latest usable (round, per-query timings) from the driver-recorded
+    BENCH_r{N}.json files at the repo root — the internal ``best``
+    candidate carries a third ranking-tier element that is dropped
+    before returning.
 
     The driver sometimes records ``parsed: null`` with the JSON line
     only inside the truncated ``tail`` string (BENCH_r03 did); fall

@@ -619,13 +619,18 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 10^6..10^7 term vocabulary: rows are classed by (freq, first token
     char) -- a prefix of the global rank order (freq desc, token asc) --
     ranked *within* each class by a partitioned window (parallel), and
-    shifted by the class's global offset, a windowed cumsum over the
-    class histogram. The histogram is bounded by distinct-freqs x
-    alphabet (never corpus- or vocab-sized), so its cumsum runs on one
-    *deliberate* partition (constant partition key) and broadcasts
-    back. Everything is one lazy plan: the shared frequency aggregate
-    feeds both branches through a single reused exchange, one job, one
-    corpus pass, no sampling pass, no driver collect."""
+    shifted by the class's global offset, a windowed prefix sum over
+    the class histogram. The histogram is bounded by distinct-freqs x
+    alphabet (never corpus- or vocab-sized — the same bounded-spine
+    argument as vocab_growth_curve / exact_percentiles_two_pass), so
+    its prefix sum runs as ONE deliberate single-partition window over
+    aggregate output and broadcasts back; the previous O(H^2)
+    broadcast non-equi self-join (the BroadcastNestedLoopJoin the r5
+    plan audit flagged) is gone. The histogram itself is carved out of
+    the SAME (freq, cls) window pass that computes the local rank (the
+    local_rank==1 representative carries the class size), so the whole
+    query is one corpus pass + one vocab exchange, no sampling pass,
+    no driver collect."""
     hits = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
@@ -635,23 +640,35 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") >= VOCAB_MIN_FREQ)
         .withColumn("cls", F.substring("token", 1, 1))
     )
-    hist = tf.groupBy("freq", "cls").agg(F.count(F.lit(1)).alias("n"))
-    # class offsets: how many tokens rank before this class -- a
-    # broadcast non-equi self-join over the bounded histogram (no
-    # window, no single-partition stage anywhere in the plan)
-    x, y = hist.alias("x"), hist.alias("y")
-    earlier = (F.col("y.freq") > F.col("x.freq")) | (
-        (F.col("y.freq") == F.col("x.freq")) & (F.col("y.cls") < F.col("x.cls"))
-    )
-    off_df = (
-        x.join(F.broadcast(y), earlier, "left")
-        .groupBy(F.col("x.freq").alias("freq"), F.col("x.cls").alias("cls"))
-        .agg(F.coalesce(F.sum("y.n"), F.lit(0)).alias("off"))
-    )
+    # one (freq, cls) exchange serves BOTH the per-class rank and the
+    # class histogram: local_rank and the class size n ride the same
+    # partitioned window pass, and the histogram is just the
+    # local_rank==1 representative of each class (no second aggregate
+    # exchange — AQE reuses the shared exchange for the join-back)
     wloc = Window.partitionBy("freq", "cls").orderBy(F.col("token").asc())
+    wcnt = Window.partitionBy("freq", "cls")
+    ranked = tf.select(
+        "token",
+        "freq",
+        "cls",
+        F.row_number().over(wloc).alias("local_rank"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    hist = ranked.filter(F.col("local_rank") == 1).select("freq", "cls", "n")
+    # class offsets: how many tokens rank before this class -- an
+    # exclusive prefix sum in global rank order over the bounded
+    # histogram (histogram-sized, one task, sanctioned in
+    # tests/test_plans.py::_SINGLE_PARTITION_SANCTIONED)
+    whist = Window.orderBy(
+        F.col("freq").desc(), F.col("cls").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    off_df = hist.select(
+        "freq",
+        "cls",
+        F.coalesce(F.sum("n").over(whist), F.lit(0)).alias("off"),
+    )
     return (
-        tf.withColumn("local_rank", F.row_number().over(wloc))
-        .join(F.broadcast(off_df), ["freq", "cls"])
+        ranked.join(F.broadcast(off_df), ["freq", "cls"])
         .select(
             "token",
             "freq",

@@ -97,6 +97,12 @@ _SINGLE_PARTITION_SANCTIONED = {
     "hybrid_retrieval_rrf",  # rank windows over each retrieval leg's
     # own top-20 heap output (TakeOrdered result — bounded by
     # construction at any SF); the corpus-sized passes are window-free
+    "vocab_build",  # class-offset prefix sum over the (freq, first-
+    # char) histogram — bounded by distinct-freqs x alphabet, never
+    # corpus- or vocab-sized; replaced the O(H^2) BNLJ the r5 plan
+    # audit flagged. The vocab-sized rank is key-partitioned.
+    "tokenizer_apply",  # composes vocab_build, inheriting its bounded
+    # histogram prefix sum (the encode stages themselves are window-free)
     "exact_percentiles_two_pass",  # prefix sums over the pass-1
     # bucket spine (domain/65536 rows — domain-bounded, data-size
     # independent) and the <=65536-row pass-2 per-rank refinement;
@@ -120,6 +126,12 @@ def test_plan_lint_all_registered_queries(spark):
        scalar aggregates (HashAggregate over SinglePartition) are fine:
        their input is per-partition partials, not raw rows.
     """
+    # Populate the FULL registry first: REGISTRY fills as query modules
+    # import, so without this the sweep silently lints only whatever
+    # earlier tests happened to import (it missed tokenizer_apply for a
+    # round because queries_text wasn't loaded yet in single-file runs).
+    import flights_etl_pipeline_spark.plans.queries  # noqa: F401
+
     from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
     violations = []
@@ -367,16 +379,58 @@ def test_salted_join_splits_hot_keys_without_broadcast(spark):
     assert "Generate explode" in plan
 
 
-def test_semantic_dedup_broadcasts_centroids_no_window(spark):
-    """semantic_dedup's cluster assignment must be a broadcast of the
-    centroid table plus a hash-aggregate argmax -- no Window (sort-based
-    rank) and no row-wise Python anywhere; the pair join keys on cid."""
+def test_semantic_dedup_row_local_assignment_no_window(spark):
+    """semantic_dedup's cluster assignment must be row-local (argmax
+    over the centroid literal — no join, no groupBy(vec_id) reshuffle
+    of the corpus), no Window (sort-based rank) and no row-wise Python
+    anywhere; the only corpus exchange is the cid-keyed pair join."""
     from flights_etl_pipeline_spark.plans.queries_simsearch import semantic_dedup
 
     plan = plan_str(semantic_dedup(spark, SF_DIR), mode="simple")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the old shape shuffled the corpus on vec_id carrying the embedding
+    # via first(embedding); row-local assignment has no such aggregate
+    # (the final drop_id grouping keys on vec_id but carries scalars only)
+    assert "first(embedding" not in plan, (
+        "assignment regressed to a corpus-wide groupBy(vec_id) exchange "
+        "carrying the embedding array"
+    )
+    assert "array_max(transform(" in plan  # the row-local argmax fold
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """VERDICT r5 item 1: the centroid-assignment stage of the IVF /
+    SemDeDup family must plan ZERO exchange between the embeddings scan
+    and the cid probe-join. The argmax folds row-locally over a
+    broadcast centroid literal, so no `Exchange hashpartitioning(vec_id`
+    (the old corpus-wide reshuffle carrying the embedding array) may
+    appear anywhere in these plans."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        ann_ivf_index_delta,
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        ann_serve_with_delta,
+    )
+
+    for fn in (ann_ivf_topk, ann_serve_with_delta, ann_ivf_index_delta):
+        plan = plan_str(fn(spark, SF_DIR), mode="simple")
+        assert "hashpartitioning(vec_id" not in plan, fn.__name__
+        assert "first(embedding" not in plan, fn.__name__
+        assert "array_max(transform(" in plan, fn.__name__
+    # ivf_topk / serve_with_delta: the corpus side must reach the probe
+    # BroadcastHashJoin with no exchange at all (scan -> project -> BHJ)
+    for fn in (ann_ivf_topk, ann_serve_with_delta):
+        plan = plan_str(fn(spark, SF_DIR), mode="simple")
+        assert "BroadcastHashJoin [cid" in plan, fn.__name__
+    # ivfpq: coarse assignment row-local; the only vec_id-keyed exchange
+    # is the PQ encode of the PROBE-PRUNED candidates, keyed (vec_id, m)
+    # / plain vec_id on the bounded candidate set — never a single-key
+    # vec_id shuffle carrying the embedding
+    plan = plan_str(ann_ivfpq_topk(spark, SF_DIR), mode="simple")
+    assert "first(embedding" not in plan
+    assert "array_max(transform(" in plan
+    assert "BroadcastHashJoin [ivf_cid" in plan
 
 
 def test_unigram_logprob_broadcasts_total_no_python(spark):
