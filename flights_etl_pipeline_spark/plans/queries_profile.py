@@ -512,7 +512,14 @@ def price_ols2_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-modal referential-integrity audit (documents <-> embeddings)
 # ---------------------------------------------------------------------------
 
-CORPUS_INTEGRITY_SQL = """
+# Orphan ids must live outside any plausible doc_id domain: +1e8 per
+# the repo-wide injection discipline (_RELEASE_COPY_OFFSET in
+# queries_ml.py), so fixtures up to 1e8 docs can't collide a planted
+# orphan with a real doc_id and silently reclassify it as ok
+# (ADVICE r5: the old +10000 broke at ~10k docs).
+_ORPHAN_OFFSET = 100_000_000
+
+CORPUS_INTEGRITY_SQL = f"""
 WITH snap AS (
   SELECT vec_id,
          CASE WHEN vec_id % 17 = 5 THEN embedding[1:32]
@@ -520,7 +527,7 @@ WITH snap AS (
   FROM embeddings WHERE vec_id % 7 <> 3
 ),
 orphans AS (
-  SELECT vec_id + 10000 AS vec_id, embedding
+  SELECT vec_id + {_ORPHAN_OFFSET} AS vec_id, embedding
   FROM embeddings WHERE vec_id % 11 = 0
 ),
 snap_all AS (
@@ -558,9 +565,11 @@ def corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_mismatch (truncated vector from a partial write) — the health
     check a multimodal corpus needs before any retrieval or dedup job
     trusts the doc_id==vec_id contract. The snapshot deterministically
-    simulates a stale index (drop vec_id%7==3, orphan +10000 copies of
-    vec_id%11==0, halve the dimension of vec_id%17==5), the same
-    injected-defect discipline as ``semantic_dedup``'s planted copies.
+    simulates a stale index (drop vec_id%7==3, orphan +1e8 copies of
+    vec_id%11==0 — outside the doc_id domain per the repo's injection
+    discipline, see _ORPHAN_OFFSET — halve the dimension of
+    vec_id%17==5), the same injected-defect discipline as
+    ``semantic_dedup``'s planted copies.
 
     Scale shape: one key-partitioned full-outer join (both sides
     shuffle on the id — at 100 TB both are bucketed by id and the join
@@ -580,7 +589,7 @@ def corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
     )
     orphans = emb.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + _ORPHAN_OFFSET).alias("vec_id"), "embedding"
     )
     snap_all = snap.unionAll(orphans)
     audit = docs.join(

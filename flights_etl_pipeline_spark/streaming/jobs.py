@@ -987,7 +987,28 @@ def bucketed_rollup_join(spark: SparkSession) -> DataFrame:
 
 _RELEASE_KEY_BASE = 1_000_000_000  # > any doc_id incl. the 2e8-offset
 # injected copies; arrival key = batch * BASE + doc_id
+# INVARIANT: the oracle's arrival key ((doc_id % _RELEASE_CHUNKS) *
+# BASE + doc_id) equals the job's (batch_id * BASE + doc_id) for
+# injected copies only because both injection offsets are divisible by
+# _RELEASE_CHUNKS (an offset copy then lands in the SAME chunk as its
+# base doc). Changing the chunk count or the offsets breaks that
+# silently — asserted right here so it fails at import, not as a
+# confusing parity mismatch (ADVICE r5).
 _RELEASE_CHUNKS = 4
+
+from flights_etl_pipeline_spark.plans.queries_ml import (  # noqa: E402
+    _RELEASE_COPY_OFFSET as _ASSERT_COPY_OFF,
+    _RELEASE_NEAR_OFFSET as _ASSERT_NEAR_OFF,
+)
+
+assert _ASSERT_COPY_OFF % _RELEASE_CHUNKS == 0, (
+    "_RELEASE_COPY_OFFSET must be divisible by _RELEASE_CHUNKS "
+    "(see invariant note above)"
+)
+assert _ASSERT_NEAR_OFF % _RELEASE_CHUNKS == 0, (
+    "_RELEASE_NEAR_OFFSET must be divisible by _RELEASE_CHUNKS "
+    "(see invariant note above)"
+)
 
 
 def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

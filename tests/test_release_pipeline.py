@@ -95,9 +95,18 @@ def test_stream_funnel_totals_equal_batch(spark):
     group (first-arrival vs global-min), but the funnel TOTALS are
     canonical-choice-invariant: per fingerprint group exactly
     (size - 1) docs are dups whichever keeper wins, and contamination
-    / token counts depend only on the surviving TEXT (identical across
-    choices). So every column must agree in total, even where the
-    per-source rows legitimately differ."""
+    depends only on the surviving NORMALIZED text (identical across
+    choices, because dedup keys on md5 of the normalized text).
+
+    Caveat (ADVICE r5): released_tokens counts RAW-text tokens while
+    the dedup key normalizes whitespace, so its total is
+    canonical-choice-invariant only while the fixture contains no
+    whitespace-variant duplicate groups — which this corpus guarantees
+    (the injected copies reuse the raw text verbatim, and the organic
+    generator emits single-spaced text). If corpus generation ever
+    emits whitespace-variant duplicates, either this assertion must
+    drop released_tokens or both pipelines (and their oracles) must
+    count tokens on the normalized text."""
     from flights_etl_pipeline_spark.streaming.jobs import (
         corpus_release_stream,
     )
