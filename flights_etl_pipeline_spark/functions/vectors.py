@@ -59,6 +59,36 @@ def cosine_from_parts(
     return dot / F.sqrt(_c(norm_a) * _c(norm_b))
 
 
+def double_dot(a: Column | str, b: Column | str) -> Column:
+    """Plain double-precision dot — the CHEAP bound for two-phase pair
+    filtering, never a result channel.
+
+    Two-phase lossless pattern: pair queries filter on an exact-decimal
+    cosine threshold t; evaluating the decimal fold on every candidate
+    pair is the dominant cost (interpreted BigDecimal, ~5-10x a double
+    fold). Prefiltering with ``double_cos > t - 1e-3`` prunes the bulk
+    of pairs at double-fold cost and the surviving pairs re-check with
+    the exact decimal cosine, so results stay bit-identical: the double
+    sum's error is bounded by ~dim ulps (~1e-13 relative at dim 1536),
+    six orders of magnitude inside the 1e-3 margin, so no pair that
+    passes the exact threshold can be pruned."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def double_cos(
+    a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """Double-precision cosine from precomputed (exact) self-dots; see
+    :func:`double_dot` for the two-phase prefilter contract."""
+    return double_dot(a, b) / F.sqrt(_c(norm_a) * _c(norm_b))
+
+
 def signed_hyperplane(seed: int, dim: int) -> list[int]:
     """Deterministic +-1 pseudo-random hyperplane from md5(seed|dim-index).
 
