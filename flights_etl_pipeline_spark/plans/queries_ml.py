@@ -445,6 +445,105 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Packing-capacity sweep (the curve behind the context-length choice)
+# ---------------------------------------------------------------------------
+
+_PACK_CURVE_CAPS = (256, 512, 1024, 2048)
+
+_PACK_CURVE_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id, LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM d
+),
+caps AS (SELECT UNNEST([{", ".join(str(c) for c in _PACK_CURVE_CAPS)}])
+         AS capacity)
+SELECT source, capacity,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(tokens_before // capacity) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(CASE WHEN tokens_before // capacity
+                     <> (tokens_before + n_tokens - 1) // capacity
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+       CAST(SUM(n_tokens) * 1000
+            // ((MAX(tokens_before // capacity) + 1) * capacity)
+         AS BIGINT) AS util_milli
+FROM c CROSS JOIN caps
+GROUP BY source, capacity
+"""
+
+
+@register(
+    "packing_curve",
+    oracle=_PACK_CURVE_SQL,
+    survey=["seq-packing", "capacity-sweep", "training-prep"],
+)
+def packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity sweep behind the context-length decision:
+    ``seq_packing``\'s deterministic spillover packing evaluated at
+    {caps} tokens per sequence IN ONE PASS, reporting per
+    (source, capacity) the pack count, utilization (milli), and —
+    the number that actually drives the choice — how many documents
+    STRADDLE a pack boundary (straddling docs either get split across
+    training sequences or need cross-boundary attention masking, so
+    the curve trades padding waste at small capacities against
+    boundary contamination at large ones).
+
+    Scale shape: the token cumsum is computed ONCE (the same
+    source-partitioned window as seq_packing — range partition +
+    per-key sort, no global sort); the 4 capacities ride a literal
+    explode of the cumsum output (4x row growth of (source, 2 longs)
+    triples, never of the text); everything downstream is one
+    map-side-combinable aggregate on (source, capacity). All integer
+    arithmetic (`div`), so both engines agree exactly."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    rows = docs.withColumn("tokens_before", before).select(
+        "source",
+        "n_tokens",
+        "tokens_before",
+        F.explode(
+            F.array(*[F.lit(c) for c in _PACK_CURVE_CAPS])
+        ).alias("capacity"),
+    )
+    pid = F.expr("tokens_before div capacity")
+    pid_end = F.expr("(tokens_before + n_tokens - 1) div capacity")
+    return (
+        rows.groupBy("source", "capacity")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max(pid) + 1).cast("long").alias("n_packs"),
+            F.sum(F.when(pid != pid_end, 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddle"),
+        )
+        .withColumn(
+            "util_milli",
+            F.expr(
+                "CAST(total_tokens * 1000 div (n_packs * capacity) AS BIGINT)"
+            ),
+        )
+    )
+
+
+packing_curve.__doc__ = packing_curve.__doc__.format(caps=_PACK_CURVE_CAPS)
+
+
+# ---------------------------------------------------------------------------
 # Source-mixture sampling (per-source configured keep rates)
 # ---------------------------------------------------------------------------
 

@@ -889,6 +889,133 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation-recall curve (pick the serving dimension)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 10
+
+
+def _mrl_sql() -> str:
+    from flights_etl_pipeline_spark.plans.sqlfrag import sql_cosine as _sc
+
+    legs = []
+    for d in _MRL_DIMS:
+        cos = _sc(f"list_slice(e.embedding, 1, {d})",
+                  f"list_slice(q.qv, 1, {d})")
+        legs.append(
+            f"(SELECT {d} AS dim, vec_id FROM embeddings e CROSS JOIN q "
+            f"ORDER BY {cos} DESC, vec_id LIMIT {_MRL_K})"
+        )
+    full_cos = _sc("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+fullk AS (
+  SELECT vec_id FROM embeddings e CROSS JOIN q
+  ORDER BY {full_cos} DESC, vec_id LIMIT {_MRL_K}
+),
+u AS ({" UNION ALL ".join(legs)})
+SELECT u.dim,
+       CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // {_MRL_K} AS BIGINT) AS recall_milli
+FROM u LEFT JOIN fullk f ON u.vec_id = f.vec_id
+GROUP BY u.dim
+"""
+
+
+@register(
+    "matryoshka_recall_curve",
+    oracle=None,  # injected below (needs sqlfrag at build time)
+    survey=["simsearch", "matryoshka", "truncation", "recall-eval"],
+)
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation sweep: recall@{k} of PREFIX-truncated
+    embeddings ({dims} dims) against the full-dimension exact top-{k}
+    for query vec 0 — the measurement behind serving a
+    matryoshka-trained embedding at a cheaper dimension (store/search
+    the first d dims, rerank with the full vector only if recall
+    demands it). The 64-dim leg doubles as a self-check: it must score
+    1000 milli by construction.
+
+    Scale shape: one TakeOrdered top-k heap per dimension leg (per-task
+    heaps, no global sort, no window over data), the query vector and
+    its per-leg norms on 1-row broadcasts, and the final
+    recall join touches 4x{k} rows against a broadcast {k}-row truth
+    set. Truncated scoring slices the SAME stored column — at serving
+    scale the sliced prefix would be its own column family, making the
+    scan itself d/{dim} cheaper; the plan shape is unchanged.
+
+    Engine-exactness: sliced dots use the same exact decimal folds as
+    every cosine here; ordering ties break on vec_id in both engines.
+
+    Public-knowledge basis: Kusupati et al., "Matryoshka Representation
+    Learning" (2022)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    full_q = q.select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    full_cos = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    fullk = (
+        emb.crossJoin(F.broadcast(full_q))
+        .select("vec_id", full_cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(_MRL_K)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    legs = []
+    for d in _MRL_DIMS:
+        qd = q.select(F.slice("qv", 1, d).alias("qv")).select(
+            "qv", decimal_dot("qv", "qv").alias("qnorm")
+        )
+        ed = F.slice("embedding", 1, d)
+        cos_d = cosine_from_parts(
+            decimal_dot(ed, "qv"), decimal_dot(ed, ed), "qnorm"
+        )
+        legs.append(
+            emb.crossJoin(F.broadcast(qd))
+            .select("vec_id", cos_d.alias("cos"))
+            .orderBy(F.col("cos").desc(), "vec_id")
+            .limit(_MRL_K)
+            .select(F.lit(d).alias("dim"), "vec_id")
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    return (
+        u.join(F.broadcast(fullk), "vec_id", "left")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall_milli",
+            F.expr(f"CAST(n_hits * 1000 div {_MRL_K} AS BIGINT)"),
+        )
+    )
+
+
+matryoshka_recall_curve.__doc__ = matryoshka_recall_curve.__doc__.format(
+    k=_MRL_K, dims=_MRL_DIMS, dim=DIM
+)
+
+from flights_etl_pipeline_spark.plans import registry as _reg_mrl  # noqa: E402
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+_reg_mrl.REGISTRY["matryoshka_recall_curve"] = _dc_replace(
+    _reg_mrl.REGISTRY["matryoshka_recall_curve"], oracle=_mrl_sql()
+)
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) encode: the IVF-PQ compression step
 # ---------------------------------------------------------------------------
 

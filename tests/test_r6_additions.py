@@ -1,0 +1,76 @@
+"""Round-6 additions: semantic invariants beyond the oracle hash.
+
+packing_curve must agree with seq_packing where they overlap (the
+512-token leg is the same deterministic spillover packing), and its
+per-source curve must behave like a packing curve (pack count
+non-increasing in capacity). matryoshka_recall_curve's full-dimension
+leg is recall 1000 by construction — anything else means the truncated
+scorer and the truth scorer disagree on the untruncated vector.
+"""
+
+from __future__ import annotations
+
+from tests.test_plans import SF_DIR
+
+
+def test_packing_curve_512_matches_seq_packing(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        packing_curve,
+        seq_packing,
+    )
+
+    curve = {
+        (r.source, r.capacity): r
+        for r in packing_curve(spark, SF_DIR).collect()
+    }
+    packs = seq_packing(spark, SF_DIR).collect()
+    by_source: dict[str, dict] = {}
+    for p in packs:
+        agg = by_source.setdefault(
+            p.source, {"n_packs": 0, "tokens": 0, "docs": 0}
+        )
+        agg["n_packs"] = max(agg["n_packs"], p.pack_id + 1)
+        agg["tokens"] += p.pack_tokens
+        agg["docs"] += p.n_docs
+    for source, agg in by_source.items():
+        row = curve[(source, 512)]
+        assert row.n_packs == agg["n_packs"], source
+        assert row.total_tokens == agg["tokens"], source
+        assert row.n_docs == agg["docs"], source
+
+
+def test_packing_curve_shape(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        _PACK_CURVE_CAPS,
+        packing_curve,
+    )
+
+    rows = packing_curve(spark, SF_DIR).collect()
+    by_source: dict[str, dict[int, object]] = {}
+    for r in rows:
+        by_source.setdefault(r.source, {})[r.capacity] = r
+    for source, caps in by_source.items():
+        assert set(caps) == set(_PACK_CURVE_CAPS), source
+        ordered = [caps[c] for c in sorted(caps)]
+        # larger context -> never more packs
+        n_packs = [r.n_packs for r in ordered]
+        assert n_packs == sorted(n_packs, reverse=True), source
+        for r in ordered:
+            assert 0 <= r.n_straddle <= r.n_docs, (source, r.capacity)
+            assert r.util_milli > 0, (source, r.capacity)
+
+
+def test_matryoshka_full_dim_is_exact(spark):
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        _MRL_DIMS,
+        matryoshka_recall_curve,
+    )
+
+    rows = {r.dim: r for r in matryoshka_recall_curve(spark, SF_DIR).collect()}
+    assert set(rows) == set(_MRL_DIMS)
+    assert rows[64].recall_milli == 1000, (
+        "the untruncated leg must reproduce the exact top-k"
+    )
+    for r in rows.values():
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_milli == r.n_hits * 100
