@@ -393,9 +393,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingle sets (the verify stage after LSH candidate
     generation; at scale it runs only on candidates)."""
     corpus = _corpus(spark, sf_dir)
-    # persisted: both pair sides consume it, and Spark would otherwise
-    # re-evaluate the shingle subtree per side (no subplan CSE)
-    sh = corpus.select("doc_id", char_shingles("text", 5).alias("sh")).persist()
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = (
         docs.filter(F.col("doc_id") < 100)
@@ -411,6 +408,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
             )
         )
+    )
+    # shingle ONLY the docs that appear in a candidate pair (the "runs
+    # only on candidates" scale claim, made real: the semi-join prunes
+    # the expensive char-shingling from corpus-sized to pair-sized);
+    # persisted because both pair sides consume it and Spark would
+    # otherwise re-evaluate the shingle subtree per side (no subplan CSE)
+    cand_ids = pairs.select(
+        F.explode(F.array("a", "b")).alias("doc_id")
+    ).distinct()
+    sh = (
+        corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", char_shingles("text", 5).alias("sh"))
+        .persist()
     )
     sa = sh.alias("sa")
     sb = sh.alias("sb")
