@@ -63,3 +63,23 @@ def test_dash_app_gated_on_import(spark, gold_table):
     else:
         with pytest.raises(ImportError):
             consumption.build_dash_app(spark, gold_table)
+
+
+def test_render_dashboard_html_self_contained(spark, gold_table):
+    """The no-dependency renderer must emit a complete document with
+    one SVG path per airline that has data, month tick labels, and the
+    leaderboard ordered like top_airlines."""
+    html = consumption.render_dashboard_html(spark, gold_table, k=2)
+    assert html.startswith("<!doctype html>") and html.endswith("</html>")
+    assert html.count("<path ") == 3  # AA, UA, DL all have trend points
+    for tick in ("2024-01", "2024-02"):
+        assert tick in html
+    # leaderboard: UA (350) above AA (250), DL cut by k=2
+    ua = html.index("<td>UA</td>")
+    aa = html.index("<td>AA</td>")
+    assert ua < aa
+    assert "<td>DL</td>" not in html
+    assert "350.00" in html and "250.00" in html
+    # no external fetches: self-contained means offline-renderable
+    assert "http" not in html.split("xmlns")[0]
+    assert "src=" not in html and "href=" not in html
