@@ -911,6 +911,99 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (per-language head / middle / tail)
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS_SQL = f"""
+WITH scored AS (
+  SELECT d.lang, a.doc_id, a.n_tokens, a.mean_lp_micro
+  FROM ({UNIGRAM_LP_SQL.strip()}) a
+  JOIN documents d ON a.doc_id = d.doc_id
+),
+r AS (
+  SELECT lang, n_tokens, mean_lp_micro,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY mean_lp_micro DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT lang,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(FLOOR(CAST(SUM(mean_lp_micro) AS DOUBLE) / COUNT(*))
+         AS BIGINT) AS avg_lp_micro
+FROM r
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "doc_perplexity_buckets",
+    oracle=PPL_BUCKETS_SQL,
+    survey=["quality-score", "ccnet", "perplexity-buckets", "text",
+            "training-prep"],
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: rank each LANGUAGE's documents
+    by unigram-LM mean log-probability (the perplexity proxy
+    ``doc_unigram_logprob`` computes, composed as-is) and cut exact
+    per-language tertiles — head (most fluent), middle, tail — the
+    split CCNet publishes per language shard and curation pipelines
+    use to pick how deep into the quality distribution to train.
+    Bucketing is pure integer arithmetic on (rank, count): rk*3 <= n
+    is head, rk*3 <= 2n middle, else tail — no float percentile, so
+    the cut is identical in both engines.
+
+    Scale shape: scoring inherits doc_unigram_logprob's aggregate-only
+    plan; ranking is ONE window partitioned by lang (key-partitioned
+    sort, never a global window); output is |langs| x 3 rows. At
+    production scale the exact per-language sort becomes the sampled
+    percentile-cutoff variant (fit head/tail thresholds on a hash
+    sample, then bucket by comparison — a stateless map), which
+    changes the cut's variance, not the plan shape downstream.
+
+    Public-knowledge basis: Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data" (2020)."""
+    lp = doc_unigram_logprob(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = lp.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_lp_micro").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "n_tokens",
+        "mean_lp_micro",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rk") * 3 <= F.col("n"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.select(
+            "lang", bucket.alias("bucket"), "n_tokens", "mean_lp_micro"
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.floor(
+                F.sum("mean_lp_micro").cast("double") / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("avg_lp_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM surprisal (add-1 smoothed conditional logprob per document)
 # ---------------------------------------------------------------------------
 

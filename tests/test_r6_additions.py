@@ -74,3 +74,29 @@ def test_matryoshka_full_dim_is_exact(spark):
     for r in rows.values():
         assert 0 <= r.n_hits <= 10
         assert r.recall_milli == r.n_hits * 100
+
+
+def test_perplexity_buckets_are_exact_tertiles(spark):
+    from flights_etl_pipeline_spark.plans.queries_text import (
+        doc_perplexity_buckets,
+    )
+
+    rows = doc_perplexity_buckets(spark, SF_DIR).collect()
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}, lang
+        n = sum(r.n_docs for r in buckets.values())
+        # exact integer tertile cut: head = floor(n/3),
+        # middle = floor(2n/3) - floor(n/3), tail = the rest
+        if "head" in buckets:
+            assert buckets["head"].n_docs == n // 3, lang
+        if "middle" in buckets:
+            assert buckets["middle"].n_docs == (2 * n) // 3 - n // 3, lang
+        if "tail" in buckets:
+            assert buckets["tail"].n_docs == n - (2 * n) // 3, lang
+        # fluency must not increase down the buckets
+        order = [b for b in ("head", "middle", "tail") if b in buckets]
+        avgs = [buckets[b].avg_lp_micro for b in order]
+        assert avgs == sorted(avgs, reverse=True), (lang, avgs)
