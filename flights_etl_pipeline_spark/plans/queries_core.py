@@ -973,6 +973,151 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Z-order clustering key (multi-dimensional data layout for skipping)
 # ---------------------------------------------------------------------------
+# Zone-map file-skipping audit (what clustering order buys a lakehouse)
+# ---------------------------------------------------------------------------
+
+_ZM_FILES = 64
+_ZM_EPOCH = "1995-01-01"  # orders date-domain start in this fixture
+_ZM_SPAN_DAYS = 2405  # 1995-01-01 .. 2001-08-01 inclusive
+_ZM_LO = "1997-06-01"  # audited range predicate [LO, HI)
+_ZM_HI = "1997-09-01"
+
+ZONEMAP_AUDIT_SQL = f"""
+WITH mk AS (SELECT MAX(o_orderkey) + 1 AS mk FROM orders),
+placed AS (
+  SELECT layout, file_id, o_orderdate,
+         CASE WHEN o_orderdate >= TIMESTAMP '{_ZM_LO} 00:00:00'
+               AND o_orderdate <  TIMESTAMP '{_ZM_HI} 00:00:00'
+              THEN 1 ELSE 0 END AS hit
+  FROM (
+    SELECT 'arrival' AS layout,
+           CAST(o_orderkey * {_ZM_FILES} // mk.mk AS BIGINT) AS file_id,
+           o_orderdate
+    FROM orders, mk
+    UNION ALL
+    SELECT 'date_clustered' AS layout,
+           CAST(DATE_DIFF('day', TIMESTAMP '{_ZM_EPOCH} 00:00:00',
+                          o_orderdate) * {_ZM_FILES} // {_ZM_SPAN_DAYS}
+             AS BIGINT) AS file_id,
+           o_orderdate
+    FROM orders
+  )
+),
+zones AS (
+  SELECT layout, file_id,
+         MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx,
+         COUNT(*) AS n_rows, CAST(SUM(hit) AS BIGINT) AS n_hit
+  FROM placed GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN mx < TIMESTAMP '{_ZM_LO} 00:00:00'
+                      OR mn >= TIMESTAMP '{_ZM_HI} 00:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+       CAST(SUM(CASE WHEN mx < TIMESTAMP '{_ZM_LO} 00:00:00'
+                      OR mn >= TIMESTAMP '{_ZM_HI} 00:00:00'
+                THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+         AS skip_milli,
+       CAST(SUM(CASE WHEN mx < TIMESTAMP '{_ZM_LO} 00:00:00'
+                      OR mn >= TIMESTAMP '{_ZM_HI} 00:00:00'
+                THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_hit) AS BIGINT) AS rows_matched
+FROM zones
+GROUP BY layout
+"""
+
+
+@register(
+    "zonemap_skipping_audit",
+    oracle=ZONEMAP_AUDIT_SQL,
+    survey=["zone-maps", "data-skipping", "layout-design", "lakehouse"],
+)
+def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness audit: simulate writing orders as
+    64 files under two layouts — arrival order (file =
+    orderkey-range slice) vs date-clustered (file = orderdate-range
+    slice) — build each file's (min, max) orderdate zone map, and
+    report how many files a fixed date-range predicate could SKIP,
+    plus the rows a reader would still scan vs the rows that actually
+    match. This is the decision table behind choosing a clustering /
+    sort order before a 100 TB rewrite: on arrival layout a
+    time-range predicate touches nearly every file (dates spread
+    uniformly through every orderkey slice), while the date-clustered
+    layout skips all but the overlapping slices — the exact mechanism
+    parquet row-group stats / Delta-Iceberg file stats implement.
+
+    Scale shape: one scan per layout leg (a union of two projections
+    of the same table — Catalyst reuses the scan), one hash aggregate
+    to zone granularity (64 rows per layout), one 64-row
+    rollup; the orderkey domain arrives as a broadcast 1-row
+    aggregate. Pure integer/date arithmetic — engine-exact. The
+    real-life twin of ``zorder_clustering`` (which builds the
+    multi-column layout key; this measures what a layout buys)."""
+    orders = load(spark, sf_dir, "orders")
+    mk = orders.agg((F.max("o_orderkey") + 1).alias("mk"))
+    lo = F.lit(f"{_ZM_LO} 00:00:00").cast("timestamp")
+    hi = F.lit(f"{_ZM_HI} 00:00:00").cast("timestamp")
+    arrival = (
+        orders.crossJoin(F.broadcast(mk))
+        .select(
+            F.lit("arrival").alias("layout"),
+            F.expr(f"CAST(o_orderkey * {_ZM_FILES} div mk AS BIGINT)")
+            .alias("file_id"),
+            "o_orderdate",
+        )
+    )
+    clustered = orders.select(
+        F.lit("date_clustered").alias("layout"),
+        (
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lit(_ZM_EPOCH).cast("date"),
+            )
+            * _ZM_FILES
+        )
+        .cast("long")
+        .alias("dd"),
+        "o_orderdate",
+    ).select(
+        "layout",
+        F.expr(f"CAST(dd div {_ZM_SPAN_DAYS} AS BIGINT)").alias("file_id"),
+        "o_orderdate",
+    )
+    placed = arrival.unionAll(clustered).select(
+        "layout",
+        "file_id",
+        "o_orderdate",
+        F.when(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    zones = placed.groupBy("layout", "file_id").agg(
+        F.min("o_orderdate").alias("mn"),
+        F.max("o_orderdate").alias("mx"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("hit").cast("long").alias("n_hit"),
+    )
+    skippable = (F.col("mx") < lo) | (F.col("mn") >= hi)
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(skippable, 1).otherwise(0))
+        .cast("long")
+        .alias("files_skipped"),
+        F.expr(
+            "CAST(SUM(CASE WHEN mx < TIMESTAMP '" + _ZM_LO + " 00:00:00' "
+            "OR mn >= TIMESTAMP '" + _ZM_HI + " 00:00:00' "
+            "THEN 1 ELSE 0 END) * 1000 div COUNT(1) AS BIGINT)"
+        ).alias("skip_milli"),
+        F.sum(F.when(skippable, 0).otherwise(F.col("n_rows")))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_hit").cast("long").alias("rows_matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 _Z_BITS = 8
 _Z_DIV_ORDER = 1024  # l_orderkey -> 8-bit grid cell (covers sf<=1)

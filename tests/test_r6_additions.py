@@ -100,3 +100,25 @@ def test_perplexity_buckets_are_exact_tertiles(spark):
         order = [b for b in ("head", "middle", "tail") if b in buckets]
         avgs = [buckets[b].avg_lp_micro for b in order]
         assert avgs == sorted(avgs, reverse=True), (lang, avgs)
+
+
+def test_zonemap_audit_clustering_wins(spark):
+    """The date-clustered layout must skip strictly more files than the
+    arrival layout for a time-range predicate (the whole point of the
+    audit), both layouts must see the same matched-row total, and a
+    skipping reader must still scan every matching row."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        zonemap_skipping_audit,
+    )
+
+    rows = {r.layout: r for r in zonemap_skipping_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"arrival", "date_clustered"}
+    a, c = rows["arrival"], rows["date_clustered"]
+    assert a.rows_matched == c.rows_matched > 0
+    assert c.files_skipped > a.files_skipped
+    for r in (a, c):
+        assert r.rows_scanned >= r.rows_matched
+        assert 0 <= r.files_skipped <= r.n_files
+        assert r.skip_milli == r.files_skipped * 1000 // r.n_files
+    # clustering should also shrink the scanned volume
+    assert c.rows_scanned < a.rows_scanned
