@@ -1315,6 +1315,125 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Purchase attribution (first- and last-touch within a lookback window)
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+_ATTR_TOUCHES = ("click", "view")
+
+ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+  FROM events
+),
+w AS (
+  SELECT event_type, value,
+         MIN(CASE WHEN event_type IN ('click', 'view')
+                  THEN printf('%020d|%010d|%s', us, event_id, event_type)
+             END) OVER fr AS first_s,
+         MAX(CASE WHEN event_type IN ('click', 'view')
+                  THEN printf('%020d|%010d|%s', us, event_id, event_type)
+             END) OVER fr AS last_s
+  FROM e
+  WINDOW fr AS (
+    PARTITION BY user_id ORDER BY us
+    RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING AND 1 PRECEDING
+  )
+),
+p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+x AS (
+  SELECT 'first' AS position,
+         COALESCE(string_split(first_s, '|')[3], 'none') AS touch_type,
+         value
+  FROM p
+  UNION ALL
+  SELECT 'last' AS position,
+         COALESCE(string_split(last_s, '|')[3], 'none') AS touch_type,
+         value
+  FROM p
+)
+SELECT position, touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_micro
+FROM x
+GROUP BY position, touch_type
+"""
+
+
+@register(
+    "events_attribution",
+    oracle=ATTRIBUTION_SQL,
+    survey=["attribution", "window", "range-frame", "funnel", "events"],
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch purchase attribution: every purchase
+    credits the user's EARLIEST and LATEST touch (click/view) in the
+    strictly-preceding 7-day lookback, and the report totals purchases
+    and exact micro-unit revenue per (position, touch type) — with
+    'none' rows for purchases no touch preceded (the unattributable
+    remainder an attribution dashboard must not silently drop).
+
+    Both touches come from ONE user-keyed RANGE window pass (the
+    events_trailing_1h frame discipline): MIN/MAX over a sortable
+    fixed-width '(us)|(event_id)|type' encoding inside the
+    [ts-7d, ts) frame — no self-join, no per-purchase scan, and the
+    string encoding makes the in-frame argmin/argmax identical in
+    both engines (zero-padded lexicographic = numeric order, event_id
+    tie-break included). One shuffle on user_id; the frame is a
+    two-pointer pass per partition; output is bounded by
+    2 x (|touch types| + 1) rows.
+
+    At 100 TB this is the attribution shape that replaces the naive
+    purchases-to-touches interval join (which re-shuffles touches per
+    purchase and skews on hot users): the window pass reads each event
+    once, and a streaming twin would carry the same frame as
+    applyInPandasWithState state."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    enc = F.when(
+        F.col("event_type").isin(*_ATTR_TOUCHES),
+        F.format_string(
+            "%020d|%010d|%s", us, F.col("event_id"), F.col("event_type")
+        ),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    w = ev.select(
+        "event_type",
+        "value",
+        F.min(enc).over(fr).alias("first_s"),
+        F.max(enc).over(fr).alias("last_s"),
+    ).filter(F.col("event_type") == "purchase")
+    touch = lambda col: F.coalesce(  # noqa: E731
+        F.element_at(F.split(F.col(col), "\\|"), 3), F.lit("none")
+    )
+    x = w.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("position"),
+                    touch("first_s").alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("last").alias("position"),
+                    touch("last_s").alias("touch_type"),
+                ),
+            )
+        ).alias("a"),
+        "value",
+    ).select("a.position", "a.touch_type", "value")
+    micro = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    return x.groupBy("position", "touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(micro).cast("long").alias("value_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # User-journey transition matrix (Markov next-event probabilities)
 # ---------------------------------------------------------------------------
 

@@ -122,3 +122,35 @@ def test_zonemap_audit_clustering_wins(spark):
         assert r.skip_milli == r.files_skipped * 1000 // r.n_files
     # clustering should also shrink the scanned volume
     assert c.rows_scanned < a.rows_scanned
+
+
+def test_attribution_totals_and_none_consistency(spark):
+    """Every purchase contributes exactly one first-position and one
+    last-position row; a purchase is 'none' at first iff 'none' at
+    last (an empty lookback is empty from both ends), and attributed
+    positions must agree on total count and revenue."""
+    import duckdb
+
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        events_attribution,
+    )
+
+    rows = events_attribution(spark, SF_DIR).collect()
+    (n_purch,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet' "
+        "WHERE event_type = 'purchase'"
+    ).fetchone()
+    first = [r for r in rows if r.position == "first"]
+    last = [r for r in rows if r.position == "last"]
+    assert sum(r.n_purchases for r in first) == n_purch
+    assert sum(r.n_purchases for r in last) == n_purch
+    fn = {r.touch_type: r for r in first}
+    ln = {r.touch_type: r for r in last}
+    f_none = fn.get("none")
+    l_none = ln.get("none")
+    assert (f_none.n_purchases if f_none else 0) == (
+        l_none.n_purchases if l_none else 0
+    )
+    assert sum(r.value_micro for r in first) == sum(
+        r.value_micro for r in last
+    )
