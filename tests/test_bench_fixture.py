@@ -1,0 +1,84 @@
+"""bench.py's 10x fixture builders are measurement infrastructure with
+no oracle of their own — a replication bug would silently corrupt every
+sf1_spot slope. Pin the invariants the slopes rely on:
+
+- each table replicates exactly _SF1_REPLICAS times;
+- id uniqueness survives (the shift is a multiple of the key domain);
+- lineitem shifts by the ORDERS key domain, so the l_orderkey ->
+  o_orderkey join has exactly 10x the base cardinality (no orphaned or
+  cross-replica matches);
+- id-derived modular properties are preserved for dense ids (the
+  delta-split `vec_id % 10` used by the ANN spots keeps its share).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+import bench
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sf1_fixture_replication_invariants(spark):
+    out = bench._sf1_docs_dir(spark, SF_DIR)
+    r = bench._SF1_REPLICAS
+    for table, (idcol, domain) in bench._SF1_TABLES.items():
+        base = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+        big = spark.read.parquet(os.path.join(out, f"{table}.parquet"))
+        n_base, n_big = base.count(), big.count()
+        assert n_big == r * n_base, table
+        # primary-key tables (no domain override): the shifted id stays
+        # unique; foreign-key tables (lineitem's l_orderkey): the
+        # distinct key count scales exactly with the replicas instead
+        n_distinct = big.select(idcol).distinct().count()
+        if domain is None:
+            assert n_distinct == n_big, (
+                f"{table}: replica shift collided {idcol} values"
+            )
+        else:
+            assert n_distinct == r * base.select(idcol).distinct().count(), (
+                f"{table}: foreign-key domain shift collided {idcol}"
+            )
+
+    # join consistency: every replicated order keeps exactly its own
+    # lineitems — joined cardinality is exactly 10x the base join
+    b_orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    b_li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    base_join = b_orders.join(
+        b_li, b_orders.o_orderkey == b_li.l_orderkey
+    ).count()
+    g_orders = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    g_li = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    big_join = g_orders.join(
+        g_li, g_orders.o_orderkey == g_li.l_orderkey
+    ).count()
+    assert big_join == bench._SF1_REPLICAS * base_join
+
+    # modular property used by the ANN delta spots: the delta share of
+    # vec_id % 10 == 0 must be identical in base and replicated corpora
+    b_emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    g_emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+    b_delta = b_emb.filter(F.col("vec_id") % 10 == 0).count()
+    g_delta = g_emb.filter(F.col("vec_id") % 10 == 0).count()
+    assert g_delta == bench._SF1_REPLICAS * b_delta
+
+
+def test_centroid_cache_invalidates_on_fixture_identity(spark):
+    """_centroids memoizes on (path, k, mtime, size): same fixture hits
+    the cache (same object back), and a changed identity key must miss
+    (the driver regenerates the corpus every round)."""
+    from flights_etl_pipeline_spark.plans import queries_simsearch as qs
+
+    a = qs._centroids(spark, SF_DIR)
+    b = qs._centroids(spark, SF_DIR)
+    assert a is b, "same fixture identity must hit the memo"
+    key = next(k for k in qs._CENTROID_CACHE if k[0].endswith("parquet"))
+    stale = (key[0], key[1], key[2] - 1, key[3])
+    assert stale not in qs._CENTROID_CACHE, (
+        "a different (mtime, size) identity must be a cache miss"
+    )
+    assert len(a) == qs.K_CENTROIDS
+    assert [c[0] for c in a] == sorted(c[0] for c in a)
