@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround
+from flights_etl_pipeline_spark.functions.text import minhash_params
 from flights_etl_pipeline_spark.plans.registry import load, register
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround
 
@@ -352,6 +353,167 @@ def copurchase_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")
         .limit(_LINKPRED_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction at scale: MinHash-LSH candidates + exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+_LP_N_HASH = 8
+_LP_N_BANDS = 4
+_LP_PARAMS = minhash_params(_LP_N_HASH)
+
+LINKPRED_LSH_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+sd AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY s),
+el AS (SELECT e.c, e.s FROM e JOIN sd ON e.s = sd.s WHERE sd.ds <= {_HUB_CAP}),
+deg AS (SELECT c, COUNT(*) AS d FROM el GROUP BY c),
+sig AS (
+  SELECT c,
+         MIN((391981429 * (s % 1000000007) + 158624960) % 1000000007) AS h0,
+         MIN((28198053 * (s % 1000000007) + 248677185) % 1000000007) AS h1,
+         MIN((108621029 * (s % 1000000007) + 240180079) % 1000000007) AS h2,
+         MIN((375955235 * (s % 1000000007) + 1473508) % 1000000007) AS h3,
+         MIN((285459899 * (s % 1000000007) + 42143405) % 1000000007) AS h4,
+         MIN((384999461 * (s % 1000000007) + 242442964) % 1000000007) AS h5,
+         MIN((289137549 * (s % 1000000007) + 29439034) % 1000000007) AS h6,
+         MIN((210916531 * (s % 1000000007) + 251338641) % 1000000007) AS h7
+  FROM el GROUP BY c
+),
+bands AS (
+  SELECT c, 0 AS band, concat(CAST(h0 AS VARCHAR), '_', CAST(h1 AS VARCHAR)) AS bsig FROM sig
+  UNION ALL
+  SELECT c, 1 AS band, concat(CAST(h2 AS VARCHAR), '_', CAST(h3 AS VARCHAR)) AS bsig FROM sig
+  UNION ALL
+  SELECT c, 2 AS band, concat(CAST(h4 AS VARCHAR), '_', CAST(h5 AS VARCHAR)) AS bsig FROM sig
+  UNION ALL
+  SELECT c, 3 AS band, concat(CAST(h6 AS VARCHAR), '_', CAST(h7 AS VARCHAR)) AS bsig FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.c AS ca, y.c AS cb
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bsig = y.bsig AND x.c < y.c
+),
+cm AS (
+  SELECT k.ca, k.cb, COUNT(*) AS common
+  FROM cand k
+  JOIN el a ON a.c = k.ca
+  JOIN el b ON b.c = k.cb AND b.s = a.s
+  GROUP BY k.ca, k.cb
+),
+j AS (
+  SELECT ca, cb, common, da.d + db.d - common AS uni
+  FROM cm
+  JOIN deg da ON ca = da.c
+  JOIN deg db ON cb = db.c
+)
+SELECT ca AS cust_a, cb AS cust_b, CAST(common AS BIGINT) AS n_common,
+       FLOOR(CAST(common AS DOUBLE) / uni * 1000000 + 0.5) / 1000000
+         AS jaccard
+FROM j
+ORDER BY jaccard DESC, cust_a, cust_b
+LIMIT {_LINKPRED_TOPK}
+"""
+
+
+@register(
+    "copurchase_linkpred_lsh",
+    oracle=LINKPRED_LSH_SQL,
+    survey=["graph", "link-prediction", "minhash-lsh", "scale-escalation"],
+)
+def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB escalation ``copurchase_linkpred``\'s docstring
+    promises, as a real query: neighbor-set MinHash (8 universal-hash
+    permutations of the supplier ids, map-side-combinable MIN per
+    customer) -> 4x2 LSH banding -> band-bucket self-join for
+    CANDIDATE pairs only -> exact neighborhood Jaccard verified by a
+    supplier-keyed join restricted to candidates -> the same top-{k}
+    report. Where the exact query's wedge join bills Σ_s |N(s)|²
+    (~230 M wedges on this deliberately dense graph), the LSH path
+    bills Σ bucket² over band buckets plus exact verification of the
+    surviving candidates — the standard recall-for-cost trade, tuned
+    by (bands x rows) exactly as ``lsh_banding_design`` tabulates.
+
+    Approximation is IN the semantics (and mirrored exactly by the
+    oracle, which uses the identical md5-derived hash family): a pair
+    no band collides on never reaches the verifier, so low-Jaccard
+    pairs may differ from the exact query — high-similarity pairs are
+    precisely the ones LSH recalls. Every retained pair's n_common /
+    jaccard is exact, never the signature estimate."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sd = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    el = e.join(sd.filter(F.col("ds") <= _HUB_CAP).select("s"), "s")
+    deg = el.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    h = F.col("s") % F.lit(1000000007)
+    sig = el.groupBy("c").agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(1000000007)).alias(f"h{j}")
+            for j, (a, b) in enumerate(_LP_PARAMS)
+        ]
+    )
+    bands = None
+    for b in range(_LP_N_BANDS):
+        leg = sig.select(
+            "c",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                F.col(f"h{2 * b}").cast("string"),
+                F.col(f"h{2 * b + 1}").cast("string"),
+            ).alias("bsig"),
+        )
+        bands = leg if bands is None else bands.unionAll(leg)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.c") < F.col("y.c")),
+        )
+        .select(F.col("x.c").alias("ca"), F.col("y.c").alias("cb"))
+        .distinct()
+    )
+    ela = el.select(F.col("c").alias("ca"), "s")
+    elb = el.select(F.col("c").alias("cb"), "s")
+    cm = (
+        cand.join(ela, "ca")
+        .join(elb, ["cb", "s"])
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("c").alias("ca"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("c").alias("cb"), F.col("d").alias("deg_b"))
+    uni = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    return (
+        cm.join(da, "ca")
+        .join(db, "cb")
+        .select(
+            F.col("ca").alias("cust_a"),
+            F.col("cb").alias("cust_b"),
+            F.col("common").cast("bigint").alias("n_common"),
+            (
+                F.floor(F.col("common").cast("double") / uni * 1000000 + 0.5)
+                / 1000000
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")
+        .limit(_LINKPRED_TOPK)
+    )
+
+
+copurchase_linkpred_lsh.__doc__ = copurchase_linkpred_lsh.__doc__.format(
+    k=_LINKPRED_TOPK
+)
 
 
 # ---------------------------------------------------------------------------

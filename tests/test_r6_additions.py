@@ -154,3 +154,32 @@ def test_attribution_totals_and_none_consistency(spark):
     assert sum(r.value_micro for r in first) == sum(
         r.value_micro for r in last
     )
+
+
+def test_linkpred_lsh_recalls_exact_top_pairs(spark):
+    """The LSH escalation must recall the exact query's top pairs: on
+    this fixture the strongest neighborhoods collide in at least one
+    band, so the top-10 exact pairs must all survive, and every
+    reported (n_common, jaccard) must equal the exact query's value
+    for the same pair (verification is exact, never the estimate)."""
+    from flights_etl_pipeline_spark.plans.queries_graph import (
+        copurchase_linkpred,
+        copurchase_linkpred_lsh,
+    )
+
+    exact = {
+        (r.cust_a, r.cust_b): (r.n_common, r.jaccard)
+        for r in copurchase_linkpred(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.cust_a, r.cust_b): (r.n_common, r.jaccard)
+        for r in copurchase_linkpred_lsh(spark, SF_DIR).collect()
+    }
+    exact_top10 = sorted(
+        exact.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:10]
+    missed = [k for k, _ in exact_top10 if k not in lsh]
+    assert not missed, f"LSH missed exact top-10 pairs: {missed}"
+    for pair, vals in lsh.items():
+        if pair in exact:
+            assert vals == exact[pair], pair
