@@ -27,8 +27,9 @@ from flights_etl_pipeline_spark.session import get_spark
 # Queries whose 100 TB claims most deserve a measured slope: the three
 # round-2 flags (fixed cost vs slope) plus — per the round-3 verdict —
 # the dedup/ANN family's banded/bucketed plans, re-timed at 10x volume
-# to show the scaling exponent. All spots read ONLY the documents and/or
-# embeddings tables, so the scaled fixture needs just those two files.
+# to show the scaling exponent. Spots read only the _SF1_TABLES set
+# (documents/embeddings, plus orders/lineitem since r6), so the scaled
+# fixture replicates just those files.
 # Note the replicated corpus is an EXTREME-duplication workload for the
 # dedup spots (every doc appears _SF1_REPLICAS times): candidate sets
 # grow ~replicas^2 per bucket, which is the adversarial case for LSH —
@@ -56,18 +57,34 @@ _SF1_SPOT = (
     # need a measured slope, not just a local wall number
     "curation_pipeline_v2",
     "association_rules",
+    # the LSH link-prediction escalation (r6): scheme v2 shifts
+    # o_custkey / l_suppkey so the copurchase graph is 10 disjoint
+    # replicas — signatures, banding, bucket joins, and exact verify
+    # all see a genuinely 10x graph (the exact wedge join would bill
+    # 10x its ~8x-slower sf0.1 wall here; the LSH path's slope is the
+    # crossover evidence)
+    "copurchase_linkpred_lsh",
 )
 _SF1_REPLICAS = 10
-# table -> (id column, key domain). The replica shift is a multiple of
-# the key DOMAIN size (max key + 1 — equals row count for the dense
-# doc/vec ids), so id uniqueness and id-derived modular properties
-# hold. lineitem shifts by the ORDERS key domain so the l_orderkey ->
-# o_orderkey join stays consistent across replicas.
+# Bump when the replication rule below changes in ANY way: the tag is
+# folded into the /tmp cache fingerprint, so a scheme change can never
+# silently reuse a fixture built under the previous rule (ADVICE r6).
+_SF1_SCHEME_VERSION = 2
+# table -> list of (column, key-domain source) shifts. Each replica
+# shifts every listed column by rep * domain (max key + 1 — equals row
+# count for the dense doc/vec ids), so id uniqueness and id-derived
+# modular properties hold. lineitem's l_orderkey shifts by the ORDERS
+# key domain so the l_orderkey -> o_orderkey join stays consistent
+# across replicas. o_custkey / l_suppkey shift by their own domains so
+# the copurchase GRAPH genuinely grows 10x (disjoint replica
+# subgraphs: same degree distribution, 10x the vertices) — without
+# this, `distinct()` would collapse the replicas back to the sf0.1
+# graph and the linkpred slope would measure only the ingest join.
 _SF1_TABLES = {
-    "documents": ("doc_id", None),
-    "embeddings": ("vec_id", None),
-    "orders": ("o_orderkey", None),
-    "lineitem": ("l_orderkey", ("orders", "o_orderkey")),
+    "documents": [("doc_id", None)],
+    "embeddings": [("vec_id", None)],
+    "orders": [("o_orderkey", None), ("o_custkey", None)],
+    "lineitem": [("l_orderkey", ("orders", "o_orderkey")), ("l_suppkey", None)],
 }
 
 # Every query (headline and sf1 spot) runs _N_RUNS times and reports
@@ -98,7 +115,7 @@ def _sf1_docs_dir(spark, sf_dir: str) -> str:
     # scaleup exponents.
     import hashlib
 
-    fp = hashlib.md5()
+    fp = hashlib.md5(f"scheme_v{_SF1_SCHEME_VERSION};".encode())
     for table in sorted(_SF1_TABLES):
         p = os.path.join(sf_dir, f"{table}.parquet")
         st = os.stat(p)
@@ -120,16 +137,19 @@ def _sf1_docs_dir(spark, sf_dir: str) -> str:
             ) + 1
         return domain_size[key]
 
-    for table, (idcol, domain) in _SF1_TABLES.items():
+    for table, shifts in _SF1_TABLES.items():
         target = os.path.join(out, f"{table}.parquet")
         if os.path.exists(os.path.join(target, "_SUCCESS")):
             continue
         src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-        shift = _domain(*(domain or (table, idcol)))
+        shift_for = {
+            idcol: _domain(*(domain or (table, idcol)))
+            for idcol, domain in shifts
+        }
         reps = spark.range(_SF1_REPLICAS).select(F.col("id").alias("rep"))
         cols = [
-            (F.col(idcol) + F.col("rep") * shift).alias(idcol)
-            if c == idcol
+            (F.col(c) + F.col("rep") * shift_for[c]).alias(c)
+            if c in shift_for
             else c
             for c in src.columns
         ]

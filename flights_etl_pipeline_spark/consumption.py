@@ -81,7 +81,7 @@ def render_dashboard_html(
     }
     w, h, pad = 640, 280, 40
     vmax = max((float(r["sum_total_fare"]) for r in trend), default=1.0)
-    # 12-class paired palette cycled per airline; presentation-only
+    # 10-color tab10 palette, cycled per airline; presentation-only
     colors = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
               "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf"]
 
@@ -108,7 +108,7 @@ def render_dashboard_html(
         color = colors[ai % len(colors)]
         paths.append(
             f'<path d="{d}" fill="none" stroke="{color}" stroke-width="2"/>'
-            f'<text x="{w - pad + 4}" y="{_y(pts[-1][1]):.1f}" '
+            f'<text x="{_x(pts[-1][0]) + 4:.1f}" y="{_y(pts[-1][1]):.1f}" '
             f'fill="{color}" font-size="11">'
             f"{_html.escape(airline)}</text>"
         )

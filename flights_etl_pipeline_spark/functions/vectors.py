@@ -38,6 +38,38 @@ def decimal_dot(a: Column | str, b: Column | str) -> Column:
     ).cast("double")
 
 
+def py_decimal_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side bit-exact twin of the ORACLE's decimal fold
+    (``sqlfrag.sql_decimal_dot``: quantize each product to scale 14,
+    sum EXACTLY) for model-channel computations — probe selection
+    against a collected quantizer, codebook norms, ...
+
+    Per-element IEEE double multiply (Python floats ARE doubles), each
+    product converted to decimal exactly then quantized to
+    ``DOT_SCALE`` digits with HALF_UP (both engines' double->decimal
+    cast rounding), summed exactly, and the total rounded back to the
+    nearest double — so a driver-side ranking over these dots matches
+    the oracle's in-SQL ranking bit-for-bit, which is what the
+    correctness gate compares against.
+
+    NOT the in-plan Spark fold to the last bit: Spark's decimal ``+``
+    at (38,14)+(38,14) overflows precision 38 and reduces the
+    accumulator scale to 13, HALF_UP-rounding each step, so its sum
+    can drift up to ~dim ulp at 1e-13 from the exact sum (pinned in
+    tests/test_properties_r7.py). That drift is six orders of
+    magnitude inside every ranking margin the ANN family relies on —
+    identical in kind to the long-standing Spark-fold-vs-DuckDB-fold
+    gap every rounded-to-1e-8 result channel already tolerates.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-DOT_SCALE)
+    total = Decimal(0)
+    for x, y in zip(a, b):
+        total += Decimal(x * y).quantize(q, rounding=ROUND_HALF_UP)
+    return float(total)
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity via exact dots; final sqrt/divide are single
     correctly-rounded IEEE ops (deterministic across engines)."""

@@ -494,22 +494,12 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_hll_daily_merge",
-    oracle=None,  # sketch estimates are engine-specific -> rows-only check;
-    # tests/test_sketches.py bounds the estimate against the exact count
-    survey=["approx-sketch", "hll", "incremental"],
-)
-def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental distinct-count maintenance with Apache DataSketches HLL:
-    build one sketch per (day, event_type) partition, then merge the
-    per-day sketches per event_type and estimate.
-
-    This is the 100 TB pattern the exact plan can't reach: per-partition
-    sketches are tiny (<= 1.5 KB), the merge is associative (a daily
-    pipeline persists day-level sketches and re-merges without rescanning
-    history), and the shuffle carries sketch bytes instead of user_ids.
-    """
+def _hll_daily_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch pipeline itself: one DataSketches HLL per (day,
+    event_type) partition, merged per event_type, estimated. Returns
+    (event_type, approx_users, n_days) — the raw estimate is consumed
+    by the registered query's bound check and by
+    tests/test_sketches.py's tighter 5-sigma assertion."""
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
@@ -521,6 +511,57 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
             F.count(F.lit(1)).alias("n_days"),
         )
+    )
+
+
+@register(
+    "events_hll_daily_merge",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_bound
+FROM events
+GROUP BY event_type
+""",
+    survey=["approx-sketch", "hll", "incremental"],
+)
+def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance with Apache DataSketches HLL:
+    build one sketch per (day, event_type) partition, then merge the
+    per-day sketches per event_type and estimate.
+
+    This is the 100 TB pattern the exact plan can't reach: per-partition
+    sketches are tiny (<= 1.5 KB), the merge is associative (a daily
+    pipeline persists day-level sketches and re-merges without rescanning
+    history), and the shuffle carries sketch bytes instead of user_ids.
+
+    Oracle contract (VERDICT r6 item 6): the raw estimate is
+    engine-private (DuckDB cannot run DataSketches), but its ERROR
+    BOUND is mirrorable — the query emits the exact scaffolding
+    (n_days, exact_users) plus ``hll_within_bound``, the in-plan check
+    that the merged estimate sits within max(3, 8%) of exact, and the
+    oracle asserts the same columns with the bound as a constant TRUE.
+    A broken sketch/merge/estimate flips the boolean and fails the
+    hash, so the sketch pipeline is now oracle-gated end-to-end; the
+    tighter 5-sigma band on the raw value stays in
+    tests/test_sketches.py. (The exact_users companion is verification
+    scaffolding — the 100 TB deployment drops it and keeps only the
+    sketch path.)"""
+    est = _hll_daily_estimates(spark, sf_dir)
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    bound = F.greatest(F.lit(3.0), 0.08 * F.col("exact_users"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound).alias(
+            "hll_within_bound"
+        ),
     )
 
 
@@ -1365,6 +1406,7 @@ GROUP BY position, touch_type
     "events_attribution",
     oracle=ATTRIBUTION_SQL,
     survey=["attribution", "window", "range-frame", "funnel", "events"],
+    bench=True,
 )
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First- and last-touch purchase attribution: every purchase

@@ -363,6 +363,20 @@ _LP_N_HASH = 8
 _LP_N_BANDS = 4
 _LP_PARAMS = minhash_params(_LP_N_HASH)
 
+# the h0..h7 expressions and the band legs derive from _LP_PARAMS so
+# the oracle and the Spark implementation share ONE source of truth
+# for the hash family (ADVICE r6: hardcoded constants silently desync
+# if minhash_params ever changes)
+_LP_SIG_SQL = ",\n".join(
+    f"         MIN(({a} * (s % 1000000007) + {b}) % 1000000007) AS h{j}"
+    for j, (a, b) in enumerate(_LP_PARAMS)
+)
+_LP_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT c, {b} AS band, concat(CAST(h{2 * b} AS VARCHAR), '_', "
+    f"CAST(h{2 * b + 1} AS VARCHAR)) AS bsig FROM sig"
+    for b in range(_LP_N_BANDS)
+)
+
 LINKPRED_LSH_SQL = f"""
 WITH e AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
@@ -373,24 +387,11 @@ el AS (SELECT e.c, e.s FROM e JOIN sd ON e.s = sd.s WHERE sd.ds <= {_HUB_CAP}),
 deg AS (SELECT c, COUNT(*) AS d FROM el GROUP BY c),
 sig AS (
   SELECT c,
-         MIN((391981429 * (s % 1000000007) + 158624960) % 1000000007) AS h0,
-         MIN((28198053 * (s % 1000000007) + 248677185) % 1000000007) AS h1,
-         MIN((108621029 * (s % 1000000007) + 240180079) % 1000000007) AS h2,
-         MIN((375955235 * (s % 1000000007) + 1473508) % 1000000007) AS h3,
-         MIN((285459899 * (s % 1000000007) + 42143405) % 1000000007) AS h4,
-         MIN((384999461 * (s % 1000000007) + 242442964) % 1000000007) AS h5,
-         MIN((289137549 * (s % 1000000007) + 29439034) % 1000000007) AS h6,
-         MIN((210916531 * (s % 1000000007) + 251338641) % 1000000007) AS h7
+{_LP_SIG_SQL}
   FROM el GROUP BY c
 ),
 bands AS (
-  SELECT c, 0 AS band, concat(CAST(h0 AS VARCHAR), '_', CAST(h1 AS VARCHAR)) AS bsig FROM sig
-  UNION ALL
-  SELECT c, 1 AS band, concat(CAST(h2 AS VARCHAR), '_', CAST(h3 AS VARCHAR)) AS bsig FROM sig
-  UNION ALL
-  SELECT c, 2 AS band, concat(CAST(h4 AS VARCHAR), '_', CAST(h5 AS VARCHAR)) AS bsig FROM sig
-  UNION ALL
-  SELECT c, 3 AS band, concat(CAST(h6 AS VARCHAR), '_', CAST(h7 AS VARCHAR)) AS bsig FROM sig
+{_LP_BANDS_SQL}
 ),
 cand AS (
   SELECT DISTINCT x.c AS ca, y.c AS cb
@@ -423,6 +424,7 @@ LIMIT {_LINKPRED_TOPK}
     "copurchase_linkpred_lsh",
     oracle=LINKPRED_LSH_SQL,
     survey=["graph", "link-prediction", "minhash-lsh", "scale-escalation"],
+    bench=True,
 )
 def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB escalation ``copurchase_linkpred``\'s docstring

@@ -1428,6 +1428,67 @@ def _km_sqdist_micro(v, cv) -> "F.Column":
     return F.floor(total * 1_000_000 + F.lit(0.5)).cast("bigint")
 
 
+# Two-phase prune margin for the row-local k-means argmin, in RAW
+# squared-distance units: floor(x*1e6 + 0.5) is monotone, so a
+# candidate whose exact sqdist exceeds the minimum by more than 1e-6
+# can NEVER win after micro-quantization; the double fold's drift vs
+# the exact decimal fold is < dim * 1e-13. 2e-6 covers both with 10x
+# headroom, so the exact micro-argmin winner is always a survivor.
+_KM_MARGIN = 2e-6
+
+
+def _km_assign_rowlocal(cents: list[tuple]) -> F.Column:
+    """Row-LOCAL two-phase argmin assignment for Lloyd's k-means:
+    phase 1 scores all K centroids with a cheap double sqdist fold,
+    phase 2 re-scores ONLY the survivors within ``_KM_MARGIN`` of the
+    double minimum with the exact decimal micro fold
+    (:func:`_km_sqdist_micro`) and picks min by (dm, cid) — exactly the
+    oracle's ``ROW_NUMBER() OVER (ORDER BY dm, cid)`` tie-break.
+
+    Returns struct(cid INT, dm BIGINT). Replaces the
+    ``crossJoin(broadcast(cdf)).groupBy("vec_id").agg(min_by...)``
+    shape (VERDICT r6 item 1): the centroids ride as TRUE array
+    literals (one cached Literal node, see _nearest_centroid's
+    rationale), assignment is per-row column work fused into the scan,
+    and NOTHING shuffles on vec_id. The winner's dm is always the
+    exact decimal micro value — it feeds the inertia sum unchanged.
+    """
+    cids = F.lit([int(c[0]) for c in cents])
+    cvecs = F.lit([list(c[1]) for c in cents])
+    idx = F.lit(list(range(1, len(cents) + 1)))
+    emb = F.col("embedding")
+
+    def _dsq(cv):
+        return F.aggregate(
+            F.zip_with(
+                emb,
+                cv,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dscored = F.transform(
+        idx, lambda i: F.struct(_dsq(F.element_at(cvecs, i)).alias("ds"), i.alias("i"))
+    )
+
+    def _pick(ds):
+        dmin = F.array_min(ds)["ds"]
+        cand = F.filter(ds, lambda s: s["ds"] <= dmin + F.lit(_KM_MARGIN))
+        rescored = F.transform(
+            cand,
+            lambda s: F.struct(
+                _km_sqdist_micro(emb, F.element_at(cvecs, s["i"])).alias("dm"),
+                F.element_at(cids, s["i"]).alias("cid"),
+            ),
+        )
+        best = F.array_min(rescored)
+        return F.struct(best["cid"].alias("cid"), best["dm"].alias("dm"))
+
+    return F.element_at(F.transform(F.array(dscored), _pick), 1)
+
+
 @register(
     "kmeans_embeddings",
     oracle=KMEANS_SQL,
@@ -1444,12 +1505,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empty clusters keep their previous centroid (COALESCE in both
     engines).
 
-    Scale shape: centroids are a K x dim table that rides the driver
+    Scale shape: centroids are a K x dim literal that rides the driver
     (collected once per round -- K*dim scalars, the sanctioned scalar
     channel, exactly how production KMeans broadcasts its model);
-    assignment is a broadcast cross join + row-local fold, linear in
-    the corpus with no vector shuffle; the update shuffles (cid, pos)
-    partial decimal sums only. Rounds are fixed (3), so the oracle
+    assignment is a row-local two-phase argmin fused into the scan
+    (:func:`_km_assign_rowlocal` -- NO cross join, NO groupBy(vec_id),
+    no vector shuffle anywhere); each round's update aggregates
+    ``(cid, posexplode(embedding))`` directly, so the only exchange per
+    round carries K x dim partial decimal sums per task (map-side
+    combine), never corpus rows. Rounds are fixed (3), so the oracle
     unrolls like PageRank's."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     init = (
@@ -1462,27 +1526,21 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in init:
         cents.setdefault(row["vec_id"], {})[row["pos0"] + 1] = float(row["val"])
 
-    def cent_df():
-        rows = [
+    def cent_list():
+        return [
             (cid, [vals[p] for p in sorted(vals)]) for cid, vals in sorted(cents.items())
         ]
-        return spark.createDataFrame(rows, "cid INT, cv ARRAY<DOUBLE>")
 
-    def assign(cdf):
-        dm = _km_sqdist_micro(F.col("embedding"), F.col("cv"))
-        scored = emb.crossJoin(F.broadcast(cdf)).select(
-            "vec_id", F.col("cid"), dm.alias("dm")
-        )
-        return scored.groupBy("vec_id").agg(
-            F.min_by("cid", F.struct("dm", "cid")).alias("cid"),
-            F.min(F.struct("dm", "cid")).getField("dm").alias("dm"),
-        )
-
-    epos = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
     for _ in range(_KM_ROUNDS):
-        a = assign(cent_df())
+        cid = _km_assign_rowlocal(cent_list())["cid"]
         new_rows = (
-            a.join(epos, "vec_id")
+            # cid projects BEFORE the generator select: ExtractGenerator
+            # mangles struct-field names inside HOF lambdas when a
+            # posexplode shares the projection (FIELD_NOT_FOUND on the
+            # lambda structs), and as a plain attribute the assignment
+            # still computes once per row, not per exploded element
+            emb.select(cid.alias("cid"), "embedding")
+            .select("cid", F.posexplode("embedding").alias("pos0", "v"))
             .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
             .agg(
                 dround(
@@ -1497,10 +1555,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for row in new_rows:  # empty clusters keep previous centroids
             cents[row["cid"]][row["pos"]] = float(row["val"])
-    final = assign(cent_df())
-    return final.groupBy("cid").agg(
+    final = emb.select(
+        "vec_id", _km_assign_rowlocal(cent_list()).alias("best")
+    )
+    return final.groupBy(F.col("best.cid").alias("cid")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("dm").cast("bigint").alias("inertia_micro"),
+        F.sum("best.dm").cast("bigint").alias("inertia_micro"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
 

@@ -24,7 +24,9 @@ from flights_etl_pipeline_spark.functions.vectors import (
     cosine_similarity,
     decimal_dot,
     double_cos,
+    double_dot,
     hyperplane_lit,
+    py_decimal_dot,
     signed_hyperplane,
 )
 from flights_etl_pipeline_spark.plans.registry import load, register
@@ -114,13 +116,32 @@ def _centroids(spark: SparkSession, sf_dir: str, k: int = None) -> list[tuple]:
     return _CENTROID_CACHE[key]
 
 
+# Two-phase prune margin for the row-local argmax: the double fold's
+# absolute error vs the exact decimal fold is ~dim ulps (~1e-13 for
+# cosines in [-1,1]); 1e-3 is six orders of magnitude wider, the same
+# contract tests/test_vectors_prefilter.py pins for the pair filters.
+_NC_MARGIN = 1e-3
+
+
 def _nearest_centroid(cents: list[tuple], emb_col: str = "embedding",
                       enorm_col: str = "enorm") -> F.Column:
-    """Row-LOCAL argmax assignment to the nearest centroid: one
-    ``transform`` over the centroid-index literal scoring cosine per
-    centroid, one ``array_max`` picking the best by (cs DESC, cid ASC)
-    — the tie-break rides as max of struct(cs, -cid), exactly the
-    ordering the previous ``max_by(cid, struct(cs, -cid))`` used.
+    """Row-LOCAL argmax assignment to the nearest centroid, TWO-PHASE:
+    phase 1 scores all K centroids with the cheap double-precision fold
+    (:func:`double_cos`); phase 2 re-scores with the exact decimal fold
+    ONLY the centroids within ``_NC_MARGIN`` of the double max (usually
+    exactly one) and picks the best by (cs DESC, cid ASC) — the
+    tie-break rides as max of struct(cs, -cid), exactly the ordering
+    the previous ``max_by(cid, struct(cs, -cid))`` used.
+
+    Bit-identical to the all-decimal argmax: the exact winner's double
+    score sits within ~1e-13 of its exact score, so it can never fall
+    more than 2e-13 below the double max — five orders of magnitude
+    inside the margin — and every survivor is re-ranked by the exact
+    decimal cosine (the returned ``cs`` is always the exact fold, never
+    the double). The interpreted BigDecimal fold is the row-local
+    plan's only real cost (r6's sf0.1 wall, SCALE.md "Local-bench
+    caveat"); cutting it from K folds/row to ~1 recovers that wall
+    without giving back the zero-exchange plan.
 
     Returns a struct column with fields ``cid`` and ``cs``. ZERO
     exchange: this replaces the
@@ -135,27 +156,148 @@ def _nearest_centroid(cents: list[tuple], emb_col: str = "embedding",
     indexed by ``element_at``), not per-element ``F.array(F.lit, ...)``
     trees: higher-order functions evaluate interpreted, and a
     CreateArray of K x DIM literal nodes would be rebuilt per ROW
-    (measured ~1.8x the whole query's wall at sf0.1).
+    (measured ~1.8x the whole query's wall at sf0.1). The phase-1
+    score array is let-bound by a transform over a 1-element array
+    (Spark expressions have no let; the lambda variable materializes
+    the array once per row instead of once per reference).
     """
     cids = F.lit([c[0] for c in cents])
     cvecs = F.lit([c[1] for c in cents])
     cnorms = F.lit([c[2] for c in cents])
     idx = F.lit(list(range(1, len(cents) + 1)))
-    scored = F.transform(
+    dscored = F.transform(
         idx,
         lambda i: F.struct(
-            cosine_from_parts(
-                decimal_dot(F.col(emb_col), F.element_at(cvecs, i)),
+            double_cos(
+                F.col(emb_col),
+                F.element_at(cvecs, i),
                 F.col(enorm_col),
                 F.element_at(cnorms, i),
-            ).alias("cs"),
-            (-F.element_at(cids, i)).alias("nc"),
+            ).alias("ds"),
+            i.alias("i"),
         ),
     )
-    best = F.array_max(scored)
-    return F.struct(
-        (-best["nc"]).cast("long").alias("cid"), best["cs"].alias("cs")
+
+    def _pick(ds):
+        dmax = F.array_max(ds)["ds"]
+        cand = F.filter(ds, lambda s: s["ds"] >= dmax - F.lit(_NC_MARGIN))
+        rescored = F.transform(
+            cand,
+            lambda s: F.struct(
+                cosine_from_parts(
+                    decimal_dot(F.col(emb_col), F.element_at(cvecs, s["i"])),
+                    F.col(enorm_col),
+                    F.element_at(cnorms, s["i"]),
+                ).alias("cs"),
+                (-F.element_at(cids, s["i"])).alias("nc"),
+            ),
+        )
+        best = F.array_max(rescored)
+        return F.struct(
+            (-best["nc"]).cast("long").alias("cid"), best["cs"].alias("cs")
+        )
+
+    return F.element_at(F.transform(F.array(dscored), _pick), 1)
+
+
+def _nearest_cid(cents: list[tuple], emb_col: str = "embedding") -> F.Column:
+    """Row-local nearest-centroid id ONLY — the cid-consumers' fast path
+    (IVF probe filters, PQ coarse assignment, SemDeDup cells don't read
+    the score). Phase 1 runs entirely in doubles, INCLUDING the self-
+    norm (double sum of 64 products errs by <~64 ulp relative, so the
+    double score still sits within ~1e-13 of the exact cosine — five
+    orders of magnitude inside ``_NC_MARGIN``); when exactly one
+    centroid survives the margin it must be the exact argmax, and its
+    cid returns with ZERO decimal folds for the row. Only ambiguous
+    rows (>1 survivor — near-ties, vanishingly rare for real
+    embeddings) fall into the ``otherwise`` branch, which re-ranks the
+    survivors with the exact decimal cosine and the oracle's
+    (cs DESC, cid ASC) tie-break; ``CASE WHEN`` evaluates branches
+    lazily, so the decimal folds (including the decimal self-norm) are
+    never computed on unambiguous rows. Bit-identical cid to
+    :func:`_nearest_centroid` by the same margin argument.
+
+    The double self-norm and the phase-1 score array are each
+    let-bound through a transform over a 1-element array so they
+    evaluate once per row even after Catalyst collapses projections.
+    """
+    cids = F.lit([c[0] for c in cents])
+    cvecs = F.lit([c[1] for c in cents])
+    cnorms = F.lit([c[2] for c in cents])
+    idx = F.lit(list(range(1, len(cents) + 1)))
+    emb = F.col(emb_col)
+
+    def _pick(ds):
+        dmax = F.array_max(ds)["ds"]
+        cand = F.filter(ds, lambda s: s["ds"] >= dmax - F.lit(_NC_MARGIN))
+        enorm = decimal_dot(emb, emb)  # lazy: ambiguous branch only
+        rescored = F.transform(
+            cand,
+            lambda s: F.struct(
+                cosine_from_parts(
+                    decimal_dot(emb, F.element_at(cvecs, s["i"])),
+                    enorm,
+                    F.element_at(cnorms, s["i"]),
+                ).alias("cs"),
+                (-F.element_at(cids, s["i"])).alias("nc"),
+            ),
+        )
+        return F.when(
+            F.size(cand) == 1,
+            F.element_at(cids, F.element_at(cand, 1)["i"]),
+        ).otherwise(-F.array_max(rescored)["nc"])
+
+    def _score(dn):
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                (
+                    double_dot(emb, F.element_at(cvecs, i))
+                    / F.sqrt(dn * F.element_at(cnorms, i))
+                ).alias("ds"),
+                i.alias("i"),
+            ),
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(double_dot(emb, emb)),
+            lambda dn: F.element_at(F.transform(F.array(_score(dn)), _pick), 1),
+        ),
+        1,
+    ).cast("long")
+
+
+def _probe_select(
+    spark: SparkSession, sf_dir: str, cents: list[tuple], n_probe: int = None
+) -> tuple[list[int], list[float], float]:
+    """Rank the K collected centroids against the query vector (vec_id=0,
+    itself centroid 0 under the seeded quantizer) DRIVER-side and return
+    ``(probe_cids, qvec, qnorm)``.
+
+    This is frozen-model work, not data work: a production ANN server
+    ranks K centroids against one serve request before it touches the
+    index, and K x DIM doubles is the same constant-size channel
+    ``_centroids`` already collects. The ranking uses
+    :func:`py_decimal_dot` — the bit-exact twin of the ORACLE's decimal
+    fold — and the same IEEE double sqrt/divide, so the chosen probes
+    match the oracle's in-SQL ``ORDER BY cosine DESC, cid`` exactly
+    (the correctness gate's comparison; the in-plan Spark fold differs
+    by ≤ dim*1e-13, far inside any centroid-ranking gap — see
+    py_decimal_dot's docstring and tests/test_properties_r7.py).
+    Replacing the previous in-plan probe subquery removes a second
+    corpus scan, a crossJoin, a sort stage, and two broadcast exchanges
+    of pure constant-size work from every invocation.
+    """
+    import math
+
+    n_probe = N_PROBE if n_probe is None else n_probe
+    _, qvec, qnorm = next(c for c in cents if c[0] == 0)
+    ranked = sorted(
+        (-(py_decimal_dot(cvec, qvec) / math.sqrt(cnorm * qnorm)), cid)
+        for cid, cvec, cnorm in cents
     )
+    return [cid for _, cid in ranked[:n_probe]], qvec, qnorm
 
 
 # ---------------------------------------------------------------------------
@@ -394,50 +536,47 @@ LIMIT 10
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8 seeded centroids, assign each vector to its nearest
-    (row-local argmax over the centroid literal -> narrow per-row work
-    fused into the scan, ZERO exchange before the probe-join), then
-    search only the query's 2 probed inverted lists.
+    (row-local two-phase argmax over the centroid literal -> narrow
+    per-row work fused into the scan, ZERO exchange), then search only
+    the query's 2 probed inverted lists.
+
+    Probe selection is DRIVER-side model work (``_probe_select``): the
+    quantizer is already collected (``_centroids``), the query vector
+    is one collected row (a serve request), and ranking K centroids
+    against one query is K dots over a frozen model — exactly what a
+    production ANN server does before it touches the index. The ranking
+    uses :func:`py_decimal_dot`, the bit-exact twin of the column fold,
+    so the chosen probes match the oracle's in-SQL ORDER BY. This
+    removes the previous plan's second corpus scan, crossJoin, sort
+    stage, and two broadcast exchanges — pure constant overhead at any
+    scale, and the sf0.1 local wall's dominant term (VERDICT r6 item
+    3).
 
     The 100 TB shape: centroids ride a K x DIM literal (constant-size
     model channel), assignment is per-row column work with no shuffle
     at all, and the corpus is written partitioned by ``cid`` so a probe
-    prunes to nprobe/K of the data at scan time. Seeded centroids
-    (first K vectors) stand in for a k-means fit; swapping in trained
-    centroids changes recall, not the plan.
+    prunes to nprobe/K of the data at scan time: ONE scan-stage pass —
+    filter on the probed cids, score against the query literal, TakeOrdered
+    top-k. Seeded centroids (first K vectors) stand in for a k-means
+    fit; swapping in trained centroids changes recall, not the plan.
     """
     emb = load(spark, sf_dir, "embeddings")
     cents_lit = _centroids(spark, sf_dir)
-    # per-row self-dot once, then one pair-fold per centroid inside a
-    # transform over the literal; argmax via array_max of struct(cs,
-    # -cid) — the (cs DESC, cid ASC) tie-break, no groupBy(vec_id)
+    probe_cids, qvec, qnorm = _probe_select(spark, sf_dir, cents_lit)
+    qv = F.lit(qvec)
+    # per-row self-dot once, then the two-phase argmax; the probe filter
+    # runs BEFORE the query-cosine fold so only nprobe/K of the rows pay
+    # the exact pair dot
     rows = emb.select(
         "vec_id", "label", "embedding", decimal_dot("embedding", "embedding").alias("enorm")
     )
     assigned = rows.select(
         "vec_id", "label", "embedding", "enorm",
-        _nearest_centroid(cents_lit)["cid"].alias("cid"),
+        _nearest_cid(cents_lit).alias("cid"),
     )
-    cents = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    ).select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
-    q = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qv"))
-        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
-    )
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .orderBy(
-            cosine_from_parts(decimal_dot("cvec", "qv"), "cnorm", "qnorm").desc(),
-            "cid",
-        )
-        .limit(N_PROBE)
-        .select("cid")
-    )
-    qcos = cosine_from_parts(decimal_dot("embedding", "qv"), "enorm", "qnorm")
+    qcos = cosine_from_parts(decimal_dot("embedding", qv), "enorm", F.lit(qnorm))
     return (
-        assigned.join(F.broadcast(probes), "cid")
-        .crossJoin(F.broadcast(q))
+        assigned.filter(F.col("cid").isin(probe_cids))
         .select("vec_id", "label", dround(qcos, 8).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
@@ -660,7 +799,7 @@ def ann_serve_with_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_lit = _centroids(spark, sf_dir)
     assigned = idx.select(
         "vec_id", "label", "embedding", "enorm",
-        _nearest_centroid(cents_lit)["cid"].alias("cid"),
+        _nearest_cid(cents_lit).alias("cid"),
     )
     probes = (
         cents.crossJoin(F.broadcast(q))
@@ -855,7 +994,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = rows.select(
         "vec_id", "embedding", "enorm",
-        _nearest_centroid(cents_lit)["cid"].alias("cid"),
+        _nearest_cid(cents_lit).alias("cid"),
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -1068,6 +1207,124 @@ GROUP BY vec_id
 """
 
 
+# (sf_dir identity) -> per-subspace codebook [m][ (cid, cv, cnorm) ].
+# Same frozen-model channel + invalidation story as _CENTROID_CACHE.
+_PQ_CB_CACHE: dict[tuple, list[list[tuple]]] = {}
+
+# Argmin prune margin in raw L2 units: the three double folds err by
+# < dim * 1e-13 combined; any codeword whose exact dist exceeds the
+# minimum by more than the margin cannot win the (dist, cid) ordering.
+_PQ_MARGIN = 1e-6
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[tuple]]:
+    """Collect the seeded PQ codebook driver-side (memoized per fixture
+    identity): for each subspace m, the {PQ_K} codeword subvectors with
+    norms computed by Spark's own decimal fold before collection —
+    M x K x {PQ_SUB} doubles, a constant-size frozen model exactly like
+    `_centroids`."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is None or key not in _PQ_CB_CACHE:
+        emb = load(spark, sf_dir, "embeddings")
+        rows = (
+            emb.filter(F.col("vec_id") < PQ_K)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                            for m in range(PQ_M)
+                        ]
+                    )
+                ).alias("m", "cv"),
+            )
+            .withColumn("cnorm", decimal_dot("cv", "cv"))
+            .collect()
+        )
+        data: list[list[tuple]] = [[] for _ in range(PQ_M)]
+        for r in rows:
+            data[r["m"]].append(
+                (int(r["cid"]), [float(v) for v in r["cv"]], float(r["cnorm"]))
+            )
+        for m in range(PQ_M):
+            data[m].sort()
+        if key is None:
+            return data
+        _PQ_CB_CACHE[key] = data
+    return _PQ_CB_CACHE[key]
+
+
+def _pq_best_rowlocal(cents_m: list[tuple], m: int) -> F.Column:
+    """Row-LOCAL two-phase argmin of subvector m against its codebook
+    literal: phase 1 scores all {PQ_K} codewords with double L2 folds
+    (dist = |s|^2 - 2 s.c + |c|^2, self-norm let-bound), phase 2
+    re-scores only survivors within ``_PQ_MARGIN`` of the double
+    minimum with the exact decimal folds and picks min by (dist, cid)
+    — the oracle's ROW_NUMBER ordering. Returns struct(cid, dist) with
+    ``dist`` always the exact value (it feeds quant_err). The subvector
+    slice and its double norm are each let-bound through a transform
+    over a 1-element array so they evaluate once per row."""
+    cids = F.lit([c[0] for c in cents_m])
+    cvecs = F.lit([c[1] for c in cents_m])
+    cnorms = F.lit([c[2] for c in cents_m])
+    idx = F.lit(list(range(1, len(cents_m) + 1)))
+
+    def _dscored(sv, dn):
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                (
+                    dn
+                    - 2 * double_dot(sv, F.element_at(cvecs, i))
+                    + F.element_at(cnorms, i)
+                ).alias("ds"),
+                i.alias("i"),
+            ),
+        )
+
+    def _pick(sv, ds):
+        dmin = F.array_min(ds)["ds"]
+        cand = F.filter(ds, lambda s: s["ds"] <= dmin + F.lit(_PQ_MARGIN))
+        rescored = F.transform(
+            cand,
+            lambda s: F.struct(
+                (
+                    decimal_dot(sv, sv)
+                    - 2 * decimal_dot(sv, F.element_at(cvecs, s["i"]))
+                    + F.element_at(cnorms, s["i"])
+                ).alias("dist"),
+                F.element_at(cids, s["i"]).alias("cid"),
+            ),
+        )
+        best = F.array_min(rescored)
+        return F.struct(best["cid"].alias("cid"), best["dist"].alias("dist"))
+
+    return F.element_at(
+        F.transform(
+            F.array(F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)),
+            lambda sv: F.element_at(
+                F.transform(
+                    F.array(double_dot(sv, sv)),
+                    lambda dn: F.element_at(
+                        F.transform(F.array(_dscored(sv, dn)), lambda ds: _pick(sv, ds)),
+                        1,
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+
+
 @register(
     "ann_pq_codes",
     oracle=PQ_CODES_SQL,
@@ -1085,56 +1342,27 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     is associative; seeded codebooks (subvectors of the first {PQ_K}
     vectors) stand in for the k-means fit exactly as in ann_ivf_topk.
 
-    Scale shape: the codebook (M x K codewords) broadcasts everywhere;
-    encoding is one shuffle on the synthetic m key bounded by M -- at
-    scale the posexplode/groupBy pair collapses to a per-row loop over
-    M inside one projection (no shuffle at all); written as relational
-    ops here so the oracle can mirror it. PQ codes shrink the corpus
+    Scale shape (VERDICT r6 item 2): the codebook is a frozen M x K
+    model collected driver-side once (:func:`_pq_codebook`, the
+    `_centroids` channel) and inlined as array literals; each
+    subvector's argmin folds ROW-LOCALLY — phase 1 scores all {PQ_K}
+    codewords with cheap double L2 folds, phase 2 re-scores only the
+    near-minimum survivors with the exact decimal folds (same lossless
+    margin as `_nearest_cid`) — so the whole encode is ONE projection
+    fused into the scan: no codebook join, no (vec_id, m) or vec_id
+    exchange, zero shuffle. PQ codes shrink the corpus
     ~{DIM * 4 // PQ_M}x, which is what lets a 100 TB index fit scan-
     speed storage."""
     emb = load(spark, sf_dir, "embeddings")
-    subs = emb.select(
+    cbook = _pq_codebook(spark, sf_dir)
+    bests = [_pq_best_rowlocal(cbook[m], m) for m in range(PQ_M)]
+    err = bests[0]["dist"].cast("decimal(18,14)")
+    for b in bests[1:]:
+        err = err + b["dist"].cast("decimal(18,14)")
+    return emb.select(
         "vec_id",
-        F.posexplode(
-            F.array(
-                *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-            )
-        ).alias("m", "sv"),
-    ).withColumn("snorm", decimal_dot("sv", "sv"))
-    cbook = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("m", "cv"),
-        )
-        .withColumn("cnorm", decimal_dot("cv", "cv"))
-    )
-    dist = (
-        F.col("snorm") - 2 * decimal_dot("sv", "cv") + F.col("cnorm")
-    ).alias("dist")
-    best = (
-        subs.join(F.broadcast(cbook), "m")
-        .select("vec_id", "m", "cid", dist)
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min_by("cid", F.struct(F.col("dist"), F.col("cid"))).alias("cid"),
-            F.min("dist").alias("dist"),
-        )
-    )
-    code_cols = [
-        F.min(F.when(F.col("m") == i, F.col("cid"))).cast("int").alias(f"code_{i}")
-        for i in range(PQ_M)
-    ]
-    return best.groupBy("vec_id").agg(
-        *code_cols,
-        dround(dsum("dist", 14), 8).alias("quant_err"),
+        *[b["cid"].cast("int").alias(f"code_{i}") for i, b in enumerate(bests)],
+        dround(err.cast("double"), 8).alias("quant_err"),
     )
 
 
@@ -1768,7 +1996,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_lit = _centroids(spark, sf_dir)
     assigned = rows.select(
         "vec_id", "label", "embedding",
-        _nearest_centroid(cents_lit)["cid"].alias("ivf_cid"),
+        _nearest_cid(cents_lit).alias("ivf_cid"),
     )
     q = (
         emb.filter(F.col("vec_id") == 0)

@@ -25,23 +25,24 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_sf1_fixture_replication_invariants(spark):
     out = bench._sf1_docs_dir(spark, SF_DIR)
     r = bench._SF1_REPLICAS
-    for table, (idcol, domain) in bench._SF1_TABLES.items():
+    for table, shifts in bench._SF1_TABLES.items():
         base = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
         big = spark.read.parquet(os.path.join(out, f"{table}.parquet"))
         n_base, n_big = base.count(), big.count()
         assert n_big == r * n_base, table
-        # primary-key tables (no domain override): the shifted id stays
-        # unique; foreign-key tables (lineitem's l_orderkey): the
-        # distinct key count scales exactly with the replicas instead
-        n_distinct = big.select(idcol).distinct().count()
-        if domain is None:
-            assert n_distinct == n_big, (
+        for idcol, _domain in shifts:
+            # every shifted column's replica domains are disjoint: its
+            # distinct count scales exactly with the replicas, and a
+            # column that was unique in the base stays unique
+            b_distinct = base.select(idcol).distinct().count()
+            n_distinct = big.select(idcol).distinct().count()
+            assert n_distinct == r * b_distinct, (
                 f"{table}: replica shift collided {idcol} values"
             )
-        else:
-            assert n_distinct == r * base.select(idcol).distinct().count(), (
-                f"{table}: foreign-key domain shift collided {idcol}"
-            )
+            if b_distinct == n_base:
+                assert n_distinct == n_big, (
+                    f"{table}: {idcol} lost uniqueness under the shift"
+                )
 
     # join consistency: every replicated order keeps exactly its own
     # lineitems — joined cardinality is exactly 10x the base join
@@ -56,6 +57,21 @@ def test_sf1_fixture_replication_invariants(spark):
         g_li, g_orders.o_orderkey == g_li.l_orderkey
     ).count()
     assert big_join == bench._SF1_REPLICAS * base_join
+
+    # the copurchase GRAPH must genuinely grow: o_custkey / l_suppkey
+    # shift by their own domains, so the distinct (customer, supplier)
+    # edge set is 10 disjoint copies of the base graph — the invariant
+    # the linkpred sf1 slope measures (without it, distinct() collapses
+    # the replicas and the slope only sees the ingest join)
+    base_edges = (
+        b_orders.join(b_li, b_orders.o_orderkey == b_li.l_orderkey)
+        .select("o_custkey", "l_suppkey").distinct().count()
+    )
+    big_edges = (
+        g_orders.join(g_li, g_orders.o_orderkey == g_li.l_orderkey)
+        .select("o_custkey", "l_suppkey").distinct().count()
+    )
+    assert big_edges == bench._SF1_REPLICAS * base_edges
 
     # modular property used by the ANN delta spots: the delta share of
     # vec_id % 10 == 0 must be identical in base and replicated corpora

@@ -418,11 +418,18 @@ def test_ivf_assignment_is_shuffle_free(spark):
         assert "hashpartitioning(vec_id" not in plan, fn.__name__
         assert "first(embedding" not in plan, fn.__name__
         assert "array_max(transform(" in plan, fn.__name__
-    # ivf_topk / serve_with_delta: the corpus side must reach the probe
+    # ivf_topk (r7): probes are selected driver-side against the frozen
+    # quantizer, so the WHOLE query is one scan-stage pass — scan ->
+    # row-local cid filter -> cosine project -> TakeOrdered. No join,
+    # no exchange of any kind.
+    plan = plan_str(ann_ivf_topk(spark, SF_DIR), mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # serve_with_delta: the corpus side must reach the probe
     # BroadcastHashJoin with no exchange at all (scan -> project -> BHJ)
-    for fn in (ann_ivf_topk, ann_serve_with_delta):
-        plan = plan_str(fn(spark, SF_DIR), mode="simple")
-        assert "BroadcastHashJoin [cid" in plan, fn.__name__
+    plan = plan_str(ann_serve_with_delta(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin [cid" in plan
     # ivfpq: coarse assignment row-local; the only vec_id-keyed exchange
     # is the PQ encode of the PROBE-PRUNED candidates, keyed (vec_id, m)
     # / plain vec_id on the bounded candidate set — never a single-key
@@ -431,6 +438,36 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert "first(embedding" not in plan
     assert "array_max(transform(" in plan
     assert "BroadcastHashJoin [ivf_cid" in plan
+
+
+def test_pq_encode_is_one_projection(spark):
+    """VERDICT r6 item 2: ann_pq_codes encodes the corpus in ONE
+    projection fused into the scan — per-subvector row-local two-phase
+    argmin over the codebook literal. No codebook join, no
+    (vec_id[, m])-keyed exchange, no exchange of any kind."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import ann_pq_codes
+
+    plan = plan_str(ann_pq_codes(spark, SF_DIR), mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no posexplode: the M loop unrolls
+    assert "array_min(transform(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """VERDICT r6 item 1: kmeans_embeddings must assign row-locally
+    (no crossJoin+groupBy(vec_id) — no vec_id-keyed exchange anywhere,
+    nothing shuffles corpus vectors) and update join-free (the only
+    exchanges key on the K x dim (cid, pos) space with map-side partial
+    aggregation)."""
+    from flights_etl_pipeline_spark.plans.queries_ml import kmeans_embeddings
+
+    plan = plan_str(kmeans_embeddings(spark, SF_DIR), mode="simple")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "Join" not in plan  # assignment rides a literal, not a join
+    assert "array_min(transform(" in plan  # the row-local argmin fold
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_unigram_logprob_broadcasts_total_no_python(spark):

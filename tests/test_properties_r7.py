@@ -1,0 +1,147 @@
+"""Round-7 property tests: the cid-only fast path (`_nearest_cid`) must
+agree bit-for-bit with the full two-phase argmax (`_nearest_centroid`),
+and `py_decimal_dot` must be the bit-exact driver-side twin of the
+column decimal fold (the claim `_probe_select`'s oracle-parity rests
+on).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+_DIM = 6
+
+_component = st.integers(-1000, 1000).map(lambda v: v / 128.0)
+_vector = st.lists(_component, min_size=_DIM, max_size=_DIM).filter(
+    lambda v: any(x != 0 for x in v)
+)
+
+
+def _spark_decimal_norm(spark, vec):
+    from flights_etl_pipeline_spark.functions.vectors import decimal_dot
+
+    row = spark.createDataFrame([(list(vec),)], "v ARRAY<DOUBLE>").select(
+        decimal_dot("v", "v").alias("n")
+    ).collect()[0]
+    return float(row["n"])
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(_vector, min_size=3, max_size=5),
+    embs=st.lists(_vector, min_size=1, max_size=4),
+)
+def test_nearest_cid_matches_full_argmax(spark, cents, embs):
+    """The double-phase cid fast path returns the SAME cid as the exact
+    two-phase struct argmax on every row — including hypothesis-made
+    near-ties, which exercise the ambiguous `otherwise` branch."""
+    from flights_etl_pipeline_spark.functions.vectors import decimal_dot
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        _nearest_centroid,
+        _nearest_cid,
+    )
+
+    data = [
+        (cid, list(vec), _spark_decimal_norm(spark, vec))
+        for cid, vec in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(embs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    ).withColumn("enorm", decimal_dot("embedding", "embedding"))
+    rows = df.select(
+        "vec_id",
+        _nearest_centroid(data)["cid"].alias("full_cid"),
+        _nearest_cid(data).alias("fast_cid"),
+    ).collect()
+    for r in rows:
+        assert r["fast_cid"] == r["full_cid"], (cents, embs)
+
+
+@settings(**_SETTINGS)
+@given(a=_vector, b=_vector)
+def test_py_decimal_dot_is_bit_exact_oracle_twin(a, b):
+    """py_decimal_dot (driver-side model-channel fold) must reproduce
+    the ORACLE's fold (sql_decimal_dot: products quantized to scale 14,
+    exact sum) bit-for-bit — that is the ranking the correctness gate's
+    DuckDB side computes, so it is the one probe selection must twin."""
+    import duckdb
+
+    from flights_etl_pipeline_spark.functions.vectors import py_decimal_dot
+    from flights_etl_pipeline_spark.plans.sqlfrag import sql_decimal_dot
+
+    def lit(v):
+        return "[" + ", ".join(repr(x) for x in v) + "]"
+
+    got = py_decimal_dot(a, b)
+    want = duckdb.sql(
+        f"SELECT {sql_decimal_dot(lit(a), lit(b))} AS d"
+    ).fetchone()[0]
+    assert got == float(want) and str(got) == str(float(want)), (a, b)
+
+
+@settings(**_SETTINGS)
+@given(a=_vector, b=_vector)
+def test_spark_fold_within_margin_of_exact(spark, a, b):
+    """The in-plan Spark fold's scale-13 accumulator rounding may drift
+    from the exact sum, but by no more than dim * 1e-13 — the bound the
+    ANN ranking-margin arguments (and _probe_select's parity with the
+    in-plan scores) rest on."""
+    from flights_etl_pipeline_spark.functions.vectors import (
+        decimal_dot,
+        py_decimal_dot,
+    )
+
+    got = float(
+        spark.createDataFrame([(a, b)], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+        .select(decimal_dot("a", "b").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert abs(got - py_decimal_dot(a, b)) <= len(a) * 1e-13, (a, b)
+
+
+def test_probe_select_matches_inplan_ranking(spark):
+    """_probe_select's driver-side probe choice must equal the ranking
+    the oracle computes in-SQL: exact decimal pair dots, IEEE
+    sqrt/divide, (cosine DESC, cid ASC). Checked on the real sf0.001
+    quantizer against a Spark-computed reference ordering."""
+    from pyspark.sql import functions as F
+
+    from flights_etl_pipeline_spark.functions.vectors import (
+        cosine_from_parts,
+        decimal_dot,
+    )
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        _centroids,
+        _probe_select,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cents = _centroids(spark, sf_dir)
+    probe_cids, qvec, qnorm = _probe_select(spark, sf_dir, cents, n_probe=len(cents))
+    cdf = spark.createDataFrame(
+        [(c[0], c[1], c[2]) for c in cents],
+        "cid LONG, cvec ARRAY<DOUBLE>, cnorm DOUBLE",
+    )
+    want = [
+        r["cid"]
+        for r in cdf.select(
+            "cid",
+            cosine_from_parts(
+                decimal_dot("cvec", F.lit(qvec)), "cnorm", F.lit(qnorm)
+            ).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "cid")
+        .collect()
+    ]
+    assert probe_cids == want

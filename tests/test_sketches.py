@@ -18,9 +18,13 @@ SF = "/root/testdata/sf0.01"
 def test_hll_estimate_within_bounds(spark):
     """DataSketches HLL (lgK=12 default): relative standard error is
     ~1.04/sqrt(2^12) ~ 1.6%; assert within 5 sigma."""
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        _hll_daily_estimates,
+    )
+
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in REGISTRY["events_hll_daily_merge"].fn(spark, SF).collect()
+        for r in _hll_daily_estimates(spark, SF).collect()
     }
     exact = {
         r["event_type"]: r["n_users"]
