@@ -454,26 +454,42 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sd = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
     el = e.join(sd.filter(F.col("ds") <= _HUB_CAP).select("s"), "s")
-    deg = el.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    # ONE per-customer aggregate carries the degree AND all 8 minhash
+    # partials (every column is map-side combinable), so the degree
+    # lookup below reuses the signature exchange instead of re-scanning
+    # the edge list
     h = F.col("s") % F.lit(1000000007)
     sig = el.groupBy("c").agg(
+        F.count(F.lit(1)).alias("d"),
         *[
             F.min((F.lit(a) * h + F.lit(b)) % F.lit(1000000007)).alias(f"h{j}")
             for j, (a, b) in enumerate(_LP_PARAMS)
-        ]
+        ],
     )
-    bands = None
-    for b in range(_LP_N_BANDS):
-        leg = sig.select(
-            "c",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_",
-                F.col(f"h{2 * b}").cast("string"),
-                F.col(f"h{2 * b + 1}").cast("string"),
-            ).alias("bsig"),
-        )
-        bands = leg if bands is None else bands.unionAll(leg)
+    deg = sig.select("c", "d")
+    # one generator pass over sig, not a per-band union of legs: the
+    # union re-plans sig's whole upstream per leg (ReuseExchange dedups
+    # only the shuffle subtree), while the explode emits all bands in
+    # the same task that aggregated the signature — the `_minhash_bands`
+    # shape queries_dedup.py uses
+    bands = sig.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.col(f"h{2 * b}").cast("string"),
+                            F.col(f"h{2 * b + 1}").cast("string"),
+                        ).alias("bsig"),
+                    )
+                    for b in range(_LP_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("c", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
