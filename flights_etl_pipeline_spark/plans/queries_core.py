@@ -941,18 +941,11 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "price_percentiles_approx",
-    oracle=None,  # sketch estimates are engine-specific -> rows-only check;
-    # tests/test_sketches.py bounds the estimate against the exact quantile
-    survey=["percentile", "approx-sketch"],
-)
-def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna) p50/p90/p99 of o_totalprice
-    per order priority: the sketch twin of the exact interpolated
-    ``price_percentiles``. Mergeable partial sketches -> one small
-    shuffle of sketch state instead of a per-group sort; the 100 TB
-    path where exact quantiles would sort terabytes per group."""
+def _price_percentile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch pipeline itself: approx_percentile (Greenwald-Khanna,
+    accuracy 10000) p50/p90/p99 of o_totalprice per order priority.
+    Raw estimates are consumed by the registered query's rank-bound
+    check and by tests/test_sketches.py's value assertions."""
     ord_ = load(spark, sf_dir, "orders")
     pct = F.expr(
         "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
@@ -968,6 +961,67 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "price_percentiles_approx",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey=["percentile", "approx-sketch"],
+)
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) p50/p90/p99 of o_totalprice
+    per order priority: the sketch twin of the exact interpolated
+    ``price_percentiles``. Mergeable partial sketches -> one small
+    shuffle of sketch state instead of a per-group sort; the 100 TB
+    path where exact quantiles would sort terabytes per group.
+
+    Oracle contract (the events_hll_daily_merge pattern): the raw
+    estimate is engine-private, but GK's guarantee IS mirrorable — for
+    accuracy a, the returned element's rank must sit within N/a of the
+    target rank p*N. The query verifies that in-plan per percentile
+    (one extra pass counting rows </<= each estimate, a broadcast of
+    the 5-row sketch output) and emits booleans the oracle asserts as
+    constant TRUE, so a broken sketch/merge flips the hash. The raw
+    estimates stay value-tested in tests/test_sketches.py; the count
+    pass is verification scaffolding a production run drops."""
+    est = _price_percentile_estimates(spark, sf_dir)
+    ord_ = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    j = ord_.join(F.broadcast(est), "o_orderpriority")
+    aggs = [F.max("n_orders").alias("n_orders")]
+    for q, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        aggs.append(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col(q), 1).otherwise(0)
+            ).alias(f"le_{q}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col(q), 1).otherwise(0)
+            ).alias(f"lt_{q}")
+        )
+    g = j.groupBy("o_orderpriority").agg(*aggs)
+    # rank tolerance: N/accuracy, +1 slack for the rank-convention
+    # off-by-one (GK ranks are 1-based over a [count(<)+1, count(<=)]
+    # duplicate range)
+    tol = F.col("n_orders") / 10000 + 1
+    cols = [F.col("n_orders").cast("bigint").alias("n_orders")]
+    for q, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        target = F.col("n_orders") * frac
+        cols.append(
+            (
+                (F.col(f"lt_{q}") <= target + tol)
+                & (F.col(f"le_{q}") >= target - tol)
+            ).alias(f"{q}_in_bound")
+        )
+    return g.select("o_orderpriority", *cols)
 
 
 # ---------------------------------------------------------------------------

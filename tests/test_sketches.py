@@ -47,7 +47,11 @@ def test_approx_percentile_within_bounds(spark):
     <= n/10000; with n ~ 3000 per priority group the estimate must land
     within a small rank neighborhood of the exact quantile. Assert the
     estimated p50/p90 are between the exact quantiles at +-2% rank."""
-    rows = REGISTRY["price_percentiles_approx"].fn(spark, SF).collect()
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        _price_percentile_estimates,
+    )
+
+    rows = _price_percentile_estimates(spark, SF).collect()
     ord_ = load(spark, SF, "orders")
     for r in rows:
         grp = ord_.filter(F.col("o_orderpriority") == r["o_orderpriority"])
