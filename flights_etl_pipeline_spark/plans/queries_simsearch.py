@@ -1755,6 +1755,15 @@ def pca_projection(
         )
     else:
         cov_src = emb
+    # The moment pass is COMPUTE-bound (dim^2 decimal products per
+    # row), so rebalance the input across the cluster before it: the
+    # round-robin exchange moves each raw row exactly once (trivial
+    # next to the per-row work it unlocks) and detaches the pass's
+    # parallelism from the scan's split count — sf0.1's single-split
+    # parquet otherwise serializes the whole dim^2 fold on one task
+    # (the r6 sweep's 13 s wall; ~3.7 s rebalanced). Decimal sums are
+    # associative-exact, so partitioning cannot change a bit.
+    cov_src = cov_src.repartition(spark.sparkContext.defaultParallelism)
     ei = cov_src.select(
         "vec_id", "embedding", F.posexplode("embedding").alias("i", "xi")
     )
@@ -1786,23 +1795,32 @@ def pca_projection(
             "fraction (the hash-bucket sample is deterministic, so a "
             "rerun cannot help)"
         )
+    # ONE explode (N x dim rows), the j dimension as 64 aggregate
+    # columns instead of a second posexplode: the double-Generate shape
+    # materialized N x dim^2 rows before the exchange (the r6 sweep's
+    # 13 s wall at sf0.1); this computes the same exact decimal sums —
+    # associative, so grouping shape cannot change a bit — over the
+    # N x dim stream with map-side combine into dim groups x dim cols
     s_rows = (
-        ei.select(
-            "i", "xi", F.posexplode("embedding").alias("j", "xj")
-        )
-        .groupBy("i", "j")
+        ei.groupBy("i")
         .agg(
-            F.sum(
-                (
-                    F.col("xi").cast("double") * F.col("xj").cast("double")
-                ).cast("decimal(38,14)")
-            )
-            .cast("double")
-            .alias("s")
+            *[
+                F.sum(
+                    (
+                        F.col("xi").cast("double")
+                        * F.element_at("embedding", j + 1).cast("double")
+                    ).cast("decimal(38,14)")
+                )
+                .cast("double")
+                .alias(f"s{j}")
+                for j in range(64)
+            ]
         )
         .collect()
     )
-    s = {(r["i"], r["j"]): r["s"] for r in s_rows}
+    s = {
+        (r["i"], j): r[f"s{j}"] for r in s_rows for j in range(64)
+    }
     c = [
         [s[(i, j)] - (n * mu[i]) * mu[j] for j in range(64)]
         for i in range(64)
