@@ -464,8 +464,29 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding",
         decimal_dot("embedding", "embedding").alias("enorm"),
     )
-    a = rows.alias("a")
-    b = rows.alias("b")
+    # salt the block-keyed pair join (semantic_dedup rationale): label
+    # alone has ~10 distinct values, so a bare label shuffle caps the
+    # compute-bound pair stage at that many tasks — and AQE would
+    # byte-coalesce it further on a small corpus; the explicit
+    # (label, salt) repartition is exempt from coalescing and every
+    # (a < b) pair still meets exactly once.
+    S = 16
+    P = spark.sparkContext.defaultParallelism
+    a = (
+        rows.select(
+            "vec_id", "label", "embedding", "enorm",
+            F.explode(F.lit(list(range(S)))).alias("salt"),
+        )
+        .repartition(P, "label", "salt")
+        .alias("a")
+    )
+    b = (
+        rows.withColumn(
+            "salt", F.pmod(F.col("vec_id"), F.lit(S)).cast("int")
+        )
+        .repartition(P, "label", "salt")
+        .alias("b")
+    )
     cos = cosine_from_parts(
         decimal_dot(F.col("a.embedding"), F.col("b.embedding")),
         F.col("a.enorm"),
@@ -479,6 +500,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(fast > 0.989)
@@ -985,8 +1007,37 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "enorm",
         _nearest_cid(cents_lit).alias("cid"),
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    # SALT the pair join: cid alone has only K distinct values, so a
+    # bare cid-keyed shuffle caps the pair stage's parallelism at K
+    # tasks and concentrates each cluster's |c|^2 work on one of them
+    # — THE skew shape at 100 TB. Side b buckets by vec_id % S, side a
+    # replicates over all S salts (S x |a| skinny rows, trivial next
+    # to the |c|^2/S it buys); join key (cid, salt) spreads each
+    # cluster across S tasks and every (a < b) pair still meets
+    # exactly once.
+    S = 16
+    # explicit repartition (not a bare join shuffle): the pair stage is
+    # COMPUTE-bound, and AQE sizes partitions by bytes — on a small
+    # corpus it would coalesce the (cid, salt) exchange to 1-2 tasks
+    # and re-serialize the fold work. A user-specified partition count
+    # is exempt from AQE coalescing, so the fan-out holds at any data
+    # size.
+    P = spark.sparkContext.defaultParallelism
+    a = (
+        assigned.select(
+            "vec_id", "embedding", "enorm", "cid",
+            F.explode(F.lit(list(range(S)))).alias("salt"),
+        )
+        .repartition(P, "cid", "salt")
+        .alias("a")
+    )
+    b = (
+        assigned.withColumn(
+            "salt", F.pmod(F.col("vec_id"), F.lit(S)).cast("int")
+        )
+        .repartition(P, "cid", "salt")
+        .alias("b")
+    )
     cos = cosine_from_parts(
         decimal_dot(F.col("a.embedding"), F.col("b.embedding")),
         F.col("a.enorm"),
@@ -1004,6 +1055,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(fast > 0.989)
