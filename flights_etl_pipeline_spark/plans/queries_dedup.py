@@ -646,7 +646,13 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    keyed = cust.select(
+    # the 46-variant expression tree (~100 substring/concat nodes)
+    # exceeds the codegen method limit and evaluates interpreted, so
+    # variant generation is COMPUTE-bound: rebalance the skinny base
+    # rows first (pca_projection rationale) so its parallelism doesn't
+    # depend on the scan's split count — and both join branches reuse
+    # the one exchange
+    keyed = cust.repartition(spark.sparkContext.defaultParallelism).select(
         "c_custkey",
         "c_name",
         "c_nationkey",

@@ -1666,18 +1666,33 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once and semi-joined per query, trading one corpus pass
     for per-query index lookups; both forms share this expansion."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 2)
-    bigrams = F.expr(
-        "transform(sequence(1, size(t) - 1), "
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-    )
-    hits = F.size(
-        F.filter(bigrams, lambda x: x == F.lit(_PHRASE))
+
+    # the token array is LET-BOUND through a transform over a
+    # 1-element array: CollapseProject would otherwise inline the
+    # regex split into the bigram lambda and re-evaluate it per
+    # element access (~3x n_tokens splits per doc — measured 8 s vs
+    # <1 s at sf0.1); the guard rides inside the binding because
+    # sequence(1, size-1) turns DESCENDING for size < 2
+    def _hits(t):
+        bigr = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        )
+        return F.when(
+            F.size(t) >= 2,
+            F.size(F.filter(bigr, lambda x: x == F.lit(_PHRASE))),
+        ).otherwise(0)
+
+    hits = F.element_at(
+        F.transform(
+            F.array(F.split(F.lower(F.col("text")), r"\s+")), _hits
+        ),
+        1,
     )
     return (
-        tok.select("doc_id", hits.alias("n_hits"))
+        docs.select("doc_id", hits.alias("n_hits"))
         .filter(F.col("n_hits") > 0)
     )
 
