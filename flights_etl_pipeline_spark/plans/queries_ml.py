@@ -1493,6 +1493,7 @@ def _km_assign_rowlocal(cents: list[tuple]) -> F.Column:
     "kmeans_embeddings",
     oracle=KMEANS_SQL,
     survey=["kmeans", "clustering", "iterative", "simsearch"],
+    bench=True,
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's K-means (K=8, 3 update rounds) over the embeddings --
@@ -1521,6 +1522,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
         .collect()
     )
+    # assignment is COMPUTE-bound (K x dim double folds + a dim-way
+    # posexplode per row): rebalance the raw rows so each round's pass
+    # parallelizes independently of the scan's split count
+    # (pca_projection rationale; the per-round (cid, pos) exchange
+    # exists regardless, this one moves each skinny row once)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     # centroid state: {cid: {pos(1-based): double}}
     cents: dict[int, dict[int, float]] = {}
     for row in init:

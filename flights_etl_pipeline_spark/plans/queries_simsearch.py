@@ -1370,6 +1370,7 @@ def _pq_best_rowlocal(cents_m: list[tuple], m: int) -> F.Column:
     "ann_pq_codes",
     oracle=PQ_CODES_SQL,
     survey=["simsearch-pq", "quantization"],
+    bench=True,
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (the compression half of IVF-PQ, the
