@@ -56,10 +56,14 @@ def py_decimal_dot(a: list[float], b: list[float]) -> float:
     at (38,14)+(38,14) overflows precision 38 and reduces the
     accumulator scale to 13, HALF_UP-rounding each step, so its sum
     can drift up to ~dim ulp at 1e-13 from the exact sum (pinned in
-    tests/test_properties_r7.py). That drift is six orders of
-    magnitude inside every ranking margin the ANN family relies on —
-    identical in kind to the long-standing Spark-fold-vs-DuckDB-fold
-    gap every rounded-to-1e-8 result channel already tolerates.
+    tests/test_properties_r7.py). And DuckDB's own decimal->double
+    CAST divides an int128 by 10^14 in floating point, occasionally
+    landing 1 ulp off the correctly-rounded double this function (and
+    Spark's BigDecimal.doubleValue) produce — the decimal sums are
+    identical, only the cast wobbles (also pinned). Both gaps are
+    many orders of magnitude inside every ranking margin the ANN
+    family relies on and inside the >=1e-8 rounding of every result
+    channel.
     """
     from decimal import ROUND_HALF_UP, Decimal
 

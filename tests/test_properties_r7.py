@@ -70,11 +70,18 @@ def test_nearest_cid_matches_full_argmax(spark, cents, embs):
 
 @settings(**_SETTINGS)
 @given(a=_vector, b=_vector)
-def test_py_decimal_dot_is_bit_exact_oracle_twin(a, b):
+def test_py_decimal_dot_twins_oracle_fold_to_the_cast(a, b):
     """py_decimal_dot (driver-side model-channel fold) must reproduce
     the ORACLE's fold (sql_decimal_dot: products quantized to scale 14,
-    exact sum) bit-for-bit — that is the ranking the correctness gate's
-    DuckDB side computes, so it is the one probe selection must twin."""
+    exact sum) up to the final decimal->double cast: the decimal SUMS
+    are identical, but DuckDB's cast divides an int128 by 10^14 in
+    floating point and can land 1 ulp off the correctly-rounded value
+    py_decimal_dot (float(Decimal)) and Spark (BigDecimal.doubleValue)
+    both produce. Every result channel rounds to >=1e-8 and every
+    ranking margin is >=1e-3, so the cast wobble can never surface —
+    this test pins that it IS only the cast (<=1 ulp), never the sum."""
+    import math
+
     import duckdb
 
     from flights_etl_pipeline_spark.functions.vectors import py_decimal_dot
@@ -84,10 +91,11 @@ def test_py_decimal_dot_is_bit_exact_oracle_twin(a, b):
         return "[" + ", ".join(repr(x) for x in v) + "]"
 
     got = py_decimal_dot(a, b)
-    want = duckdb.sql(
-        f"SELECT {sql_decimal_dot(lit(a), lit(b))} AS d"
-    ).fetchone()[0]
-    assert got == float(want) and str(got) == str(float(want)), (a, b)
+    want = float(
+        duckdb.sql(f"SELECT {sql_decimal_dot(lit(a), lit(b))} AS d").fetchone()[0]
+    )
+    tol = math.ulp(max(abs(got), abs(want), 1e-300))
+    assert abs(got - want) <= tol, (a, b, got, want)
 
 
 @settings(**_SETTINGS)
@@ -145,3 +153,114 @@ def test_probe_select_matches_inplan_ranking(spark):
         .collect()
     ]
     assert probe_cids == want
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(_vector, min_size=2, max_size=4),
+    embs=st.lists(_vector, min_size=1, max_size=4),
+)
+def test_km_assign_matches_reference_shape(spark, cents, embs):
+    """_km_assign_rowlocal (two-phase row-local argmin) must agree with
+    the reference formulation it replaced — crossJoin + min over
+    struct(dm, cid) with the same exact micro distance — on both the
+    winning cid AND the exact dm, including hypothesis-made near-ties
+    that exercise the ambiguous rescore branch."""
+    from pyspark.sql import functions as F
+
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        _km_assign_rowlocal,
+        _km_sqdist_micro,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(embs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    data = [(cid, list(vec)) for cid, vec in enumerate(cents)]
+    fast = {
+        r["vec_id"]: (r["b"]["cid"], r["b"]["dm"])
+        for r in df.select(
+            "vec_id", _km_assign_rowlocal(data).alias("b")
+        ).collect()
+    }
+    cdf = spark.createDataFrame(data, "cid INT, cv ARRAY<DOUBLE>")
+    ref_rows = (
+        df.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "cid",
+            _km_sqdist_micro(F.col("embedding"), F.col("cv")).alias("dm"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dm", "cid")).alias("m"))
+        .collect()
+    )
+    ref = {r["vec_id"]: (r["m"]["cid"], r["m"]["dm"]) for r in ref_rows}
+    assert fast == ref, (cents, embs)
+
+
+@settings(**_SETTINGS)
+@given(
+    cbook=st.lists(_vector, min_size=2, max_size=4),
+    embs=st.lists(
+        st.lists(st.integers(-1000, 1000).map(lambda v: v / 128.0),
+                 min_size=2 * _DIM, max_size=2 * _DIM),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_pq_best_matches_reference_shape(spark, cbook, embs):
+    """_pq_best_rowlocal must agree with the join+groupBy encode it
+    replaced — broadcast codebook join, min over struct(dist, cid) with
+    the exact dist = |s|^2 - 2 s.c + |c|^2 — for every subvector, on
+    both the code and the exact dist."""
+    from pyspark.sql import functions as F
+
+    import flights_etl_pipeline_spark.plans.queries_simsearch as qs
+    from flights_etl_pipeline_spark.functions.vectors import decimal_dot
+
+    sub_len = _DIM  # one subvector of PQ_SUB-like length
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(embs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    # codebook for subspace m=1 (slice [sub_len+1 : 2*sub_len])
+    cents_m = []
+    for cid, cv in enumerate(cbook):
+        n = float(
+            spark.createDataFrame([(list(cv),)], "v ARRAY<DOUBLE>")
+            .select(decimal_dot("v", "v").alias("n"))
+            .collect()[0]["n"]
+        )
+        cents_m.append((cid, list(cv), n))
+    orig_sub, orig_m = qs.PQ_SUB, qs.PQ_M
+    qs.PQ_SUB, qs.PQ_M = sub_len, 2
+    try:
+        fast = {
+            r["vec_id"]: (r["b"]["cid"], r["b"]["dist"])
+            for r in df.select(
+                "vec_id", qs._pq_best_rowlocal(cents_m, 1).alias("b")
+            ).collect()
+        }
+    finally:
+        qs.PQ_SUB, qs.PQ_M = orig_sub, orig_m
+    cdf = spark.createDataFrame(
+        [(c, v, n) for c, v, n in cents_m],
+        "cid INT, cv ARRAY<DOUBLE>, cnorm DOUBLE",
+    )
+    sv = F.slice("embedding", sub_len + 1, sub_len)
+    dist = (
+        decimal_dot(sv, sv)
+        - 2 * decimal_dot(sv, F.col("cv"))
+        + F.col("cnorm")
+    )
+    ref_rows = (
+        df.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .collect()
+    )
+    ref = {r["vec_id"]: (r["m"]["cid"], r["m"]["dist"]) for r in ref_rows}
+    assert fast == ref, (cbook, embs)
