@@ -57,6 +57,13 @@ _SF1_SPOT = (
     # need a measured slope, not just a local wall number
     "curation_pipeline_v2",
     "association_rules",
+    # the two r6-verdict rewrites (r7): kmeans's join-free update — the
+    # per-round exchange carries K x dim partials regardless of corpus
+    # size — and the one-projection PQ encode, whose base wall is the
+    # single-split serialization artifact (slope < 1 expected: the 10x
+    # fixture is written 32-way)
+    "kmeans_embeddings",
+    "ann_pq_codes",
     # the LSH link-prediction escalation (r6): scheme v2 shifts
     # o_custkey / l_suppkey so the copurchase graph is 10 disjoint
     # replicas — signatures, banding, bucket joins, and exact verify
