@@ -3432,3 +3432,152 @@ def feature_snapshot_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("pos"), F.lit(0)).cast("int").alias("label"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy gate before a training-data export)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+KANON_SQL = f"""
+WITH q AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(n) AS BIGINT) AS k_min,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) * 1000000
+              // SUM(n) AS BIGINT) AS suppress_ppm
+FROM q
+"""
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=KANON_SQL,
+    survey=["privacy", "k-anonymity", "training-prep", "G3"],
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple
+    (nation, market segment, account-balance band): the privacy gate a
+    training-data export runs before releasing user-derived rows —
+    every equivalence class of quasi-identifiers must contain at least
+    k={k} rows or its rows are suppressed/generalized. Reports class
+    counts, the k_min actually achieved, rows at risk, and the
+    suppression rate in ppm (integer-exact: floor division of exact
+    counts, so both engines agree bit-for-bit).
+
+    Scale shape: one map-side-combinable COUNT per equivalence class
+    (the exchange carries one partial per class per task — class
+    space, not row space), then a single tiny aggregate over the class
+    table. The quasi-id projection is row-local; at 100 TB the audit
+    is one pass plus a class-sized reduce, and the same class table
+    feeds the actual suppression join (anti-join on violating classes)
+    when the export runs.
+    """
+    cust = load(spark, sf_dir, "customer")
+    q = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    viol = F.when(F.col("n") < _KANON_K, 1).otherwise(0)
+    risk = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0)
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(viol).cast("bigint").alias("n_violating_classes"),
+        F.sum(risk).cast("bigint").alias("n_rows_at_risk"),
+        F.min("n").cast("bigint").alias("k_min"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) * 1000000"
+            " div SUM(n) AS BIGINT)"
+        ).alias("suppress_ppm"),
+    )
+
+
+k_anonymity_audit.__doc__ = k_anonymity_audit.__doc__.format(k=_KANON_K)
+
+
+KANON_SUPPRESS_SQL = f"""
+WITH q AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+),
+joined AS (
+  SELECT c.c_nationkey, q.n
+  FROM customer c
+  JOIN q ON c.c_nationkey = q.c_nationkey
+        AND c.c_mktsegment = q.c_mktsegment
+        AND CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) = q.bal_band
+)
+SELECT c_nationkey,
+       CAST(SUM(CASE WHEN n >= {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_released,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppressed
+FROM joined
+GROUP BY c_nationkey
+"""
+
+
+@register(
+    "k_anonymity_suppress",
+    oracle=KANON_SUPPRESS_SQL,
+    survey=["privacy", "k-anonymity", "suppression", "training-prep", "J1-family"],
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enforcement half of the k-anonymity gate: tag every row with
+    its quasi-identifier class size and report, per nation, how many
+    rows the export RELEASES (class size >= k={k}) vs SUPPRESSES. The
+    release predicate is the exact anti-join a real export applies;
+    surfacing both sides keeps the audit reconcilable with
+    ``k_anonymity_audit`` (sum(n_suppressed) == its n_rows_at_risk).
+
+    Scale shape: the class table is class-space-sized and keyed by the
+    same quasi-id triple as the probe side, so the tag join shuffles
+    both sides once on that key (or broadcasts the class table when
+    classes ≪ rows, as here — AQE's call); the per-nation rollup is a
+    bounded aggregate. No window, no skew key (quasi-id classes are
+    capped by construction at k-ish sizes near the suppression
+    boundary).
+    """
+    cust = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    keyed = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    )
+    classes = keyed.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tagged = keyed.join(
+        F.broadcast(classes), ["c_nationkey", "c_mktsegment", "bal_band"]
+    )
+    return tagged.groupBy("c_nationkey").agg(
+        F.sum(F.when(F.col("n") >= _KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_released"),
+        F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppressed"),
+    )
+
+
+k_anonymity_suppress.__doc__ = k_anonymity_suppress.__doc__.format(k=_KANON_K)
