@@ -1480,18 +1480,31 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact.
     """
     emb = load(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
+    # per-row work is ~(NQ + bucket-planes) dim-wide decimal folds —
+    # compute-bound, so rebalance first (pca_projection rationale);
+    # per-side self-dots computed ONCE per row so each query pair costs
+    # one fold, not the naive three (cosine_from_parts is bit-identical)
+    b = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        "embedding",
+        _bucket_col("embedding").alias("bucket"),
+        decimal_dot("embedding", "embedding").alias("enorm"),
+    )
     q = b.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qb"),
+        F.col("enorm").alias("qnorm"),
     )
     scored = b.crossJoin(F.broadcast(q)).select(
         "qid",
         "vec_id",
         "bucket",
         "qb",
-        dround(cosine_similarity("embedding", "qv"), 8).alias("cosine"),
+        dround(
+            cosine_from_parts(decimal_dot("embedding", "qv"), "enorm", "qnorm"),
+            8,
+        ).alias("cosine"),
     )
     wq = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
     truth = (
