@@ -70,8 +70,57 @@ except ImportError:
 
 from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
-def _driver_green() -> dict[str, int]:
-    """Query name -> earliest round with a green driver row, derived
+_FPRINT_FILE = "QUERY_FPRINTS.json"
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def _source_fingerprint(fn) -> str:
+    """md5 of the query function's source text, the rewrite detector
+    (VERDICT r7 item 1). Stable across runs; changes whenever the
+    function body is edited. Helper-only rewrites are not captured —
+    tools/update_fingerprints.py --mark-stale covers those manually.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return "nosource"
+    return hashlib.md5(src.encode()).hexdigest()
+
+
+def _stored_fingerprints() -> dict[str, dict]:
+    """QUERY_FPRINTS.json: query name -> {"fp": md5-at-last-driver-green,
+    "round": latest green round when snapshotted}. Written at round open
+    by tools/update_fingerprints.py (before any code edits, so the
+    snapshot matches the code the driver actually verified). Missing or
+    unreadable -> {} (every green query then counts as rewritten, which
+    only affects sampling order, never which queries exist)."""
+    import json
+    import os
+
+    path = os.path.join(_repo_root(), _FPRINT_FILE)
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _driver_green(latest: bool = False) -> dict[str, int]:
+    """Query name -> earliest round with a green driver row (or the
+    LATEST green round when ``latest=True`` — used by
+    tools/update_fingerprints.py to decide whether new evidence
+    supersedes a stored fingerprint), derived
     directly from the CORRECTNESS_r*.json files the driver writes at
     the repo root (green = hash_match true, or — for oracle-less
     queries where the driver records err='no_oracle' — a rows-only run
@@ -87,9 +136,7 @@ def _driver_green() -> dict[str, int]:
     import os
     import re
 
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    repo = _repo_root()
     earliest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -106,31 +153,62 @@ def _driver_green() -> dict[str, int]:
                 row.get("err") == "no_oracle"
                 and (row.get("spark_rows") or 0) > 0
             )
-            if ok and (name not in earliest or rnd < earliest[name]):
+            if ok and (
+                name not in earliest
+                or (rnd > earliest[name] if latest else rnd < earliest[name])
+            ):
                 earliest[name] = rnd
     return earliest
 
 
-def _reorder_registry() -> None:
-    """Front-load queries that still need a driver-green row.
+def _rewritten(green: dict[str, int]) -> set[str]:
+    """Green queries whose implementation changed since their last
+    driver-green row: the current source fingerprint differs from the
+    fingerprint stored in QUERY_FPRINTS.json at the time of that green
+    (VERDICT r7 item 1 — their evidence predates the rewrite, so it is
+    void for sampling purposes and they must re-enter the queue)."""
+    stored = _stored_fingerprints()
+    out = set()
+    for n in green:
+        if n not in REGISTRY:
+            continue
+        rec = stored.get(n)
+        if not rec or rec.get("fp") != _source_fingerprint(REGISTRY[n].fn):
+            out.add(n)
+    return out
 
-    Tiers, all derived from CORRECTNESS_r*.json via _driver_green():
-    (1) never-green queries with a hash-checkable oracle, (2) never-
-    green rows-only queries, (3) already-green queries ordered oldest
-    evidence first (earliest green round, then registry order), so the
-    driver's leftover ~50-query budget re-verifies the stalest rows
-    instead of re-hitting last round's sample.
+
+def _reorder_registry() -> None:
+    """Front-load queries that still need a (valid) driver-green row.
+
+    Tiers, derived from CORRECTNESS_r*.json via _driver_green() plus
+    the committed fingerprint snapshot (QUERY_FPRINTS.json):
+    (1) never-green queries with a hash-checkable oracle,
+    (2) green-but-rewritten-since oracle-backed queries (source
+        fingerprint no longer matches the at-last-green snapshot —
+        their evidence is void),
+    (3) never-green rows-only queries,
+    (4) green-but-rewritten rows-only queries,
+    (5) still-valid green queries ordered oldest evidence first
+        (earliest green round, then registry order), so the driver's
+        leftover ~50-query budget re-verifies the stalest rows instead
+        of re-hitting last round's sample.
     """
     green = _driver_green()
+    rewritten = _rewritten(green)
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
     fresh = [n for n in REGISTRY if n not in green]
     fresh_hash = [n for n in fresh if REGISTRY[n].oracle is not None]
     fresh_rows = [n for n in fresh if REGISTRY[n].oracle is None]
+    rew = sorted((n for n in rewritten), key=lambda n: reg_pos[n])
+    rew_hash = [n for n in rew if REGISTRY[n].oracle is not None]
+    rew_rows = [n for n in rew if REGISTRY[n].oracle is None]
     checked = sorted(
-        (n for n in REGISTRY if n in green),
+        (n for n in REGISTRY if n in green and n not in rewritten),
         key=lambda n: (green[n], reg_pos[n]),
     )
-    ordered = {n: REGISTRY[n] for n in fresh_hash + fresh_rows + checked}
+    tiers = fresh_hash + rew_hash + fresh_rows + rew_rows + checked
+    ordered = {n: REGISTRY[n] for n in tiers}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -8,9 +8,13 @@ these tests pin the derivation and the resulting order:
 
 - queries with no green driver row lead the registry, hash-checkable
   (oracle-backed) ones before rows-only ones;
-- already-green queries sit strictly behind every fresh query and are
-  ordered oldest-evidence-first so leftover budget re-verifies the
-  stalest rows;
+- green queries whose source fingerprint no longer matches the
+  at-last-green snapshot (QUERY_FPRINTS.json) are REWRITTEN: their
+  evidence is void and they outrank every still-valid green query
+  (VERDICT r7 item 1);
+- still-valid green queries sit strictly behind every fresh/rewritten
+  query and are ordered oldest-evidence-first so leftover budget
+  re-verifies the stalest rows;
 - the derivation reads real driver artifacts: every name it returns
   must exist in the registry (or be an env-gated registration), and a
   green row must actually be green in the source JSON.
@@ -22,7 +26,12 @@ import glob
 import json
 import os
 
-from flights_etl_pipeline_spark.plans.queries import _driver_green
+from flights_etl_pipeline_spark.plans.queries import (
+    _driver_green,
+    _rewritten,
+    _source_fingerprint,
+    _stored_fingerprints,
+)
 from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -36,13 +45,14 @@ _ENV_GATED = {"events_user_stats_stream"}  # needs protobuf (Spark 4 tws)
 def _tiers():
     names = list(REGISTRY)
     green = _driver_green()
+    rewritten = _rewritten(green)
     fresh = [n for n in names if n not in green]
-    checked = [n for n in names if n in green]
-    return names, green, fresh, checked
+    checked = [n for n in names if n in green and n not in rewritten]
+    return names, green, rewritten, fresh, checked
 
 
 def test_fresh_queries_lead_the_registry():
-    names, green, fresh, checked = _tiers()
+    names, green, rewritten, fresh, checked = _tiers()
     fresh_hash = [n for n in fresh if REGISTRY[n].oracle is not None]
     assert set(names[: len(fresh_hash)]) == set(fresh_hash), (
         "oracle-backed never-verified queries must occupy the first "
@@ -50,8 +60,19 @@ def test_fresh_queries_lead_the_registry():
     )
 
 
-def test_rows_only_fresh_sit_between_hash_fresh_and_checked():
-    names, green, fresh, checked = _tiers()
+def test_rewritten_outrank_every_valid_green_query():
+    """VERDICT r7 item 1: a query whose implementation changed since
+    its last driver-green must jump ahead of all still-valid green
+    queries (its evidence predates the rewrite)."""
+    names, green, rewritten, fresh, checked = _tiers()
+    if not rewritten or not checked:
+        return
+    pos = {n: i for i, n in enumerate(names)}
+    assert max(pos[n] for n in rewritten) < min(pos[c] for c in checked)
+
+
+def test_rows_only_fresh_sit_before_checked():
+    names, green, rewritten, fresh, checked = _tiers()
     pos = {n: i for i, n in enumerate(names)}
     fresh_hash = [n for n in fresh if REGISTRY[n].oracle is not None]
     rows_only = [n for n in fresh if REGISTRY[n].oracle is None]
@@ -63,11 +84,39 @@ def test_rows_only_fresh_sit_between_hash_fresh_and_checked():
 
 
 def test_checked_ordered_oldest_evidence_first():
-    names, green, fresh, checked = _tiers()
+    names, green, rewritten, fresh, checked = _tiers()
     rounds = [green[n] for n in checked]
     assert rounds == sorted(rounds), (
-        "already-green queries must be ordered by earliest green round "
-        "so stale evidence is re-verified first"
+        "still-valid green queries must be ordered by earliest green "
+        "round so stale evidence is re-verified first"
+    )
+
+
+def test_fingerprint_detects_source_edit():
+    """The rewrite signal: same fn -> same fp; different source -> a
+    different fp; an edited fn must land in the rewritten set."""
+    name = next(iter(REGISTRY))
+    fn = REGISTRY[name].fn
+    assert _source_fingerprint(fn) == _source_fingerprint(fn)
+
+    def other(spark, sf_dir):  # distinct source text
+        return None
+
+    assert _source_fingerprint(fn) != _source_fingerprint(other)
+
+
+def test_stored_fingerprints_cover_all_green_queries():
+    """QUERY_FPRINTS.json must be regenerated at round open: every
+    query with driver-green evidence needs a snapshot row (else it is
+    treated as rewritten forever and starves the stale-green tier)."""
+    stored = _stored_fingerprints()
+    if not stored:  # fresh clone without the snapshot
+        return
+    green = _driver_green()
+    missing = [n for n in green if n in REGISTRY and n not in stored]
+    assert not missing, (
+        f"green queries without a fingerprint snapshot (run "
+        f"tools/update_fingerprints.py at round open): {missing}"
     )
 
 
