@@ -326,6 +326,20 @@ def blob_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def blob_features_checked(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """:func:`blob_features` plus a pass-through of the JVM-computed
+    ``jvm_crc32`` input column, so the caller can compare the Python
+    crc against Spark's built-in ``F.crc32`` in-plan (the bound-
+    contract oracle for ``multimodal_features``: a broken Python-side
+    checksum flips the boolean and fails the driver hash)."""
+    for pdf in batches:
+        out = next(blob_features(iter([pdf])))
+        out["jvm_crc32"] = pdf["jvm_crc32"].astype("int64")
+        yield out
+
+
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas frame sampler for video rows: every FRAME_STRIDE-th
     frame index with its integer-exact timestamp offset.

@@ -2,11 +2,12 @@
 extraction, and frame sampling over opaque binary payloads.
 
 The payloads/metadata are synthesized deterministically from the
-documents table (functions.multimodal.with_blob), so the JVM-side
-metadata path and the frame-sampling arithmetic are fully
-oracle-checkable; the byte-statistics feature extractor (crc32 etc.) is
-not SQL-expressible and registers as a rows-only check, with its own
-pytest verifying values against a pure-Python model.
+documents table (functions.multimodal.with_blob), so every query here —
+including the byte-statistics feature extractor — is hash-checkable:
+the byte stats mirror into DuckDB via hex(encode(text)) and the one
+non-SQL feature (crc32) rides a bound-contract boolean recomputed
+JVM-side, with raw values additionally pytest-verified against a
+pure-Python model (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ from pyspark.sql import functions as F
 from flights_etl_pipeline_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     FRAME_SCHEMA,
-    blob_features,
+    blob_features_checked,
     decode_wav_features,
     sample_frames,
     wav_payloads,
@@ -64,17 +65,63 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # crc32 / byte stats are not SQL-expressible; see
-    # tests/test_multimodal.py for the value-level verification
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       {_MEDIA_CASE} AS media_type,
+       CAST(n AS BIGINT) AS byte_len,
+       CAST(CASE WHEN n = 0 THEN -1
+                 ELSE CAST('0x' || substring(h, 1, 2) AS INT) END
+            AS INT) AS first_byte,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE list_sum(list_transform(
+                   range(1, n + 1),
+                   i -> CAST('0x' || substring(h, 2 * i - 1, 2) AS INT)
+                 )) / n END AS mean_byte,
+       TRUE AS crc_ok
+FROM b
+""",
     survey=["multimodal", "mapInPandas"],
     bench=True,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-statistics extraction (the deterministic fake
     decoder) via mapInPandas — the real-codec path would swap the batch
-    function body, not the plumbing."""
-    blobs = with_blob(load(spark, sf_dir, "documents"))
-    return blobs.mapInPandas(blob_features, schema=FEATURE_SCHEMA)
+    function body, not the plumbing.
+
+    Bound-contract oracle (VERDICT r7 item 3, the
+    ``price_percentiles_approx`` pattern): byte_len / first_byte /
+    mean_byte are integer-exact functions of the payload bytes that
+    DuckDB re-derives from ``hex(encode(text))``, so they hash-compare
+    directly; the crc32 feature has no DuckDB builtin, so the plan
+    recomputes it JVM-side (``F.crc32`` on the payload, before the
+    Python stage) and emits ``crc_ok`` — computed from data, asserted
+    constant-TRUE by the oracle, so a broken Python checksum (or a
+    payload mangled in the Arrow hop) flips the hash. The raw crc32
+    values stay value-tested in tests/test_multimodal.py.
+
+    Scale shape: unchanged — one Arrow-batched row-local stage, no
+    shuffle; the extra F.crc32 column rides the same scan projection.
+    """
+    blobs = with_blob(load(spark, sf_dir, "documents")).withColumn(
+        "jvm_crc32", F.crc32("payload")
+    )
+    feats = blobs.mapInPandas(
+        blob_features_checked, schema=FEATURE_SCHEMA + ", jvm_crc32 LONG"
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "first_byte",
+        "mean_byte",
+        (F.col("crc32") == F.col("jvm_crc32")).alias("crc_ok"),
+    )
 
 
 @register(

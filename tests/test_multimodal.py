@@ -37,8 +37,17 @@ def test_with_blob_schema(spark):
 
 
 def test_feature_values_match_python_model(spark):
-    feats = {r["doc_id"]: r for r in multimodal_features(spark, SF_DIR).collect()}
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    """Raw feature values (incl. the crc32 the registered query folds
+    into its crc_ok bound-contract boolean) vs a pure-Python model."""
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        FEATURE_SCHEMA,
+        blob_features,
+    )
+
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    raw = with_blob(docs_df).mapInPandas(blob_features, schema=FEATURE_SCHEMA)
+    feats = {r["doc_id"]: r for r in raw.collect()}
+    docs = docs_df.collect()
     assert len(feats) == len(docs) > 0
     for d in docs:
         b = d["text"].encode("utf-8")
@@ -47,6 +56,13 @@ def test_feature_values_match_python_model(spark):
         assert f["crc32"] == zlib.crc32(b)
         assert f["first_byte"] == (b[0] if b else -1)
         assert f["mean_byte"] == pytest.approx(sum(b) / len(b))
+
+
+def test_registered_query_crc_contract_holds(spark):
+    """The registered multimodal_features emits crc_ok == TRUE for
+    every row (Python crc32 vs JVM F.crc32 over the same payload)."""
+    rows = multimodal_features(spark, SF_DIR).collect()
+    assert rows and all(r["crc_ok"] is True for r in rows)
 
 
 def test_frame_sampling_arithmetic(spark):
