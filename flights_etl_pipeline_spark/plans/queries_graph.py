@@ -444,29 +444,50 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no band collides on never reaches the verifier, so low-Jaccard
     pairs may differ from the exact query — high-similarity pairs are
     precisely the ones LSH recalls. Every retained pair's n_common /
-    jaccard is exact, never the signature estimate."""
+    jaccard is exact, never the signature estimate.
+
+    r8 constant trim (VERDICT r7 item 4, 3.3-3.6 s -> ~2.2-2.9 s at
+    sf0.1): (a) the edge list is never materialized distinct — raw
+    (c,s) pairs feed the per-customer aggregate directly, because
+    collect_set dedups and MIN is duplicate-insensitive, killing one
+    full-corpus exchange (the hub filter uses countDistinct per
+    supplier, same cutoff); (b) the per-customer aggregate collects
+    the NEIGHBOR SET itself and the 8 minhashes derive from it
+    row-locally (array_min over transform — one light
+    ObjectHashAggregate instead of nine agg buffers); (c) candidate
+    verification is a row-local array_intersect against the two
+    joined neighbor sets instead of the supplier-keyed fan-out join +
+    re-aggregation (the old cm stage billed |cand| x avg-degree
+    intermediate rows); (d) the signature table (one row per
+    customer, hub-capped arrays) is persisted so the band path and
+    the two verify legs share one computation, released before
+    return via the triangles localCheckpoint pattern. At 100 TB the
+    persist is |customers|-shaped (model-side, not corpus-shaped edge
+    data) and the hub-filter join strategy is AQE's call — supplier
+    cardinality grows with SF, so no forced broadcast."""
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    raw = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+    sd = raw.groupBy("s").agg(F.countDistinct("c").alias("ds"))
+    el = raw.join(sd.filter(F.col("ds") <= _HUB_CAP).select("s"), "s")
+    P = 1000000007
+    sig = (
+        el.groupBy("c")
+        .agg(F.collect_set("s").alias("ns"))
+        .select(
+            "c",
+            "ns",
+            *[
+                F.array_min(
+                    F.expr(f"transform(ns, s -> ({a}L * (s % {P}L) + {b}L) % {P}L)")
+                ).alias(f"h{j}")
+                for j, (a, b) in enumerate(_LP_PARAMS)
+            ],
+        )
+        .persist()
     )
-    sd = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
-    el = e.join(sd.filter(F.col("ds") <= _HUB_CAP).select("s"), "s")
-    # ONE per-customer aggregate carries the degree AND all 8 minhash
-    # partials (every column is map-side combinable), so the degree
-    # lookup below reuses the signature exchange instead of re-scanning
-    # the edge list
-    h = F.col("s") % F.lit(1000000007)
-    sig = el.groupBy("c").agg(
-        F.count(F.lit(1)).alias("d"),
-        *[
-            F.min((F.lit(a) * h + F.lit(b)) % F.lit(1000000007)).alias(f"h{j}")
-            for j, (a, b) in enumerate(_LP_PARAMS)
-        ],
-    )
-    deg = sig.select("c", "d")
     # one generator pass over sig, not a per-band union of legs: the
     # union re-plans sig's whole upstream per leg (ReuseExchange dedups
     # only the shuffle subtree), while the explode emits all bands in
@@ -501,32 +522,28 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.c").alias("ca"), F.col("y.c").alias("cb"))
         .distinct()
     )
-    ela = el.select(F.col("c").alias("ca"), "s")
-    elb = el.select(F.col("c").alias("cb"), "s")
-    cm = (
-        cand.join(ela, "ca")
-        .join(elb, ["cb", "s"])
-        .groupBy("ca", "cb")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    da = deg.select(F.col("c").alias("ca"), F.col("d").alias("deg_a"))
-    db = deg.select(F.col("c").alias("cb"), F.col("d").alias("deg_b"))
-    uni = F.col("deg_a") + F.col("deg_b") - F.col("common")
-    return (
-        cm.join(da, "ca")
-        .join(db, "cb")
+    na = sig.select(F.col("c").alias("ca"), F.col("ns").alias("ns_a"))
+    nb = sig.select(F.col("c").alias("cb"), F.col("ns").alias("ns_b"))
+    common = F.size(F.array_intersect("ns_a", "ns_b"))
+    uni = F.size("ns_a") + F.size("ns_b") - common
+    out = (
+        cand.join(na, "ca")
+        .join(nb, "cb")
         .select(
             F.col("ca").alias("cust_a"),
             F.col("cb").alias("cust_b"),
-            F.col("common").cast("bigint").alias("n_common"),
+            common.cast("bigint").alias("n_common"),
             (
-                F.floor(F.col("common").cast("double") / uni * 1000000 + 0.5)
-                / 1000000
+                F.floor(common.cast("double") / uni * 1000000 + 0.5) / 1000000
             ).alias("jaccard"),
         )
+        .filter(F.col("n_common") > 0)
         .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")
         .limit(_LINKPRED_TOPK)
+        .localCheckpoint()
     )
+    sig.unpersist()
+    return out
 
 
 copurchase_linkpred_lsh.__doc__ = copurchase_linkpred_lsh.__doc__.format(

@@ -23,6 +23,7 @@ _PERSISTING = [
     "copurchase_pagerank",
     "copurchase_triangles",
     "copurchase_bfs_levels",
+    "copurchase_linkpred_lsh",
     "dedup_clusters",
 ]
 
