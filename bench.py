@@ -102,6 +102,16 @@ _SF1_TABLES = {
 # the one-time Janino codegen compile for the plan shape.
 _N_RUNS = 3
 
+# The 10x spot slopes swing ~2x between same-code runs at median-of-3
+# (VERDICT r7 item 2: association_rules recorded 1.82 / 2.88 / 4.38 for
+# identical code), so a real slope regression was indistinguishable
+# from machine state. Spots therefore run median-of-5 and record the
+# full [min, median, max] slope BAND; regression reasoning uses the
+# band floor (min spot wall / base median), which is the stable edge —
+# GC/compile spikes only ever push walls UP, so the floor is the
+# closest observable to the true cost of the plan shape.
+_N_RUNS_SPOT = 5
+
 # A recovered baseline must carry at least this many per-query timings to
 # outrank an older-but-complete round in _baseline().
 _MIN_BASELINE_QUERIES = 5
@@ -216,19 +226,24 @@ def _sf1_organic_docs_dir(spark, sf_dir: str) -> str:
     return out
 
 
-def _timed(spark, fn, sf_dir: str) -> float:
-    """Median wall seconds over _N_RUNS end-to-end noop-sink runs.
+def _timed_runs(spark, fn, sf_dir: str, n: int) -> list[float]:
+    """Sorted wall seconds over n end-to-end noop-sink runs.
 
     The cache clear between runs keeps queries that persist
     intermediates (minhash signatures, shingle tables) from bleeding
     executor memory into the next measurement."""
     runs: list[float] = []
-    for _ in range(_N_RUNS):
+    for _ in range(n):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
     runs.sort()
+    return runs
+
+
+def _timed(spark, fn, sf_dir: str) -> float:
+    runs = _timed_runs(spark, fn, sf_dir, _N_RUNS)
     return round(runs[len(runs) // 2], 3)
 
 
@@ -238,29 +253,41 @@ def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     cost, ~10 = linear in data, >>10 = superlinear slope)."""
     big_dir = _sf1_docs_dir(spark, sf_dir)
     qs = bench_queries()
+
+    def _spot_entry(name: str, data_dir: str) -> dict:
+        runs = _timed_runs(spark, qs[name], data_dir, _N_RUNS_SPOT)
+        med = runs[len(runs) // 2]
+        base = timings[name]
+        band = (
+            [round(runs[0] / base, 2), round(med / base, 2),
+             round(runs[-1] / base, 2)]
+            if base
+            else None
+        )
+        return {
+            "sec": round(med, 3),
+            "sec_base": base,
+            # median slope (the headline number) + [floor, median, max]
+            # band; regression checks belong on the FLOOR (see
+            # _N_RUNS_SPOT note / SCALE.md reading guide)
+            "scaleup": band[1] if band else None,
+            "scaleup_band": band,
+        }
+
     out = {}
     for name in _SF1_SPOT:
         if name not in qs or name not in timings:
             continue
-        sec = _timed(spark, qs[name], big_dir)
-        out[name] = {
-            "sec": sec,
-            "sec_base": timings[name],
-            "scaleup": round(sec / timings[name], 2) if timings[name] else None,
-        }
+        out[name] = _spot_entry(name, big_dir)
     # Organic 10x slope for the LSH query: same data volume as the
     # replicated fixture but with the base corpus's natural dup-rate
     # (round-4 verdict item 5 -- separates the adversarial replicas^2
     # candidate growth from the organic scaling exponent).
     if "minhash_lsh_pairs" in qs and "minhash_lsh_pairs" in timings:
         org_dir = _sf1_organic_docs_dir(spark, sf_dir)
-        sec = _timed(spark, qs["minhash_lsh_pairs"], org_dir)
-        base = timings["minhash_lsh_pairs"]
-        out["minhash_lsh_pairs_organic"] = {
-            "sec": sec,
-            "sec_base": base,
-            "scaleup": round(sec / base, 2) if base else None,
-        }
+        out["minhash_lsh_pairs_organic"] = _spot_entry(
+            "minhash_lsh_pairs", org_dir
+        )
     return {"data_ratio": _SF1_REPLICAS, "queries": out}
 
 
@@ -311,8 +338,10 @@ def main() -> None:
                 "sf": full["sf"],
                 "n_queries": len(timings),
                 "worst3": worst3,
+                # [floor, median, max] slope band per spot query; assert
+                # regressions on the FLOOR (spikes only push walls up)
                 "sf1_scaleup": {
-                    k: v.get("scaleup")
+                    k: v.get("scaleup_band") or v.get("scaleup")
                     for k, v in spot.get("queries", {}).items()
                 },
             }

@@ -46,11 +46,19 @@ def py_decimal_dot(a: list[float], b: list[float]) -> float:
 
     Per-element IEEE double multiply (Python floats ARE doubles), each
     product converted to decimal exactly then quantized to
-    ``DOT_SCALE`` digits with HALF_UP (both engines' double->decimal
-    cast rounding), summed exactly, and the total rounded back to the
-    nearest double — so a driver-side ranking over these dots matches
-    the oracle's in-SQL ranking bit-for-bit, which is what the
-    correctness gate compares against.
+    ``DOT_SCALE`` digits with HALF_EVEN — DuckDB's double->decimal
+    cast rounding, verified on exact .5 ties: a product that lands
+    exactly on the scale-15 half boundary (only possible for dyadic
+    inputs, e.g. k/2^7 * k/2^8) banker's-rounds in DuckDB, NOT
+    half-up (pinned in tests/test_properties_r7.py, ADVICE r7) —
+    summed exactly, and the total rounded back to the nearest double:
+    a driver-side ranking over these dots matches the oracle's in-SQL
+    ranking bit-for-bit, which is what the correctness gate compares
+    against. (Spark's own double->decimal cast is HALF_UP, so on
+    exact ties the IN-PLAN fold can sit 1e-14/element away from this
+    twin — that divergence is covered by the bounded-drift relation
+    below, is dyadic-only, and is invisible through every >=1e-8
+    result rounding.)
 
     NOT the in-plan Spark fold to the last bit: Spark's decimal ``+``
     at (38,14)+(38,14) overflows precision 38 and reduces the
@@ -65,12 +73,12 @@ def py_decimal_dot(a: list[float], b: list[float]) -> float:
     family relies on and inside the >=1e-8 rounding of every result
     channel.
     """
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_EVEN, Decimal
 
     q = Decimal(1).scaleb(-DOT_SCALE)
     total = Decimal(0)
     for x, y in zip(a, b):
-        total += Decimal(x * y).quantize(q, rounding=ROUND_HALF_UP)
+        total += Decimal(x * y).quantize(q, rounding=ROUND_HALF_EVEN)
     return float(total)
 
 

@@ -1178,6 +1178,7 @@ FROM lab
         "entity-resolution", "connected-components", "fuzzy-match",
         "iterative",
     ],
+    bench=True,
 )
 def fuzzy_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution taken to RESOLVED ENTITIES: connected

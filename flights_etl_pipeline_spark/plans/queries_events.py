@@ -547,7 +547,17 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tighter 5-sigma band on the raw value stays in
     tests/test_sketches.py. (The exact_users companion is verification
     scaffolding — the 100 TB deployment drops it and keeps only the
-    sketch path.)"""
+    sketch path.)
+
+    Bound caveat (ADVICE r7): the max(3, 8%) band is ~5 sigma for
+    lgK=12 HLL and DETERMINISTIC FOR A FIXED FIXTURE — it either holds
+    or it doesn't, and it holds for the committed corpus at every SF.
+    It is still a probabilistic statement about the sketch, and HLL
+    tail error is not strictly Gaussian: if the driver regenerates the
+    corpus and this query's hash ever flips with no sketch-code change,
+    diagnose it as a statistical tail event of the NEW fixture (widen
+    the gate bound or reseed), not as a sketch/merge regression — the
+    regression signal for sketch code is tests/test_sketches.py."""
     est = _hll_daily_estimates(spark, sf_dir)
     exact = (
         load(spark, sf_dir, "events")

@@ -3567,9 +3567,11 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = keyed.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tagged = keyed.join(
-        F.broadcast(classes), ["c_nationkey", "c_mktsegment", "bal_band"]
-    )
+    # join strategy is AQE's call (ADVICE r7): the class table is NOT
+    # provably broadcast-sized at 100 TB — bal_band cardinality grows
+    # with the balance domain — so no forced broadcast hint; AQE
+    # broadcasts it at small SFs and shuffle-joins when it grows
+    tagged = keyed.join(classes, ["c_nationkey", "c_mktsegment", "bal_band"])
     return tagged.groupBy("c_nationkey").agg(
         F.sum(F.when(F.col("n") >= _KANON_K, 1).otherwise(0))
         .cast("bigint")

@@ -1770,6 +1770,7 @@ FROM embeddings e, mus, vfix
 @register(
     "pca_projection",
     survey=["pca", "power-iteration", "embedding", "ml-prep"],
+    bench=True,
 )
 def pca_projection(
     spark: SparkSession,
@@ -2064,8 +2065,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rationale): adc[m][cid] = exact dot(query subvector m, codeword),
     # computed with py_decimal_dot — the bit-exact twin of the oracle's
     # fold — so the in-plan lookups carry the very doubles the oracle's
-    # `adc` CTE derives. Seeded codebooks have dense cids 0..PQ_K-1
-    # (vec_id < PQ_K), so position == cid in the lookup literals.
+    # `adc` CTE derives. The element_at lookup below indexes these
+    # literals BY POSITION, which is only correct while the codebook's
+    # cids are dense 0..PQ_K-1 (true for the seeded codebook: vec_id <
+    # PQ_K); a trained/non-dense replacement must fail loudly here, not
+    # silently fetch the wrong dot (ADVICE r7).
+    for m in range(PQ_M):
+        cids = [c for c, _cv, _cn in cbook[m]]
+        if cids != list(range(PQ_K)):
+            raise ValueError(
+                f"ADC positional lookup needs dense codebook cids "
+                f"0..{PQ_K - 1} for subvector {m}, got {cids}"
+            )
     adc = [
         [
             py_decimal_dot(qvec[m * PQ_SUB:(m + 1) * PQ_SUB], cv)

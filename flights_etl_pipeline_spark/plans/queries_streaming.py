@@ -61,6 +61,7 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dedup_stream",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     survey=["streaming", "dedup-exact", "watermark"],
+    bench=True,
 )
 def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark keyed by (user_id, event_type);

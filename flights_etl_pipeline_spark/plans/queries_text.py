@@ -1651,6 +1651,7 @@ FROM big
 WHERE list_contains(bg, '{_PHRASE}')
 """,
     survey=["phrase-search", "retrieval", "positional", "text"],
+    bench=True,
 )
 def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase retrieval ("{phrase}"): documents where the terms

@@ -26,6 +26,30 @@ _vector = st.lists(_component, min_size=_DIM, max_size=_DIM).filter(
     lambda v: any(x != 0 for x in v)
 )
 
+# ADVICE r7: k/128 components make every product k1*k2/2^14 exactly
+# representable at decimal scale 14, so _vector NEVER exercises the
+# quantize step's rounding or tie path. Two extra families close that:
+# (a) TIE vectors — odd/2^7 times odd/2^8 products are odd/2^15, whose
+#     decimal expansion ends in ...5 at digit 15: an EXACT half tie at
+#     the scale-14 quantize, forcing the rounding-direction decision on
+#     every single element;
+# (b) arbitrary finite doubles — products carry full binary precision,
+#     so the quantize rounds (non-tie) on essentially every element.
+_odd = st.integers(-500, 499).map(lambda v: 2 * v + 1)
+_tie_vector_a = st.lists(
+    _odd.map(lambda k: k / 128.0), min_size=_DIM, max_size=_DIM
+)
+_tie_vector_b = st.lists(
+    _odd.map(lambda k: k / 256.0), min_size=_DIM, max_size=_DIM
+)
+_finite_vector = st.lists(
+    st.floats(
+        min_value=-32.0, max_value=32.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=_DIM,
+    max_size=_DIM,
+).filter(lambda v: any(x != 0 for x in v))
+
 
 def _spark_decimal_norm(spark, vec):
     from flights_etl_pipeline_spark.functions.vectors import decimal_dot
@@ -68,18 +92,7 @@ def test_nearest_cid_matches_full_argmax(spark, cents, embs):
         assert r["fast_cid"] == r["full_cid"], (cents, embs)
 
 
-@settings(**_SETTINGS)
-@given(a=_vector, b=_vector)
-def test_py_decimal_dot_twins_oracle_fold_to_the_cast(a, b):
-    """py_decimal_dot (driver-side model-channel fold) must reproduce
-    the ORACLE's fold (sql_decimal_dot: products quantized to scale 14,
-    exact sum) up to the final decimal->double cast: the decimal SUMS
-    are identical, but DuckDB's cast divides an int128 by 10^14 in
-    floating point and can land 1 ulp off the correctly-rounded value
-    py_decimal_dot (float(Decimal)) and Spark (BigDecimal.doubleValue)
-    both produce. Every result channel rounds to >=1e-8 and every
-    ranking margin is >=1e-3, so the cast wobble can never surface —
-    this test pins that it IS only the cast (<=1 ulp), never the sum."""
+def _assert_twins_oracle(a, b):
     import math
 
     import duckdb
@@ -100,11 +113,68 @@ def test_py_decimal_dot_twins_oracle_fold_to_the_cast(a, b):
 
 @settings(**_SETTINGS)
 @given(a=_vector, b=_vector)
+def test_py_decimal_dot_twins_oracle_fold_to_the_cast(a, b):
+    """py_decimal_dot (driver-side model-channel fold) must reproduce
+    the ORACLE's fold (sql_decimal_dot: products quantized to scale 14,
+    exact sum) up to the final decimal->double cast: the decimal SUMS
+    are identical, but DuckDB's cast divides an int128 by 10^14 in
+    floating point and can land 1 ulp off the correctly-rounded value
+    py_decimal_dot (float(Decimal)) and Spark (BigDecimal.doubleValue)
+    both produce. Every result channel rounds to >=1e-8 and every
+    ranking margin is >=1e-3, so the cast wobble can never surface —
+    this test pins that it IS only the cast (<=1 ulp), never the sum."""
+    _assert_twins_oracle(a, b)
+
+
+@settings(**_SETTINGS)
+@given(a=_tie_vector_a, b=_tie_vector_b)
+def test_py_decimal_dot_twins_oracle_on_exact_ties(a, b):
+    """EVERY product here is an exact .5 tie at the scale-14 quantize
+    (odd/2^15), so this pins the cross-engine ROUNDING DIRECTION on
+    ties: DuckDB's double->decimal cast banker's-rounds (half-even),
+    and py_decimal_dot must do the same — with HALF_UP the two folds
+    disagree by 1e-14 per element on this strategy (the gap ADVICE r7
+    showed the k/128 strategy could never reach)."""
+    _assert_twins_oracle(a, b)
+
+
+@settings(**_SETTINGS)
+@given(a=_finite_vector, b=_finite_vector)
+def test_py_decimal_dot_twins_oracle_on_arbitrary_doubles(a, b):
+    """Full-precision doubles: the quantize step rounds (non-tie) on
+    essentially every product, exercising the general rounding path
+    the exactly-representable k/128 strategy skipped."""
+    _assert_twins_oracle(a, b)
+
+
+@settings(**_SETTINGS)
+@given(a=_vector, b=_vector)
 def test_spark_fold_within_margin_of_exact(spark, a, b):
     """The in-plan Spark fold's scale-13 accumulator rounding may drift
     from the exact sum, but by no more than dim * 1e-13 — the bound the
     ANN ranking-margin arguments (and _probe_select's parity with the
     in-plan scores) rest on."""
+    from flights_etl_pipeline_spark.functions.vectors import (
+        decimal_dot,
+        py_decimal_dot,
+    )
+
+    got = float(
+        spark.createDataFrame([(a, b)], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+        .select(decimal_dot("a", "b").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert abs(got - py_decimal_dot(a, b)) <= len(a) * 1e-13, (a, b)
+
+
+@settings(**_SETTINGS)
+@given(a=_tie_vector_a, b=_tie_vector_b)
+def test_spark_fold_margin_holds_on_exact_ties(spark, a, b):
+    """Spark's double->decimal cast is HALF_UP, so on exact .5 ties its
+    per-product decimals sit 1e-14 above py_decimal_dot's half-even
+    twin — still inside the dim * 1e-13 drift bound every ranking
+    argument uses. This pins that the tie divergence stays bounded
+    (it is dyadic-only and invisible through >=1e-8 result rounding)."""
     from flights_etl_pipeline_spark.functions.vectors import (
         decimal_dot,
         py_decimal_dot,
