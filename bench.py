@@ -104,13 +104,18 @@ _N_RUNS = 3
 
 # The 10x spot slopes swing ~2x between same-code runs at median-of-3
 # (VERDICT r7 item 2: association_rules recorded 1.82 / 2.88 / 4.38 for
-# identical code), so a real slope regression was indistinguishable
-# from machine state. Spots therefore run median-of-5 and record the
-# full [min, median, max] slope BAND; regression reasoning uses the
-# band floor (min spot wall / base median), which is the stable edge —
-# GC/compile spikes only ever push walls UP, so the floor is the
-# closest observable to the true cost of the plan shape.
-_N_RUNS_SPOT = 5
+# identical code). Root cause, measured this round: the box's
+# throughput drifts ~2x on a multi-minute scale, and the old slope
+# divided a spot median by a base median captured ~20 minutes earlier
+# in the headline phase — both sides wobble independently and the
+# ratio compounds them. Spots therefore re-time their BASE at spot
+# time and run INTERLEAVED (base, spot) pairs: each pair's ratio is
+# taken seconds apart, so slow multiplicative drift cancels, and the
+# recorded band is [min, median, max] of the per-pair ratios.
+# Regression reasoning uses the band floor: spikes only push single
+# walls up, so the smallest paired ratio is the closest observable to
+# the plan shape's true slope.
+_N_PAIRS_SPOT = 3
 
 # A recovered baseline must carry at least this many per-query timings to
 # outrank an older-but-complete round in _baseline().
@@ -255,21 +260,33 @@ def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     qs = bench_queries()
 
     def _spot_entry(name: str, data_dir: str) -> dict:
-        runs = _timed_runs(spark, qs[name], data_dir, _N_RUNS_SPOT)
-        med = runs[len(runs) // 2]
-        base = timings[name]
+        ratios, bigs, bases = [], [], []
+        for _ in range(_N_PAIRS_SPOT):
+            base = _timed_runs(spark, qs[name], sf_dir, 1)[0]
+            big = _timed_runs(spark, qs[name], data_dir, 1)[0]
+            bases.append(base)
+            bigs.append(big)
+            if base:
+                ratios.append(big / base)
+        ratios.sort()
+        bigs.sort()
+        bases.sort()
         band = (
-            [round(runs[0] / base, 2), round(med / base, 2),
-             round(runs[-1] / base, 2)]
-            if base
+            [round(ratios[0], 2), round(ratios[len(ratios) // 2], 2),
+             round(ratios[-1], 2)]
+            if ratios
             else None
         )
         return {
-            "sec": round(med, 3),
-            "sec_base": base,
-            # median slope (the headline number) + [floor, median, max]
-            # band; regression checks belong on the FLOOR (see
-            # _N_RUNS_SPOT note / SCALE.md reading guide)
+            "sec": round(bigs[len(bigs) // 2], 3),
+            # base re-timed AT SPOT TIME (interleaved with the 10x
+            # runs), not the headline-phase number from minutes
+            # earlier — see the _N_PAIRS_SPOT drift note
+            "sec_base": round(bases[len(bases) // 2], 3),
+            "sec_base_headline": timings[name],
+            # median paired ratio (the headline slope) + [floor,
+            # median, max] band of per-pair ratios; regression checks
+            # belong on the FLOOR (SCALE.md reading guide)
             "scaleup": band[1] if band else None,
             "scaleup_band": band,
         }

@@ -1934,7 +1934,7 @@ _registry.REGISTRY["pca_projection"] = _registry.QuerySpec(
     fn=_registry.REGISTRY["pca_projection"].fn,
     oracle=_pca_oracle(),
     survey=_registry.REGISTRY["pca_projection"].survey,
-    bench=False,
+    bench=_registry.REGISTRY["pca_projection"].bench,
 )
 
 
