@@ -460,41 +460,64 @@ def _min_label_propagate(
     aggregate — the label-propagation scheme GraphX's
     connectedComponents uses; converges in O(component diameter)
     rounds. ``localCheckpoint`` truncates per-round lineage so the
-    plan does not grow with the round count; only the 1-bit
-    convergence flag crosses to the driver. If a pathological
-    long-chain component exceeds ``max_rounds`` (path diameter >
-    rounds), labels would be only partially propagated — that case
-    warns loudly instead of returning silently-wrong components."""
+    plan does not grow with the round count; only the per-round
+    changed-label count crosses to the driver, and it rides the
+    checkpoint action itself as an ``Observation`` metric (r8: the
+    previous separate ``isEmpty`` convergence probe doubled the jobs
+    per round — on converge-in-3 near-clique graphs the loop was
+    scheduling-overhead-bound, ~4 s of the old 5.3 s
+    fuzzy_customer_clusters wall at sf0.1). The old label rides the
+    union as a null-padded ``prev`` column (every id keeps exactly one
+    labels row, so ``MIN(prev)`` recovers it through the same
+    aggregate that elects the new label). If a pathological long-chain
+    component exceeds ``max_rounds`` (path diameter > rounds), labels
+    would be only partially propagated — that case warns loudly
+    instead of returning silently-wrong components."""
+    from pyspark.sql import Observation
+
     ca, cb = pairs.columns
     edges = (
         pairs.union(pairs.select(cb, ca)).toDF("src", "dst").persist()
     )
+    # seed comp = min(id, neighbors) instead of id: for near-clique
+    # components (the dominant shape here) that IS the fixed point, so
+    # the loop's first round only confirms convergence — one round
+    # saved at identical cost (a groupBy replaces the distinct)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "mn").alias("comp"),
+        )
         .localCheckpoint()
     )
+    comp_type = dict(labels.dtypes)["comp"]
     for _ in range(max_rounds):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "comp"
+            F.col("dst").alias("id"),
+            "comp",
+            F.lit(None).cast(comp_type).alias("prev"),
         )
+        obs = Observation()
         new_labels = (
-            labels.union(prop)
+            labels.select("id", "comp", F.col("comp").alias("prev"))
+            .unionByName(prop)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("prev").alias("prev"))
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("prev")).cast("int")
+                ).alias("changed"),
+            )
+            .select("id", "comp")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-        )
         labels, prev = new_labels, labels
-        if changed.isEmpty():
-            prev.unpersist()
-            break
         prev.unpersist()
+        if not (obs.get["changed"] or 0):
+            break
     else:
         warnings.warn(
             "min-label propagation hit the "
