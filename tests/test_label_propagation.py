@@ -46,3 +46,52 @@ def test_converged_run_does_not_warn(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         _min_label_propagate(_chain_pairs(spark, 3)).collect()
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check: on random edge lists the distributed min-label
+    propagation must produce exactly the components a pure-Python
+    union-find derives (comp = min node id of the component). Guards
+    the r8 rewrite (Observation-merged convergence + min(id, neighbor)
+    seeding) against correctness drift on non-clique shapes."""
+    import random
+
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        _min_label_propagate,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    for _ in range(4):
+        n_nodes = rng.randint(2, 12)
+        n_edges = rng.randint(1, 14)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            comp = min(u for u in touched if find(u) == root)
+            want[v] = comp
+
+        df = spark.createDataFrame(edges, "a LONG, b LONG")
+        got = {
+            r["id"]: r["comp"]
+            for r in _min_label_propagate(df).collect()
+        }
+        assert got == want, (edges, got, want)

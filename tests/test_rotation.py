@@ -147,3 +147,46 @@ def test_driver_green_rows_are_actually_green():
         assert row.get("hash_match") is True or (
             row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
         ), (name, rnd, row)
+
+
+def test_update_fingerprints_rules(tmp_path, monkeypatch):
+    """tools/update_fingerprints.py update rules: new green evidence
+    refreshes a snapshot to the CURRENT fp; a current-round snapshot is
+    kept VERBATIM (the live-vs-stored diff is the rewrite signal, the
+    tool must not overwrite it); --mark-stale voids a snapshot."""
+    import importlib
+    import json
+    import sys
+
+    from flights_etl_pipeline_spark.plans import queries as q
+
+    tool = importlib.import_module("tools.update_fingerprints")
+
+    names = list(REGISTRY)[:2]
+    a, b = names[0], names[1]
+    fpath = tmp_path / "QUERY_FPRINTS.json"
+    fpath.write_text(json.dumps({
+        a: {"fp": "stale-old-evidence", "round": 7},
+        b: {"fp": "kept-snapshot", "round": 8},
+    }))
+    monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
+    monkeypatch.setattr(
+        q, "_driver_green", lambda latest=False: {a: 8, b: 8}
+    )
+    monkeypatch.setattr(sys, "argv", ["update_fingerprints.py"])
+    tool.main()
+    out = json.loads(fpath.read_text())
+    # a: new green round (8 > stored 7) -> refreshed to current fp
+    assert out[a] == {
+        "fp": q._source_fingerprint(REGISTRY[a].fn), "round": 8
+    }
+    # b: evidence round unchanged -> stored snapshot kept verbatim
+    assert out[b] == {"fp": "kept-snapshot", "round": 8}
+
+    monkeypatch.setattr(
+        sys, "argv", ["update_fingerprints.py", "--mark-stale", b]
+    )
+    tool.main()
+    out = json.loads(fpath.read_text())
+    assert out[b]["fp"] == "voided-by-mark-stale"
+    assert out[a]["fp"] == q._source_fingerprint(REGISTRY[a].fn)
