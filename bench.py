@@ -71,6 +71,13 @@ _SF1_SPOT = (
     # 10x its ~8x-slower sf0.1 wall here; the LSH path's slope is the
     # crossover evidence)
     "copurchase_linkpred_lsh",
+    # the two r7 serialization-wall fixes now in the headline set (r8):
+    # pca's 64-col moment fold is corpus-linear compute behind a
+    # rebalance, and phrase_search's let-bound bigram scan rides the
+    # documents scan — both read only replicated spot tables, so their
+    # slopes guard the fixes at 10x, not just the sf0.1 wall
+    "pca_projection",
+    "phrase_search",
 )
 _SF1_REPLICAS = 10
 # Bump when the replication rule below changes in ANY way: the tag is
