@@ -38,48 +38,84 @@ def decimal_dot(a: Column | str, b: Column | str) -> Column:
     ).cast("double")
 
 
-def py_decimal_dot(a: list[float], b: list[float]) -> float:
-    """Driver-side bit-exact twin of the ORACLE's decimal fold
-    (``sqlfrag.sql_decimal_dot``: quantize each product to scale 14,
-    sum EXACTLY) for model-channel computations — probe selection
-    against a collected quantizer, codebook norms, ...
+_POW = 10**DOT_SCALE
+_FPOW = float(_POW)  # 1e14 is exactly representable (< 2^53)
+_M64 = (1 << 64) - 1
+_F64MAX = float(_M64)  # DuckDB multiplies upper by fl(2^64-1) == 2^64
 
-    Per-element IEEE double multiply (Python floats ARE doubles), each
-    product converted to decimal exactly then quantized to
-    ``DOT_SCALE`` digits with HALF_EVEN — DuckDB's double->decimal
-    cast rounding, verified on exact .5 ties: a product that lands
-    exactly on the scale-15 half boundary (only possible for dyadic
-    inputs, e.g. k/2^7 * k/2^8) banker's-rounds in DuckDB, NOT
-    half-up (pinned in tests/test_properties_r7.py, ADVICE r7) —
-    summed exactly, and the total rounded back to the nearest double:
-    a driver-side ranking over these dots matches the oracle's in-SQL
-    ranking bit-for-bit, which is what the correctness gate compares
-    against. (Spark's own double->decimal cast is HALF_UP, so on
-    exact ties the IN-PLAN fold can sit 1e-14/element away from this
-    twin — that divergence is covered by the bounded-drift relation
-    below, is dyadic-only, and is invisible through every >=1e-8
-    result rounding.)
 
-    NOT the in-plan Spark fold to the last bit: Spark's decimal ``+``
-    at (38,14)+(38,14) overflows precision 38 and reduces the
-    accumulator scale to 13, HALF_UP-rounding each step, so its sum
-    can drift up to ~dim ulp at 1e-13 from the exact sum (pinned in
-    tests/test_properties_r7.py). And DuckDB's own decimal->double
-    CAST divides an int128 by 10^14 in floating point, occasionally
-    landing 1 ulp off the correctly-rounded double this function (and
-    Spark's BigDecimal.doubleValue) produce — the decimal sums are
-    identical, only the cast wobbles (also pinned). Both gaps are
-    many orders of magnitude inside every ranking margin the ANN
-    family relies on and inside the >=1e-8 rounding of every result
-    channel.
+def _duckdb_quantize14(p: float) -> int:
+    """DuckDB's double->DECIMAL(38,14) cast, bit-for-bit: scale in
+    BINARY floating point first, then round half-even to an integer
+    (Python ``round(float)`` is a correctly-rounded half-even
+    nearbyint, matching the C cast under the default FP mode).
+
+    NOT an exact decimal quantize: ``fl(p * 1e14)`` already rounds in
+    binary, so on non-dyadic doubles the result can sit 1 quantum (and
+    for |p*1e14| beyond 2^53, up to ~0.5 binary-ulp of the scaled
+    value) away from the correctly-rounded decimal — verified against
+    DuckDB on 22k+ fuzz doubles across magnitude regimes incl.
+    subnormals and exact .5 ties (tests/test_properties_r7.py pins the
+    live engine).
     """
-    from decimal import ROUND_HALF_EVEN, Decimal
+    return round(p * _FPOW)
 
-    q = Decimal(1).scaleb(-DOT_SCALE)
-    total = Decimal(0)
+
+def _duckdb_dec14_to_double(i: int) -> float:
+    """DuckDB's DECIMAL(38,14)->DOUBLE cast, bit-for-bit: the hugeint
+    goes to double as ``fl(fl(lower) + fl(upper) * fl(2^64-1))`` on the
+    two's-complement (upper, lower) split — with a special branch for
+    upper == -1 (``-fl(2^64-1 - lower) - 1.0``) — then one IEEE divide
+    by 1e14. For |i| >= 2^53 this is NOT the correctly-rounded
+    conversion Python's ``float(int)`` performs (it can land 1-2 ulp
+    away); mimicking it exactly is what makes the twin bit-exact.
+    Verified against DuckDB on 40k+ fuzz hugeints.
+    """
+    upper = i >> 64
+    lower = i & _M64
+    if upper == -1:
+        d = -float(_M64 - lower) - 1.0
+    else:
+        d = float(lower) + float(upper) * _F64MAX
+    return d / _FPOW
+
+
+def py_decimal_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side BIT-EXACT twin of the ORACLE's decimal fold
+    (``sqlfrag.sql_decimal_dot``) for model-channel computations —
+    probe selection against a collected quantizer, codebook norms,
+    ADC tables, ...
+
+    Reproduces DuckDB's op sequence exactly, not an idealized decimal
+    model of it: per-element IEEE double multiply (Python floats ARE
+    doubles), each product pushed through DuckDB's actual
+    double->decimal cast (:func:`_duckdb_quantize14` — binary-FP
+    scaling then half-even, which is NOT an exact decimal quantize on
+    non-dyadic doubles), the scale-14 integers summed exactly (int128
+    never overflows at embedding magnitudes), and the total pushed
+    through DuckDB's actual decimal->double cast
+    (:func:`_duckdb_dec14_to_double` — the quirky hugeint-to-double
+    conversion plus one divide, which is NOT correctly rounded beyond
+    2^53). tests/test_properties_r7.py pins equality with the live
+    engine at ZERO tolerance on arbitrary finite doubles, exact
+    dyadic .5 ties, and k/128 grids — so a driver-side ranking over
+    these dots matches the oracle's in-SQL ranking bit-for-bit, which
+    is what the correctness gate compares against.
+
+    Relation to the IN-PLAN Spark fold (:func:`decimal_dot`) is a
+    BOUND, not equality: Spark's double->decimal cast is an exact
+    HALF_UP quantize (differs from DuckDB's binary-scaled cast by <=1
+    quantum per element, ~1e-14) and Spark's decimal ``+`` at
+    (38,14)+(38,14) overflows precision 38 to scale 13, HALF_UP-
+    rounding each step — total drift <= dim * 1e-13 from this twin
+    (pinned in tests/test_properties_r7.py). Every ranking margin the
+    ANN family relies on and every >=1e-8 result-channel rounding sits
+    orders of magnitude above that bound.
+    """
+    total = 0
     for x, y in zip(a, b):
-        total += Decimal(x * y).quantize(q, rounding=ROUND_HALF_EVEN)
-    return float(total)
+        total += _duckdb_quantize14(x * y)
+    return _duckdb_dec14_to_double(total)
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:

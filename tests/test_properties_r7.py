@@ -19,6 +19,11 @@ _SETTINGS = dict(
     ],
 )
 
+# The twin tests never touch Spark (pure Python vs an in-process DuckDB
+# query), so they can afford a real search budget — r8's divergence was
+# only found by luck at max_examples=6 (VERDICT r8 item 1).
+_TWIN_SETTINGS = dict(_SETTINGS, max_examples=300)
+
 _DIM = 6
 
 _component = st.integers(-1000, 1000).map(lambda v: v / 128.0)
@@ -93,57 +98,62 @@ def test_nearest_cid_matches_full_argmax(spark, cents, embs):
 
 
 def _assert_twins_oracle(a, b):
-    import math
-
     import duckdb
 
     from flights_etl_pipeline_spark.functions.vectors import py_decimal_dot
     from flights_etl_pipeline_spark.plans.sqlfrag import sql_decimal_dot
 
     def lit(v):
-        return "[" + ", ".join(repr(x) for x in v) + "]"
+        # Each element as CAST('<repr>' AS DOUBLE): a bare numeric literal
+        # like 9.114548806391987 is typed DECIMAL(16,15) by DuckDB's
+        # parser, and its decimal->double conversion can land 1 ulp off
+        # the strtod double Python holds — the string cast is correctly
+        # rounded, so both engines see the IDENTICAL input doubles.
+        return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in v) + "]"
 
     got = py_decimal_dot(a, b)
     want = float(
         duckdb.sql(f"SELECT {sql_decimal_dot(lit(a), lit(b))} AS d").fetchone()[0]
     )
-    tol = math.ulp(max(abs(got), abs(want), 1e-300))
-    assert abs(got - want) <= tol, (a, b, got, want)
+    assert got == want, (a, b, got, want)
 
 
-@settings(**_SETTINGS)
+@settings(**_TWIN_SETTINGS)
 @given(a=_vector, b=_vector)
 def test_py_decimal_dot_twins_oracle_fold_to_the_cast(a, b):
-    """py_decimal_dot (driver-side model-channel fold) must reproduce
-    the ORACLE's fold (sql_decimal_dot: products quantized to scale 14,
-    exact sum) up to the final decimal->double cast: the decimal SUMS
-    are identical, but DuckDB's cast divides an int128 by 10^14 in
-    floating point and can land 1 ulp off the correctly-rounded value
-    py_decimal_dot (float(Decimal)) and Spark (BigDecimal.doubleValue)
-    both produce. Every result channel rounds to >=1e-8 and every
-    ranking margin is >=1e-3, so the cast wobble can never surface —
-    this test pins that it IS only the cast (<=1 ulp), never the sum."""
+    """py_decimal_dot must reproduce the ORACLE's fold BIT-FOR-BIT
+    (zero tolerance): r9 replaced the idealized decimal model with
+    DuckDB's actual op sequence — binary-FP-scaled half-even cast in
+    (vectors._duckdb_quantize14), exact int sum, and the quirky
+    hugeint->double cast out (vectors._duckdb_dec14_to_double) — so
+    even the final-cast wobble that r7/r8 tolerated at 1 ulp is now
+    reproduced, not tolerated. k/128 grid: products exactly
+    representable at scale 14, the no-rounding baseline."""
     _assert_twins_oracle(a, b)
 
 
-@settings(**_SETTINGS)
+@settings(**_TWIN_SETTINGS)
 @given(a=_tie_vector_a, b=_tie_vector_b)
 def test_py_decimal_dot_twins_oracle_on_exact_ties(a, b):
-    """EVERY product here is an exact .5 tie at the scale-14 quantize
-    (odd/2^15), so this pins the cross-engine ROUNDING DIRECTION on
-    ties: DuckDB's double->decimal cast banker's-rounds (half-even),
-    and py_decimal_dot must do the same — with HALF_UP the two folds
-    disagree by 1e-14 per element on this strategy (the gap ADVICE r7
-    showed the k/128 strategy could never reach)."""
+    """EVERY product here lands on (or, after the binary-FP scaling
+    fl(p * 1e14), within one binary ulp of) an exact .5 tie at the
+    scale-14 quantize (odd/2^15), pinning the rounding-direction
+    decision on every element. Because py_decimal_dot now performs the
+    SAME binary scaling DuckDB does, ties that the scaling perturbs
+    off .5 are perturbed identically on both sides — zero tolerance."""
     _assert_twins_oracle(a, b)
 
 
-@settings(**_SETTINGS)
+@settings(**_TWIN_SETTINGS)
 @given(a=_finite_vector, b=_finite_vector)
 def test_py_decimal_dot_twins_oracle_on_arbitrary_doubles(a, b):
-    """Full-precision doubles: the quantize step rounds (non-tie) on
-    essentially every product, exercising the general rounding path
-    the exactly-representable k/128 strategy skipped."""
+    """Full-precision doubles: the quantize step rounds on essentially
+    every product. This strategy found r8's real divergence (an exact
+    decimal quantize is NOT DuckDB's cast — DuckDB scales in binary FP
+    first, landing 1 quantum away on ~17% of arbitrary doubles, e.g.
+    a=[...,1.680607943755824,...] x b=[...,1.9,...]); the cached
+    counterexample in .hypothesis/examples keeps hitting that path,
+    and the r9 mimic must match it bit-for-bit."""
     _assert_twins_oracle(a, b)
 
 
@@ -170,11 +180,12 @@ def test_spark_fold_within_margin_of_exact(spark, a, b):
 @settings(**_SETTINGS)
 @given(a=_tie_vector_a, b=_tie_vector_b)
 def test_spark_fold_margin_holds_on_exact_ties(spark, a, b):
-    """Spark's double->decimal cast is HALF_UP, so on exact .5 ties its
-    per-product decimals sit 1e-14 above py_decimal_dot's half-even
-    twin — still inside the dim * 1e-13 drift bound every ranking
+    """Spark's double->decimal cast is an exact HALF_UP quantize, so on
+    exact .5 ties its per-product decimals sit 1e-14 above the
+    DuckDB-mimicking twin's (whose binary-scaled cast half-even-rounds
+    them) — still inside the dim * 1e-13 drift bound every ranking
     argument uses. This pins that the tie divergence stays bounded
-    (it is dyadic-only and invisible through >=1e-8 result rounding)."""
+    (and invisible through >=1e-8 result rounding)."""
     from flights_etl_pipeline_spark.functions.vectors import (
         decimal_dot,
         py_decimal_dot,
