@@ -173,12 +173,16 @@ def test_update_fingerprints_rules(tmp_path, monkeypatch):
     monkeypatch.setattr(
         q, "_driver_green", lambda latest=False: {a: 8, b: 8}
     )
+    monkeypatch.setattr(tool, "_tree_state", lambda repo: ("abc1234", False))
     monkeypatch.setattr(sys, "argv", ["update_fingerprints.py"])
     tool.main()
     out = json.loads(fpath.read_text())
-    # a: new green round (8 > stored 7) -> refreshed to current fp
+    # a: new green round (8 > stored 7) -> refreshed to current fp,
+    # stamped with the commit the evidence describes (ADVICE r8)
     assert out[a] == {
-        "fp": q._source_fingerprint(REGISTRY[a].fn), "round": 8
+        "fp": q._source_fingerprint(REGISTRY[a].fn),
+        "round": 8,
+        "commit": "abc1234",
     }
     # b: evidence round unchanged -> stored snapshot kept verbatim
     assert out[b] == {"fp": "kept-snapshot", "round": 8}
@@ -190,3 +194,35 @@ def test_update_fingerprints_rules(tmp_path, monkeypatch):
     out = json.loads(fpath.read_text())
     assert out[b]["fp"] == "voided-by-mark-stale"
     assert out[a]["fp"] == q._source_fingerprint(REGISTRY[a].fn)
+
+
+def test_update_fingerprints_refuses_dirty_tree(tmp_path, monkeypatch):
+    """A dirty fingerprint-input tree means current source is NOT what
+    the driver verified — the tool must refuse to stamp it (ADVICE r8)
+    unless --allow-dirty is explicit."""
+    import importlib
+    import json
+    import sys
+
+    import pytest
+
+    from flights_etl_pipeline_spark.plans import queries as q
+
+    tool = importlib.import_module("tools.update_fingerprints")
+
+    name = next(iter(REGISTRY))
+    fpath = tmp_path / "QUERY_FPRINTS.json"
+    monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
+    monkeypatch.setattr(q, "_driver_green", lambda latest=False: {name: 8})
+    monkeypatch.setattr(tool, "_tree_state", lambda repo: ("abc1234", True))
+
+    monkeypatch.setattr(sys, "argv", ["update_fingerprints.py"])
+    with pytest.raises(SystemExit, match="refusing to snapshot"):
+        tool.main()
+    assert not fpath.exists()
+
+    monkeypatch.setattr(
+        sys, "argv", ["update_fingerprints.py", "--allow-dirty"]
+    )
+    tool.main()
+    assert name in json.loads(fpath.read_text())

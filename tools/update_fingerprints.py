@@ -19,6 +19,14 @@ Rules per registry query:
 --mark-stale a,b,c  force-voids the stored fingerprint for the named
 queries (sentinel fp), used when a shared HELPER was rewritten so the
 query fn's own source (the fingerprint input) did not change.
+
+Snapshot validity depends on run ORDER (ADVICE r8): if this runs after
+code edits in a round that also produced new green evidence, it would
+stamp the post-edit source as "verified", silently erasing a rewrite
+signal. Guard: refuse when the package tree is git-dirty (override with
+--allow-dirty for a deliberate re-run), and record the HEAD commit in
+every refreshed snapshot so a mis-ordered run is auditable after the
+fact.
 """
 
 from __future__ import annotations
@@ -26,12 +34,36 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flights_etl_pipeline_spark.plans import queries as q  # noqa: E402
 from flights_etl_pipeline_spark.plans.registry import REGISTRY  # noqa: E402
+
+# paths whose edits change query-source fingerprints or their meaning
+_FP_INPUT_PATHS = ["flights_etl_pipeline_spark", "__spark_entry__.py"]
+
+
+def _tree_state(repo: str) -> tuple[str, bool]:
+    """(short HEAD hash, fingerprint-input tree dirty?). Degrades to
+    ("unknown", False) outside a git checkout rather than blocking."""
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "-C", repo, "status", "--porcelain", "--",
+                 *_FP_INPUT_PATHS],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        )
+        return head, dirty
+    except (OSError, subprocess.CalledProcessError):
+        return "unknown", False
 
 
 def main() -> None:
@@ -42,7 +74,23 @@ def main() -> None:
         help="comma-separated query names whose stored fingerprint "
         "should be voided (helper rewrite, fn source unchanged)",
     )
+    ap.add_argument(
+        "--allow-dirty",
+        action="store_true",
+        help="snapshot even though the package tree has uncommitted "
+        "edits (the stamped fingerprints then describe UNVERIFIED code)",
+    )
     args = ap.parse_args()
+
+    head, dirty = _tree_state(q._repo_root())
+    if dirty and not args.allow_dirty:
+        sys.exit(
+            "refusing to snapshot: the fingerprint-input tree "
+            f"({', '.join(_FP_INPUT_PATHS)}) has uncommitted edits, so "
+            "current source is NOT the code the driver evidence was "
+            "gathered against. Commit/stash first, or pass --allow-dirty "
+            "if you really mean to stamp unverified source."
+        )
 
     latest = q._driver_green(latest=True)
     stored = q._stored_fingerprints()
@@ -60,6 +108,7 @@ def main() -> None:
             out[name] = {
                 "fp": q._source_fingerprint(REGISTRY[name].fn),
                 "round": g,
+                "commit": head,
             }
             updated += 1
     for name in filter(None, args.mark_stale.split(",")):
