@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flights_etl_pipeline_spark.functions.scalar import davg, dround, dsum
-from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.registry import (
+    load,
+    register,
+    result_checkpoint,
+)
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_davg as _sql_davg
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround as _sql_dround
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dsum as _sql_dsum
@@ -1888,7 +1892,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RULES_TOPK)
         # k-row result; eager checkpoint lets the basket cache release
         # instead of leaking across harness calls
-        .localCheckpoint()
+        .transform(result_checkpoint)
     )
     baskets.unpersist()
     return out

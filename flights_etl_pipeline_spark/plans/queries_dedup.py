@@ -32,7 +32,11 @@ from flights_etl_pipeline_spark.functions.text import (
     normalize_text,
     shingle_hash_long,
 )
-from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.registry import (
+    load,
+    register,
+    result_checkpoint,
+)
 
 N_MINHASH = 8
 N_BANDS = 4  # 2 minhashes per band
@@ -289,7 +293,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # signature cache be released instead of leaking across calls.
         # At 100 TB the equivalent move is writing pairs to a sink, then
         # unpersisting.
-        .localCheckpoint()
+        .transform(result_checkpoint)
     )
     sig.unpersist()
     return pairs
@@ -437,7 +441,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         dround(jac, 4).alias("jaccard"),
         (jac >= 0.8).alias("is_near_dup"),
-    ).localCheckpoint()  # candidate-pair-sized; lets the shingle cache go
+    ).transform(result_checkpoint)  # candidate-pair-sized; releases shingles
     sh.unpersist()
     return out
 
@@ -1160,7 +1164,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
-        .localCheckpoint()
+        .transform(result_checkpoint)
     )
     sig.unpersist()
     return out
@@ -1532,7 +1536,7 @@ def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("est_jaccard"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(result_checkpoint)
     )
     sig_i.unpersist()
     sig_d.unpersist()

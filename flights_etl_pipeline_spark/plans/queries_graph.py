@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround
 from flights_etl_pipeline_spark.functions.text import minhash_params
-from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.registry import (
+    load,
+    register,
+    result_checkpoint,
+)
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround
 
 N_ITER = 10
@@ -256,7 +260,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
-        .localCheckpoint()
+        .transform(result_checkpoint)
     )
     edges.unpersist()
     oriented.unpersist()
@@ -540,7 +544,7 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_common") > 0)
         .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")
         .limit(_LINKPRED_TOPK)
-        .localCheckpoint()
+        .transform(result_checkpoint)
     )
     sig.unpersist()
     return out

@@ -132,13 +132,21 @@ def test_plan_lint_all_registered_queries(spark):
     # round because queries_text wasn't loaded yet in single-file runs).
     import flights_etl_pipeline_spark.plans.queries  # noqa: F401
 
-    from flights_etl_pipeline_spark.plans.registry import REGISTRY
+    from flights_etl_pipeline_spark.plans.registry import (
+        REGISTRY,
+        plan_audit_mode,
+    )
 
     violations = []
     for name, spec in REGISTRY.items():
         if name.startswith(_STREAMING_PREFIXES):  # execute on call
             continue
-        plan = plan_str(spec.fn(spark, SF_DIR), mode="simple")
+        # plan-audit mode: checkpoint-returning queries expose their full
+        # pre-checkpoint plan instead of `Scan ExistingRDD`, so the two
+        # invariants below actually walk the banded self-joins (VERDICT
+        # r8 item 2 — the lint was vacuous for those queries before)
+        with plan_audit_mode():
+            plan = plan_str(spec.fn(spark, SF_DIR), mode="simple")
         if "BatchEvalPython" in plan:
             violations.append(f"{name}: row-wise Python UDF")
         lines = plan.splitlines()
@@ -494,6 +502,37 @@ def test_disjunctive_predicate_pushes_both_sides(spark):
     assert any("l_quantity" in ln for ln in pushed), pushed
     assert any("p_brand" in ln for ln in pushed), pushed
     assert "BroadcastHashJoin" in plan
+
+
+def test_checkpoint_returning_queries_expose_real_plans(spark):
+    """VERDICT r8 item 2: under plan-audit mode the checkpoint-returning
+    LSH queries must expose their actual banded self-join structure —
+    not the `Scan ExistingRDD` stub a localCheckpoint leaves — so
+    EXPLAINS.md and the repo-wide lint audit the real plan. Outside
+    audit mode the checkpoint must still happen (the cache-hygiene
+    contract: the persisted signature table is released eagerly)."""
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        minhash_lsh_pairs,
+    )
+    from flights_etl_pipeline_spark.plans.queries_graph import (
+        copurchase_linkpred_lsh,
+    )
+    from flights_etl_pipeline_spark.plans.registry import plan_audit_mode
+
+    for fn in (minhash_lsh_pairs, copurchase_linkpred_lsh):
+        with plan_audit_mode():
+            plan = plan_str(fn(spark, SF_DIR), mode="simple")
+        assert "Scan ExistingRDD" not in plan, fn.__name__
+        # the banded candidate self-join and its key exchange are visible
+        assert "Join" in plan, fn.__name__
+        assert "bsig" in plan, fn.__name__
+        # ... and the repo-wide invariants actually bite on it
+        assert "BatchEvalPython" not in plan, fn.__name__
+
+    # outside audit mode the returned DF is checkpoint-backed (lineage
+    # truncated), which is what lets the signature cache unpersist safely
+    plan = plan_str(minhash_lsh_pairs(spark, SF_DIR), mode="simple")
+    assert "Scan ExistingRDD" in plan
 
 
 def test_rag_retrieve_broadcasts_topk_side(spark):
