@@ -273,6 +273,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HUB_CAP = 600  # suppliers with more distinct customers than this are pruned
 _LINKPRED_TOPK = 25
+# Customer-side hub cutoff for the LSH variant (ADVICE r8): a customer
+# whose neighbor SET exceeds this is dropped before signatures, bounding
+# the persisted row width and the O(|ns_a| x |ns_b|) array_intersect per
+# candidate pair — the same recall-for-cost hub filter the supplier side
+# already applies. Semantically inert at every test SF (degree is bounded
+# by the supplier count, <= 10k even at sf10); at 100 TB it is the knob
+# that keeps verify cost per pair constant. Mirrored in the oracle.
+_CUST_CAP = 50000
 
 LINKPRED_SQL = f"""
 WITH e AS (
@@ -393,6 +401,7 @@ sig AS (
   SELECT c,
 {_LP_SIG_SQL}
   FROM el GROUP BY c
+  HAVING COUNT(*) <= {_CUST_CAP}
 ),
 bands AS (
 {_LP_BANDS_SQL}
@@ -463,7 +472,11 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined neighbor sets instead of the supplier-keyed fan-out join +
     re-aggregation (the old cm stage billed |cand| x avg-degree
     intermediate rows); (d) the signature table (one row per
-    customer, hub-capped arrays) is persisted so the band path and
+    customer, arrays capped on BOTH dimensions — ``_HUB_CAP`` prunes
+    hub suppliers from the edge list, ``_CUST_CAP`` drops hub
+    customers after the set aggregate, so persisted row width and
+    the per-candidate ``array_intersect`` are bounded constants, not
+    degree-distribution tails) is persisted so the band path and
     the two verify legs share one computation, released before
     return via the triangles localCheckpoint pattern. At 100 TB the
     persist is |customers|-shaped (model-side, not corpus-shaped edge
@@ -480,6 +493,14 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         el.groupBy("c")
         .agg(F.collect_set("s").alias("ns"))
+        # customer-side hub cutoff (_CUST_CAP): row-local on the
+        # |customers|-sized aggregate, dropped BEFORE the persist and
+        # the pair joins, so persisted width and per-candidate
+        # array_intersect cost are both capped. The agg buffer itself
+        # is transient and bounded by true degree (<= distinct
+        # suppliers), which is the supplier-dimension size, not the
+        # corpus size.
+        .filter(F.size("ns") <= _CUST_CAP)
         .select(
             "c",
             "ns",
