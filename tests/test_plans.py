@@ -535,6 +535,29 @@ def test_checkpoint_returning_queries_expose_real_plans(spark):
     assert "Scan ExistingRDD" in plan
 
 
+def test_ann_batch_serve_two_pass_shape(spark):
+    """ann_batch_serve's scale contract: the refine pass's only exchange
+    is the qid-keyed one over THRESHOLD SURVIVORS (downstream of the
+    filter), the exact decimal fold runs only above that filter (the
+    corpus-wide scoring is the cheap double fold), and Spark's
+    WindowGroupLimit kicks in so even the survivor sort is top-k-
+    limited map-side before the exchange."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        ann_batch_serve,
+    )
+
+    plan = plan_str(ann_batch_serve(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(qid" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the decimal fold must sit above the threshold filter: below it the
+    # corpus-wide scoring stays double-only (decimal(38,14) appears in
+    # the rescore projection, which the plan orders after Filter)
+    scan_to_filter = plan.split("Filter")[-1]  # text BELOW the filter node
+    assert "decimal(38,14)" not in scan_to_filter
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an
