@@ -1651,3 +1651,151 @@ def lsh_banding_design(spark: SparkSession, sf_dir: str) -> DataFrame:
 lsh_banding_design.__doc__ = lsh_banding_design.__doc__.format(
     k=N_MINHASH, nb15=sum(b for b, _ in _LSH_CONFIGS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: windowed-hash boundaries (round 9)
+# ---------------------------------------------------------------------------
+
+from flights_etl_pipeline_spark.functions.text import (  # noqa: E402
+    ROLLING_BASE,
+    ROLLING_MOD,
+)
+
+_CDC_W = 8  # boundary decision window (chars)
+_CDC_DIV = 64  # boundary density: ~1/64 eligible positions => ~64-char chunks
+_CDC_POWS = [ROLLING_BASE**j for j in range(_CDC_W)]
+_CDC_TOPK = 100
+
+
+def _cdc_whash_sql(i: str) -> str:
+    """Window hash at 1-based char position ``i`` (DuckDB side): the
+    Rabin-Karp hash of the last _CDC_W chars, expanded positionally —
+    no per-position fold, one mod at the end (powers*255*W < 2^63)."""
+    terms = " + ".join(
+        f"a[{i} - {j}] * {p}" for j, p in enumerate(_CDC_POWS)
+    )
+    return f"(({terms}) % {ROLLING_MOD})"
+
+
+CDC_CHUNK_SQL = f"""
+WITH prep AS (
+  SELECT doc_id,
+         text,
+         LENGTH(text) AS n,
+         list_transform(string_split(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS a
+  FROM documents
+  WHERE text IS NOT NULL
+),
+bounded AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)],
+           list_filter(range(CAST({_CDC_W} AS BIGINT), CAST(n AS BIGINT)),
+                       i -> {_cdc_whash_sql('i')} % {_CDC_DIV} = 0)),
+           [CAST(n AS BIGINT)]) AS bounds
+  FROM prep
+),
+chunks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, LEN(bounds)),
+                k -> substr(text, CAST(bounds[k] + 1 AS INT),
+                            CAST(bounds[k + 1] - bounds[k] AS INT)))) AS chunk
+  FROM bounded
+)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(MIN(LENGTH(chunk)) AS BIGINT) AS chunk_len,
+       COUNT(*) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY md5(chunk)
+HAVING COUNT(*) > 1
+ORDER BY n_occ DESC, chunk_hash
+LIMIT {_CDC_TOPK}
+"""
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=CDC_CHUNK_SQL,
+    survey=["dedup-cdc", "content-defined-chunking", "rolling-hash"],
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the rsync/LBFS/backup-store
+    technique corpus pipelines use where FIXED chunks fail: a chunk
+    boundary falls after char i whenever the Rabin-Karp hash of the
+    trailing {w}-char window divides {d}, so boundaries are a function
+    of LOCAL content only. An insertion re-chunks just its neighborhood
+    (every later chunk hash is unchanged), unlike `chunk_dedup_scrub`'s
+    fixed windows where one inserted byte shifts every downstream chunk.
+
+    Engine-portable by construction: the window hash is the positional
+    expansion of functions.text.rolling_hash over the last {w} chars
+    (powers of {b} mod {m}; max term sum < 2^63, one mod at the end) —
+    NO sequential per-position fold, so the per-char cost is a constant
+    {w} multiply-adds and the whole boundary computation is one
+    row-local projection. Average chunk length ≈ {d} chars; no min/max
+    chunk clamps (they would reintroduce the sequential dependence —
+    production CDC accepts the geometric size distribution instead).
+
+    Scale: chunking is embarrassingly row-local (scan → project —
+    the same shape at 100 TB); the only exchange is the chunk-hash
+    aggregate, map-side combinable, keyed on the hash (the natural
+    dedup shuffle key). Output: the top duplicated chunks with
+    occurrence and document counts — the manifest a scrub pass feeds
+    on (cf. reference transformToSilver.py's dedup intent, rebuilt
+    at chunk granularity).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = F.length("text").cast("long")
+    a = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
+    prep = docs.select("doc_id", "text", n.alias("n"), a.alias("a"))
+
+    def whash(i):
+        total = None
+        for j, p in enumerate(_CDC_POWS):
+            term = F.element_at("a", (i - F.lit(j)).cast("int")) * F.lit(p)
+            total = term if total is None else total + term
+        return total % F.lit(ROLLING_MOD)
+
+    # DuckDB's range(8, n) is [8 .. n-1] and empty when n < 9; Spark's
+    # sequence(8, n-1) DESCENDS when n-1 < 8, so gate it explicitly
+    mid = F.when(
+        F.col("n") >= _CDC_W + 1,
+        F.filter(
+            F.sequence(F.lit(_CDC_W).cast("long"), F.col("n") - 1),
+            lambda i: whash(i) % _CDC_DIV == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    bounds = F.concat(
+        F.array(F.lit(0).cast("long")), mid, F.array(F.col("n"))
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda k: F.substring(
+                "text",
+                (F.element_at(bounds, k) + 1).cast("int"),
+                (F.element_at(bounds, k + 1) - F.element_at(bounds, k)).cast(
+                    "int"
+                ),
+            ),
+        )
+    )
+    return (
+        prep.select("doc_id", chunk.alias("chunk"))
+        .groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.min(F.length("chunk")).cast("long").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.col("n_occ").desc(), "chunk_hash")
+        .limit(_CDC_TOPK)
+    )
+
+
+cdc_chunk_dedup.__doc__ = cdc_chunk_dedup.__doc__.format(
+    w=_CDC_W, d=_CDC_DIV, b=ROLLING_BASE, m=ROLLING_MOD
+)
