@@ -28,8 +28,20 @@ from pyspark.sql import types as T
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent SUM of a double column, exact to ``scale`` digits.
 
-    Rows are cast to DECIMAL(18, scale) (exact), summed exactly, and the
-    total cast back to double. Deterministic under any partitioning.
+    Rows are cast to DECIMAL(18, scale), summed exactly, and the total
+    cast back to double. Deterministic under any partitioning.
+
+    Cross-engine contract (pinned live in tests/test_properties_r9.py):
+    bit-identical to ``sqlfrag.sql_dsum`` PROVIDED the input doubles are
+    quantized at or below ``scale`` (the money/cents columns this repo
+    feeds it — asserted against the shipped fixtures). The engines'
+    double->decimal casts differ mechanically (Spark: exact HALF_UP
+    quantize; DuckDB: binary-FP scaling then half-even — the same
+    taxonomy as functions.vectors.py_decimal_dot), so on ARBITRARY
+    doubles each element may land one quantum apart; quantized inputs
+    sit ~half a quantum from every boundary, where both casts agree.
+    Do not point dsum at unquantized doubles in an oracle-compared
+    channel without margins above n * 10^-scale.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
