@@ -2333,3 +2333,167 @@ def events_poisson_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(9.0) * F.col("tot").cast("double") * F.col("h")
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B metric (round 9)
+# ---------------------------------------------------------------------------
+
+AB_CUPED_SQL = """
+WITH span AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(concat('ab|', CAST(user_id AS VARCHAR))), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) <= span.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS x,
+         COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) > span.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS y
+  FROM events, span
+  GROUP BY user_id, span.mid
+),
+vm AS (
+  SELECT variant,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM per_user GROUP BY variant
+),
+pooled AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+  FROM vm
+),
+theta AS (
+  SELECT n, sx / n AS xbar,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th,
+         ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+           / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS r2
+  FROM pooled
+)
+SELECT vm.variant,
+       CAST(vm.n AS BIGINT) AS n_users,
+       FLOOR(vm.sy / vm.n * 10000 + 0.5) / 10000 AS mean_y,
+       FLOOR((vm.sy - theta.th * (vm.sx - vm.n * theta.xbar)) / vm.n
+             * 10000 + 0.5) / 10000 AS mean_y_cuped,
+       FLOOR(theta.th * 1000000 + 0.5) / 1000000 AS theta,
+       FLOOR(theta.r2 * 1000000 + 0.5) / 1000000 AS var_reduction
+FROM vm, theta
+ORDER BY vm.variant
+"""
+
+
+@register(
+    "ab_cuped_adjusted",
+    oracle=AB_CUPED_SQL,
+    survey=["ab-testing", "cuped", "variance-reduction", "statistics",
+            "normal-equations"],
+)
+def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B experiment readout (Deng et al., WSDM 2013) —
+    the variance-reduction step every large experimentation platform
+    applies before the t-test: per-user post-period metric Y is
+    shifted by theta * (X - xbar) where X is the PRE-period covariate
+    and theta = cov(X,Y)/var(X), the OLS slope. Assignment never
+    correlates with X, so the adjustment is mean-preserving per variant
+    in expectation while removing the between-user variance X explains
+    (reported as r^2 = cov^2/(varX*varY), the exact variance-reduction
+    fraction for pooled theta).
+
+    Deterministic by the price_ols2_normal_equations recipe: one
+    user-keyed pass builds (X, Y) as exact decimal cents sums, a
+    2-row variant aggregate builds decimal-exact raw moments (per-user
+    products are exact multiples of 1e-4 with |error| << the scale-4
+    cast margin), pooled moments are the SUM of the two variant rows,
+    and theta / xbar / the adjusted means are a fixed IEEE op sequence
+    on those scalars — identical in both engines, 1e-4/1e-6 floored
+    outputs. Variant assignment is the md5-parity hash of the salted
+    user id (engine-portable, 50/50).
+
+    Scale shape: ONE corpus pass (user-keyed partial+final agg); the
+    experiment readout after it touches 2 rows. theta rides the same
+    broadcast-scalar channel the OLS and PCA queries use — no second
+    pass over the data to apply the adjustment, because per-variant
+    sums suffice: sum(Yc) = Sy_v - theta * (Sx_v - n_v * xbar).
+    """
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        ).isin(*"01234567"),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    us = F.unix_micros(F.col("ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "mid")
+        .agg(
+            F.coalesce(
+                dsum(F.when(us <= F.col("mid"), F.col("value")), 2), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                dsum(F.when(us > F.col("mid"), F.col("value")), 2), F.lit(0.0)
+            ).alias("y"),
+        )
+        .select("user_id", variant.alias("variant"), "x", "y")
+    )
+
+    def dm(expr, scale):
+        return F.sum(expr.cast(f"decimal(38,{scale})")).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    vm = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dm(x, 2).alias("sx"),
+        dm(y, 2).alias("sy"),
+        dm(x * x, 4).alias("sxx"),
+        dm(x * y, 4).alias("sxy"),
+        dm(y * y, 4).alias("syy"),
+    )
+    pooled = vm.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    theta = pooled.select(
+        (F.col("sx") / n).alias("xbar"),
+        (cxy / cxx).alias("th"),
+        ((cxy * cxy) / (cxx * cyy)).alias("r2"),
+    )
+    yc_sum = F.col("sy") - F.col("th") * (
+        F.col("sx") - F.col("n") * F.col("xbar")
+    )
+    return (
+        vm.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            F.col("n").cast("bigint").alias("n_users"),
+            dround(F.col("sy") / F.col("n"), 4).alias("mean_y"),
+            dround(yc_sum / F.col("n"), 4).alias("mean_y_cuped"),
+            dround(F.col("th"), 6).alias("theta"),
+            dround(F.col("r2"), 6).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )
