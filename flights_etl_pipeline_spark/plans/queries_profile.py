@@ -612,3 +612,120 @@ def corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(n * 1000) div n_total").alias("share_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier customer-retention curve (round 9)
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 90  # active within 90d of the dataset horizon => censored
+
+# Spine: one row per distinct lifetime (months from first to last order)
+# carrying churn/censor counts — runs VERBATIM on both engines; Spark
+# materializes it via _rec_spine_view so the recursion re-reads memory.
+KM_SPINE_SQL = f"""
+WITH horizon AS (SELECT MAX(o_orderdate) AS hmax FROM orders),
+life AS (
+  SELECT o_custkey,
+         (YEAR(MAX(o_orderdate)) - YEAR(MIN(o_orderdate))) * 12
+           + MONTH(MAX(o_orderdate)) - MONTH(MIN(o_orderdate)) AS dur,
+         CASE WHEN MAX(o_orderdate)
+                   < (SELECT hmax FROM horizon) - INTERVAL {_KM_CENSOR_DAYS} DAY
+              THEN 1 ELSE 0 END AS ev
+  FROM orders GROUP BY o_custkey
+),
+counts AS (
+  SELECT dur AS t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM life GROUP BY dur
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0 FROM life)
+SELECT t, d, c, n0, ROW_NUMBER() OVER (ORDER BY t) AS rn
+FROM counts, tot
+"""
+
+KM_REC_SQL = """
+WITH RECURSIVE km(rn, t, d, c, n, s) AS (
+  SELECT rn, t, d, c, n0,
+         FLOOR((1 - d / n0) * 1000000000 + 0.5) / 1000000000
+  FROM {spine} WHERE rn = 1
+  UNION ALL
+  SELECT s2.rn, s2.t, s2.d, s2.c,
+         km.n - km.d - km.c,
+         FLOOR(km.s * (1 - s2.d / (km.n - km.d - km.c))
+               * 1000000000 + 0.5) / 1000000000
+  FROM km JOIN {spine} s2 ON s2.rn = km.rn + 1
+)
+SELECT CAST(t AS BIGINT) AS months,
+       CAST(d AS BIGINT) AS n_churned,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(n AS BIGINT) AS at_risk,
+       s AS survival
+FROM km
+"""
+
+
+@register(
+    "customer_km_survival",
+    oracle=None,  # attached below: spine inlined + MATERIALIZED hint
+    survey=["survival-analysis", "kaplan-meier", "recursive", "statistics"],
+)
+def customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over customer lifetimes: lifetime =
+    months between a customer's first and last order; churn event if
+    the last order precedes the dataset horizon by more than
+    {censor} days, otherwise right-CENSORED (still active when
+    observation ended — the thing naive retention averages get wrong).
+    S(t_i) = S(t_(i-1)) * (1 - d_i / n_i) with n_i the at-risk count
+    just before t_i; censored customers leave the risk set without
+    registering an event.
+
+    Determinism and shape follow revenue_ewma_recursive: the only
+    corpus-sized work is the per-customer min/max aggregate; the spine
+    is one row per DISTINCT lifetime (gaps need no densification — S
+    only changes at event times, the textbook KM product), and the
+    recursion carries the at-risk count itself (n_(i+1) = n_i - d_i -
+    c_i), so there is no suffix-sum window anywhere. Each step's
+    survival is floor-quantized at 1e-9, making the chained product
+    bit-identical across engines; d/n divisions are single IEEE ops on
+    exactly-represented counts. Spine length <= months-in-dataset
+    (~80), independent of table size.
+    """
+    from flights_etl_pipeline_spark.plans.queries_core import _rec_spine_view
+
+    _rec_spine_view(spark, sf_dir, KM_SPINE_SQL, "rec_km")
+    return spark.sql(KM_REC_SQL.format(spine="rec_km"))
+
+
+customer_km_survival.__doc__ = customer_km_survival.__doc__.format(
+    censor=_KM_CENSOR_DAYS
+)
+
+
+def _attach_km_oracle() -> None:
+    """Oracle = spine inlined as a CTE (MATERIALIZED so DuckDB does not
+    re-evaluate the corpus aggregate per recursion step — the _duck_mat
+    rule) + the same recursion text."""
+    from dataclasses import replace
+
+    from flights_etl_pipeline_spark.plans.registry import REGISTRY
+
+    spine_body = KM_SPINE_SQL.strip().removeprefix("WITH").strip()
+    oracle = (
+        "WITH RECURSIVE "
+        + spine_body.replace(
+            "horizon AS (", "horizon AS MATERIALIZED (", 1
+        ).rsplit("SELECT t, d, c, n0", 1)[0]
+        + ",\nspine AS MATERIALIZED (\nSELECT t, d, c, n0, "
+        "ROW_NUMBER() OVER (ORDER BY t) AS rn\nFROM counts, tot\n),\n"
+        + KM_REC_SQL.format(spine="spine").strip().removeprefix(
+            "WITH RECURSIVE"
+        ).strip()
+    )
+    spec = REGISTRY["customer_km_survival"]
+    if spec.oracle is None:
+        REGISTRY["customer_km_survival"] = replace(spec, oracle=oracle)
+
+
+_attach_km_oracle()
