@@ -78,6 +78,13 @@ _SF1_SPOT = (
     # slopes guard the fixes at 10x, not just the sf0.1 wall
     "pca_projection",
     "phrase_search",
+    # r9 flagship additions: the two-pass batch serve (scan-bound; its
+    # domain-bounded histogram channel must not grow with rows) and
+    # CDC chunking (row-local projection + one hash-keyed agg; on the
+    # replicated fixture every chunk is 10x denser -- extreme-dup,
+    # like the LSH spots)
+    "ann_batch_serve",
+    "cdc_chunk_dedup",
 )
 _SF1_REPLICAS = 10
 # Bump when the replication rule below changes in ANY way: the tag is

@@ -1719,6 +1719,7 @@ LIMIT {_CDC_TOPK}
     "cdc_chunk_dedup",
     oracle=CDC_CHUNK_SQL,
     survey=["dedup-cdc", "content-defined-chunking", "rolling-hash"],
+    bench=True,
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup — the rsync/LBFS/backup-store

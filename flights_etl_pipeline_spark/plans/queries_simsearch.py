@@ -2316,6 +2316,7 @@ QUALIFY ROW_NUMBER() OVER (
     "ann_batch_serve",
     oracle=ANN_BATCH_SERVE_SQL,
     survey=["simsearch-batch-serve", "two-pass-threshold", "scale-escalation"],
+    bench=True,
 )
 def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT cosine top-{k} for a BATCH of {q} queries in two corpus
