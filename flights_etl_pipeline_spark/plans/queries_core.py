@@ -4455,3 +4455,180 @@ def lineitem_mutual_information(
         .crossJoin(F.broadcast(tot))
         .select("qbin", "pbin", "n", term.alias("mi_term_nano"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+THEILSEN_SQL = f"""
+WITH monthly AS (
+  SELECT n.n_name AS nation_name,
+         (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) AS t,
+         {_sql_dsum('o.o_totalprice')} AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate)
+),
+slopes AS (
+  SELECT a.nation_name,
+         CAST(b.rev - a.rev AS DOUBLE) / (b.t - a.t) AS slope,
+         a.t AS ti, b.t AS tj
+  FROM monthly a JOIN monthly b
+    ON a.nation_name = b.nation_name AND a.t < b.t
+),
+ranked AS (
+  SELECT nation_name, slope,
+         ROW_NUMBER() OVER (
+           PARTITION BY nation_name ORDER BY slope, ti, tj) AS rn,
+         COUNT(*) OVER (PARTITION BY nation_name) AS np
+  FROM slopes
+),
+med AS (
+  SELECT nation_name,
+         0.5 * (MAX(CASE WHEN rn = (np + 1) // 2 THEN slope END)
+                + MAX(CASE WHEN rn = np // 2 + 1 THEN slope END)) AS m_slope,
+         MAX(np) AS n_pairs
+  FROM ranked GROUP BY nation_name
+),
+resid AS (
+  SELECT m.nation_name, m.m_slope, m.n_pairs,
+         CAST(mo.rev AS DOUBLE) - m.m_slope * mo.t AS r,
+         mo.t,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.nation_name
+           ORDER BY CAST(mo.rev AS DOUBLE) - m.m_slope * mo.t, mo.t) AS rn,
+         COUNT(*) OVER (PARTITION BY m.nation_name) AS nm
+  FROM med m JOIN monthly mo ON m.nation_name = mo.nation_name
+)
+SELECT nation_name,
+       CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+       {_sql_dround('MAX(m_slope)', 4)} AS ts_slope,
+       {_sql_dround(
+           '0.5 * (MAX(CASE WHEN rn = (nm + 1) // 2 THEN r END)'
+           ' + MAX(CASE WHEN rn = nm // 2 + 1 THEN r END))', 2)}
+         AS ts_intercept
+FROM resid GROUP BY nation_name
+"""
+
+
+@register(
+    "theilsen_nation_trend",
+    oracle=THEILSEN_SQL,
+    survey=["theil-sen", "robust-statistics", "trend", "window"],
+)
+def theilsen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation: the median of all pairwise
+    monthly-revenue slopes (breakdown point ~29 % vs OLS's 0 — one
+    corrupted month cannot move it), intercept = median residual at the
+    fitted slope. The robust sibling of nation_revenue_trend_ols.
+
+    Engine-exactness: slopes are (exact-decimal rev difference) cast to
+    double, one IEEE divide by an integer month gap — identical in both
+    engines. The median NEVER uses an engine median/percentile builtin
+    (interpolation op order differs between engines in the last ulp):
+    both sides rank with ROW_NUMBER over (slope, ti, tj) and average the
+    two middle ranks with an explicit 0.5*(lo+hi) — the same IEEE op
+    sequence everywhere, no interpolation ambiguity.
+
+    Scale shape: the pairwise self-join is O(m^2) per nation in MONTHS
+    (m is calendar-bounded — 84 at 7 years — regardless of corpus rows,
+    so 100 TB of orders still yields ~3.5k slope rows per nation after
+    the first map-combinable aggregate). Rank windows partition by
+    nation over those bounded groups; no corpus-sized window or sort
+    anywhere past the monthly rollup."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+    monthly = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"), t.alias("t"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.nation_name") == F.col("b.nation_name"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.nation_name").alias("nation_name"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+        F.col("a.t").alias("ti"),
+        F.col("b.t").alias("tj"),
+    )
+    w = Window.partitionBy("nation_name").orderBy("slope", "ti", "tj")
+    wn = Window.partitionBy("nation_name")
+    ranked = slopes.select(
+        "nation_name",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    med = ranked.groupBy("nation_name").agg(
+        (
+            0.5
+            * (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("np") + 1) / 2),
+                        F.col("slope"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.floor(F.col("np") / 2) + 1,
+                        F.col("slope"),
+                    )
+                )
+            )
+        ).alias("m_slope"),
+        F.max("np").alias("n_pairs"),
+    )
+    resid = med.join(monthly, "nation_name").select(
+        "nation_name",
+        "m_slope",
+        "n_pairs",
+        (F.col("rev").cast("double") - F.col("m_slope") * F.col("t")).alias(
+            "r"
+        ),
+        "t",
+    )
+    wr = Window.partitionBy("nation_name").orderBy("r", "t")
+    wrn = Window.partitionBy("nation_name")
+    rr = resid.select(
+        "nation_name",
+        "m_slope",
+        "n_pairs",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wrn).alias("nm"),
+    )
+    return rr.groupBy("nation_name").agg(
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        dround(F.max("m_slope"), 4).alias("ts_slope"),
+        dround(
+            0.5
+            * (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("nm") + 1) / 2),
+                        F.col("r"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.floor(F.col("nm") / 2) + 1,
+                        F.col("r"),
+                    )
+                )
+            ),
+            2,
+        ).alias("ts_intercept"),
+    )

@@ -2497,3 +2497,123 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Episode mining: "A happens before B" co-occurrence with lift
+# ---------------------------------------------------------------------------
+
+EPISODE_SQL = """
+WITH fo0 AS (
+  SELECT user_id, event_type, MIN(ts) AS fts
+  FROM events GROUP BY user_id, event_type
+),
+fo AS (
+  SELECT f.user_id, f.event_type, f.fts, MIN(e.event_id) AS feid
+  FROM fo0 f
+  JOIN events e ON e.user_id = f.user_id
+   AND e.event_type = f.event_type AND e.ts = f.fts
+  GROUP BY f.user_id, f.event_type, f.fts
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_ab
+  FROM fo a JOIN fo b
+    ON a.user_id = b.user_id
+   AND (a.fts < b.fts OR (a.fts = b.fts AND a.feid < b.feid))
+  GROUP BY a.event_type, b.event_type
+),
+marg AS (SELECT event_type, COUNT(*) AS n_t FROM fo GROUP BY event_type),
+u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+SELECT p.type_a, p.type_b, p.n_ab,
+       FLOOR(CAST(p.n_ab AS DOUBLE) / ma.n_t * 1000000 + 0.5) / 1000000
+         AS confidence,
+       FLOOR(CAST(p.n_ab AS DOUBLE) * u.n_users
+             / (CAST(ma.n_t AS DOUBLE) * mb.n_t) * 1000000 + 0.5) / 1000000
+         AS lift
+FROM pairs p
+JOIN marg ma ON p.type_a = ma.event_type
+JOIN marg mb ON p.type_b = mb.event_type
+CROSS JOIN u
+"""
+
+
+@register(
+    "events_episode_lift",
+    oracle=EPISODE_SQL,
+    survey=["episode-mining", "sequential-patterns", "user-journey"],
+)
+def events_episode_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Episode pairs over user journeys: for each ordered event-type pair
+    (A, B), the number of users whose FIRST A precedes their FIRST B,
+    with confidence P(B after A | A) and lift vs independence. Unlike
+    event_transitions (consecutive Markov steps) this counts
+    subsequence containment at any gap -- the sequential-pattern
+    support an episode miner (WINEPI-style) computes.
+
+    Determinism: first occurrences are min(struct(ts, event_id)) so
+    same-timestamp ties break on the stable event id; ordering between
+    two first-occurrences compares (ts, event_id) lexicographically.
+    Confidence/lift are single IEEE divisions of exact counts, quantized
+    at 1e-6.
+
+    Scale shape: one map-combinable aggregate to first-occurrences
+    (|users| x |types| rows -- types is a small enum, so this is
+    user-cardinality), then a per-user self-join whose fan-out is
+    |types|^2 per user (bounded, ~36), never |events|^2. Marginals are
+    type-cardinality-sized and broadcast. The distinct-user count rides
+    a separate tiny aggregate."""
+    ev = load(spark, sf_dir, "events")
+    fo = ev.groupBy("user_id", F.col("event_type")).agg(
+        F.min(F.struct("ts", "event_id")).alias("f")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("f.ts").alias("fts"),
+        F.col("f.event_id").alias("feid"),
+    )
+    a, b = fo.alias("a"), fo.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (
+                (F.col("a.fts") < F.col("b.fts"))
+                | (
+                    (F.col("a.fts") == F.col("b.fts"))
+                    & (F.col("a.feid") < F.col("b.feid"))
+                )
+            ),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    marg = fo.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    conf = F.col("n_ab").cast("double") / F.col("ma.n_t")
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_users")
+        / (F.col("ma.n_t").cast("double") * F.col("mb.n_t"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.alias("ma")),
+            F.col("type_a") == F.col("ma.event_type"),
+        )
+        .join(
+            F.broadcast(marg.alias("mb")),
+            F.col("type_b") == F.col("mb.event_type"),
+        )
+        .crossJoin(F.broadcast(users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            dround(conf, 6).alias("confidence"),
+            dround(lift, 6).alias("lift"),
+        )
+    )
