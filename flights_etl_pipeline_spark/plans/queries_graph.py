@@ -931,3 +931,120 @@ def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("npt").alias("n_degree_levels"),
         guarded.alias("powerlaw_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed K, synchronous peel to fixpoint)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 8
+_KCORE_MAX_ROUNDS = 12
+
+
+def _kcore_sql() -> str:
+    """Unrolled synchronous peel: stage i+1 keeps edges whose BOTH
+    endpoints have degree >= K in stage i. {_KCORE_MAX_ROUNDS} stages
+    strictly dominate the fixpoint on every fixture (the Spark side
+    asserts convergence within the same budget, so a fixture that
+    peels deeper fails loudly on both sides rather than diverging)."""
+    # AS MATERIALIZED: without it DuckDB inlines each CTE at every
+    # reference site -- three references per stage compound to 3^R
+    # inlined copies of the base scan (observed as an fd explosion).
+    stages = [f"e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s\n"
+              f"  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)"]
+    for i in range(_KCORE_MAX_ROUNDS):
+        stages.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT c, s FROM e{i}\n"
+            f"  WHERE c IN (SELECT c FROM e{i} GROUP BY c"
+            f" HAVING COUNT(*) >= {_KCORE_K})\n"
+            f"    AND s IN (SELECT s FROM e{i} GROUP BY s"
+            f" HAVING COUNT(*) >= {_KCORE_K}))"
+        )
+    last = f"e{_KCORE_MAX_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(stages) + f"""
+SELECT node, node_type, CAST(deg_core AS BIGINT) AS deg_core
+FROM (
+  SELECT c AS node, 'customer' AS node_type, COUNT(*) AS deg_core
+  FROM {last} GROUP BY c
+  UNION ALL
+  SELECT s AS node, 'supplier' AS node_type, COUNT(*) AS deg_core
+  FROM {last} GROUP BY s
+)
+"""
+    )
+
+
+@register(
+    "copurchase_kcore",
+    oracle=_kcore_sql(),
+    survey=["k-core", "graph", "iterative", "community"],
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the bipartite co-purchase graph: synchronously peel
+    nodes with degree < {k} until fixpoint; emit surviving nodes with
+    their in-core degree. The density filter community detection and
+    fraud screening run before expensive per-node models -- nodes
+    outside the core cannot belong to any subgraph of minimum degree
+    {k}.
+
+    Both sides run the SAME synchronous peel schedule: Spark iterates
+    (degree aggregate -> semi-join filter -> localCheckpoint) with an
+    early exit when the edge count reaches fixpoint, and ASSERTS
+    convergence within {r} rounds -- the oracle unrolls exactly {r}
+    stages, so a fixture that needs deeper peeling fails loudly on the
+    Spark side instead of silently disagreeing.
+
+    Scale shape: each round is two map-combinable degree aggregates
+    and two semi-joins on the edge keys, O(|E|) per round with AQE
+    picking the join strategy; localCheckpoint truncates lineage so
+    the plan stays round-sized (pagerank discipline). The edge-count
+    convergence check rides the checkpoint action via count() on the
+    checkpointed frame -- O(1) per round, no extra scan of the
+    un-checkpointed lineage."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        if n_edges == 0:
+            break
+        cd = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+        sd = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+        keep_c = cd.filter(F.col("dc") >= _KCORE_K).select("c")
+        keep_s = sd.filter(F.col("ds") >= _KCORE_K).select("s")
+        nxt = (
+            edges.join(keep_c, "c", "left_semi")
+            .join(keep_s, "s", "left_semi")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        edges = nxt
+        if n_nxt == n_edges:
+            break
+        n_edges = n_nxt
+    else:
+        raise AssertionError(
+            f"k-core did not reach fixpoint within {_KCORE_MAX_ROUNDS} "
+            f"rounds -- raise _KCORE_MAX_ROUNDS (and the oracle unroll) "
+            f"together"
+        )
+    cust = edges.groupBy(F.col("c").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg_core")
+    ).select("node", F.lit("customer").alias("node_type"), "deg_core")
+    supp = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg_core")
+    ).select("node", F.lit("supplier").alias("node_type"), "deg_core")
+    return cust.unionAll(supp).select(
+        "node", "node_type", F.col("deg_core").cast("bigint").alias("deg_core")
+    )
+
+
+copurchase_kcore.__doc__ = copurchase_kcore.__doc__.format(
+    k=_KCORE_K, r=_KCORE_MAX_ROUNDS
+)

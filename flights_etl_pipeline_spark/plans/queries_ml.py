@@ -3600,3 +3600,92 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 k_anonymity_suppress.__doc__ = k_anonymity_suppress.__doc__.format(k=_KANON_K)
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy-style noisy release (seeded Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # epsilon; sensitivity of a count is 1 -> scale b = 1/eps
+_DP_SEED = "dp-r9-seed"
+_DP_TWO52 = float(1 << 52)
+
+_DP_U_SQL = (
+    f"CAST(CAST(concat('0x', substr(md5(event_type || '|{_DP_SEED}'), 1, 15))"
+    f" AS BIGINT) % {1 << 52} AS DOUBLE) / {_DP_TWO52!r}"
+)
+
+DP_LAPLACE_SQL = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type
+),
+noise AS (
+  SELECT event_type, n_true,
+         {_DP_U_SQL} - 0.5 AS uc
+  FROM counts
+)
+SELECT event_type, n_true,
+       FLOOR((CASE WHEN uc >= 0 THEN -1.0 ELSE 1.0 END)
+             * (1.0 / {_DP_EPS!r})
+             * LN(GREATEST(1.0 - 2.0 * ABS(uc), 1e-15))
+             * 1000000 + 0.5) / 1000000 AS noise,
+       CAST(n_true AS DOUBLE)
+         + FLOOR((CASE WHEN uc >= 0 THEN -1.0 ELSE 1.0 END)
+                 * (1.0 / {_DP_EPS!r})
+                 * LN(GREATEST(1.0 - 2.0 * ABS(uc), 1e-15))
+                 * 1000000 + 0.5) / 1000000 AS noisy_n
+FROM noise
+"""
+
+
+@register(
+    "dp_laplace_event_counts",
+    oracle=DP_LAPLACE_SQL,
+    survey=["differential-privacy", "laplace-mechanism", "privacy"],
+)
+def dp_laplace_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy count release per event type (epsilon=1,
+    count sensitivity 1): the DP sibling of the k-anonymity gate —
+    k-anonymity suppresses small groups, the Laplace mechanism
+    perturbs every released count so no single user's presence is
+    inferable from the output. n_true is kept in the result ONLY so the
+    correctness gate can check the mechanism arithmetic; a production
+    release drops it.
+
+    Determinism across engines: DP noise needs randomness, but the
+    correctness gate needs reproducibility, so the uniform draw is a
+    seeded md5 hash of the group key (60-bit prefix mod 2^52, one exact
+    divide by 2^52) — the same engine-portable trick as
+    train_test_split. Inverse-CDF Laplace: sign(u-.5) * (1/eps) *
+    ln(1-2|u-.5|), the only transcendental (ln) immediately quantized
+    at 1e-6 per the BM25 discipline (last-ulp libm differences cannot
+    survive the quantize); GREATEST(, 1e-15) guards the measure-zero
+    u=0 draw. At production scale, swap the seed per release epoch;
+    the plan is unchanged.
+
+    Scale shape: one map-combinable count aggregate; the noise is a
+    stateless per-group projection (no second pass, no join, no
+    window)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "event_type", F.lit(_DP_SEED))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 52)
+    ).cast("double") / F.lit(_DP_TWO52)
+    uc = u - F.lit(0.5)
+    raw = (
+        F.when(uc >= 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.lit(1.0 / _DP_EPS)
+        * F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(uc), F.lit(1e-15)))
+    )
+    noise = F.floor(raw * 1000000 + F.lit(0.5)) / 1000000
+    return counts.select(
+        "event_type",
+        "n_true",
+        noise.alias("noise"),
+        (F.col("n_true").cast("double") + noise).alias("noisy_n"),
+    )

@@ -729,3 +729,165 @@ def _attach_km_oracle() -> None:
 
 
 _attach_km_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (single-pass resampling)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 40  # replicates; 95% CI = rank-picked 2nd / 39th replicate
+_BOOT_SEED = "boot-r9"
+_BOOT_TWO52 = float(1 << 52)
+# Poisson(1) inverse CDF thresholds (exact double literals, identical
+# comparisons in both engines); draws past 6 are capped at 7 -- a
+# ~1e-5-probability truncation that is part of the mechanism's
+# definition, not a stats approximation claim.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+
+def _boot_u_sql(b: str) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(CAST({b} AS VARCHAR) || '|' || "
+        f"CAST(o_orderkey AS VARCHAR) || '|{_BOOT_SEED}'), 1, 15)) AS BIGINT)"
+        f" % {1 << 52} AS DOUBLE) / {_BOOT_TWO52!r}"
+    )
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE{branches} ELSE 7 END"
+
+
+BOOTSTRAP_SQL = f"""
+WITH draws AS (
+  SELECT b, o_orderkey,
+         {_pois_case_sql(_boot_u_sql('b'))} AS w,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders CROSS JOIN (SELECT UNNEST(range(1, {_BOOT_B + 1})) AS b)
+),
+reps AS (
+  SELECT b,
+         CAST(SUM(w * price) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM draws GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM reps
+),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS est
+  FROM orders
+)
+SELECT pt.n_orders,
+       FLOOR(pt.est * 10000 + 0.5) / 10000 AS est_mean,
+       FLOOR(MAX(CASE WHEN rn = 2 THEN mean_b END) * 10000 + 0.5) / 10000
+         AS ci_lo,
+       FLOOR(MAX(CASE WHEN rn = {_BOOT_B - 1} THEN mean_b END) * 10000 + 0.5)
+         / 10000 AS ci_hi
+FROM ranked CROSS JOIN pt
+GROUP BY pt.n_orders, pt.est
+"""
+
+
+@register(
+    "revenue_bootstrap_ci",
+    oracle=BOOTSTRAP_SQL,
+    survey=["bootstrap", "confidence-interval", "resampling", "statistics"],
+)
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean order value via the POISSON bootstrap
+    -- the resampling scheme that distributes: a classical bootstrap
+    draws n-out-of-n WITH replacement (requires global coordination);
+    Poisson(1) per-row replicate weights approximate it with no
+    coordination at all, so all {b} replicates ride ONE scan as a
+    generate + partial aggregate (the scheme production systems use
+    for CIs over sharded data).
+
+    Determinism: the per-(replicate, row) uniform is a seeded md5
+    (train_test_split trick); the Poisson inverse-CDF thresholds are
+    exact double literals compared identically in both engines; draws
+    past 6 cap at 7 (~1e-5 of draws -- a defined part of the
+    mechanism). Replicate means are exact-decimal sums divided once;
+    CI bounds are RANK-PICKED replicates (never percentile
+    interpolation, theilsen discipline), quantized at 1e-4.
+
+    Scale shape: one Generate (x{b} rows) feeding a map-side-combinable
+    (b)-keyed aggregate -- the exploded stream never shuffles at full
+    width, only {b} partials per task do; the replicate table is
+    {b} rows, its ranking window trivially small. Total cost ~{b}x one
+    scan's arithmetic but only ONE pass over storage."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("b").cast("string"),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(_BOOT_SEED),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 52)
+    ).cast("double") / F.lit(_BOOT_TWO52)
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    draws = orders.select(
+        b, "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    ).select("b", w.alias("w"), "price")
+    reps = draws.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("price")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy().orderBy("mean_b", "b"))
+    ranked = reps.select("mean_b", "b", rn.alias("rn"))
+    pt = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("est"),
+    )
+    q = F.lit(10000)
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .groupBy("n_orders", "est")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("lo"),
+            F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_b"))).alias(
+                "hi"
+            ),
+        )
+        .select(
+            "n_orders",
+            (F.floor(F.col("est") * q + 0.5) / q).alias("est_mean"),
+            (F.floor(F.col("lo") * q + 0.5) / q).alias("ci_lo"),
+            (F.floor(F.col("hi") * q + 0.5) / q).alias("ci_hi"),
+        )
+    )
+
+
+revenue_bootstrap_ci.__doc__ = revenue_bootstrap_ci.__doc__.format(b=_BOOT_B)

@@ -20,7 +20,11 @@ from flights_etl_pipeline_spark.functions.text import (
     stopword_score,
     tokenize,
 )
-from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.registry import (
+    load,
+    register,
+    result_checkpoint,
+)
 
 # ---------------------------------------------------------------------------
 # Document stats: token counts, lengths, fingerprint
@@ -2379,4 +2383,181 @@ def vocab_coverage_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 vocab_coverage_table.__doc__ = vocab_coverage_table.__doc__.format(
     nk=len(_COVERAGE_KS)
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine document-pair similarity (inverted-index self-join)
+# ---------------------------------------------------------------------------
+
+_TFIDF_DF_MIN = 2  # df=1 shingles cannot pair -- drop before the join
+_TFIDF_DF_CAP = 100  # posting-length cap: bounds self-join fan-out per term
+_TFIDF_TOPK = 50
+_IDF_POW = 10**4  # idf quantized to 1e-4 micro-units (exact int weights)
+
+_TFIDF_NORM_SQL = "TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+_TFIDF_TOKS_SQL = f"string_split({_TFIDF_NORM_SQL}, ' ')"
+_TFIDF_SHINGLES_SQL = (
+    "LIST_TRANSFORM("
+    f"generate_series(1, GREATEST(len({_TFIDF_TOKS_SQL}) - 2, 1)), "
+    f"i -> concat_ws(' ', {_TFIDF_TOKS_SQL}[i], {_TFIDF_TOKS_SQL}[i+1], "
+    f"{_TFIDF_TOKS_SQL}[i+2]))"
+)
+
+TFIDF_COSINE_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, s, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST({_TFIDF_SHINGLES_SQL}) AS s FROM documents)
+  GROUP BY doc_id, s
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+  SELECT s,
+         CAST(FLOOR(LN((1.0 + n_docs) / (1.0 + COUNT(*)))
+                    * {_IDF_POW} + 0.5) AS BIGINT) AS idf_q
+  FROM tf CROSS JOIN nd
+  GROUP BY s, n_docs
+  HAVING COUNT(*) BETWEEN {_TFIDF_DF_MIN} AND {_TFIDF_DF_CAP}
+),
+post AS (
+  SELECT t.doc_id, t.s, t.tf * i.idf_q AS w
+  FROM tf t JOIN idf i ON t.s = i.s
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM post GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(a.w * b.w) AS dot, COUNT(*) AS n_shared
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b, CAST(d.n_shared AS BIGINT) AS n_shared,
+       FLOOR(CAST(d.dot AS DOUBLE)
+             / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS cos_sim
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+ORDER BY cos_sim DESC, d.doc_a, d.doc_b
+LIMIT {_TFIDF_TOPK}
+"""
+
+
+@register(
+    "tfidf_cosine_topk",
+    oracle=TFIDF_COSINE_SQL,
+    survey=["tfidf", "sparse-similarity", "inverted-index", "dedup"],
+    bench=True,
+)
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical document similarity: top-{topk} doc pairs by
+    TF-IDF cosine over word-trigram shingles, candidates generated by
+    an inverted-index self-join -- the lexical complement of the
+    embedding ANN family (embedding_neardup finds semantic twins;
+    this finds verbatim/boilerplate overlap with interpretable shared
+    terms).
+
+    Engine-exactness: idf is the only transcendental, quantized to
+    integer 1e-4 units immediately (BM25 discipline), so weights
+    w = tf * idf_q and all sums (norms, dots) are EXACT integers --
+    kept under 2^53 by the 1e-4 scale so the final int->double casts
+    are exact in both engines; cosine is then two casts, one sqrt, one
+    divide (single IEEE ops), quantized at 1e-6 before the ordered
+    limit with full (doc_a, doc_b) tie-break.
+
+    Scale shape: the classic DF-cut makes this sub-quadratic -- terms
+    with df > {cap} (stopword-like, pair-explosive: a df-d term alone
+    contributes d(d-1)/2 candidate pairs) and df < 2 (cannot pair) are
+    dropped BEFORE the self-join, bounding fan-out per term at
+    {cap}^2; at 100 TB the cap becomes a df-fraction cut and the same
+    plan holds. One explode -> two map-combinable aggregates; the
+    posting self-join shuffles on shingle (high-cardinality, capped
+    skew by construction); norms join on doc_id (AQE picks strategy --
+    doc-cardinality grows with the corpus, so no broadcast hint). The
+    top-k is a TakeOrdered, never a global sort."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("toks")
+    )
+    ex = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.try_element_at("toks", F.col("i") + j) for j in range(3)]
+        ).alias("s"),
+    )
+    tf = ex.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= _TFIDF_DF_MIN) & (F.col("df") <= _TFIDF_DF_CAP)
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "s",
+            F.floor(
+                F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                * _IDF_POW
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_q"),
+        )
+    )
+    # The postings table feeds FOUR plan legs (self-join a/b sides and
+    # both norm joins); without a persist the tokenize->explode->tf->idf
+    # chain -- the corpus-sized part -- executes four times.
+    post = (
+        tf.join(idf, "s")
+        .select("doc_id", "s", (F.col("tf") * F.col("idf_q")).alias("w"))
+        .persist()
+    )
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")
+    )
+    out = (
+        dots.join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            dround(cos, 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(_TFIDF_TOPK)
+    )
+    # k-row result: materialize eagerly so the postings cache releases
+    # here instead of leaking across invocations (pagerank discipline).
+    out = result_checkpoint(out)
+    post.unpersist()
+    return out
+
+
+tfidf_cosine_topk.__doc__ = tfidf_cosine_topk.__doc__.format(
+    topk=_TFIDF_TOPK, cap=_TFIDF_DF_CAP
 )

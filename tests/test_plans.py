@@ -97,6 +97,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "hybrid_retrieval_rrf",  # rank windows over each retrieval leg's
     # own top-20 heap output (TakeOrdered result — bounded by
     # construction at any SF); the corpus-sized passes are window-free
+    "revenue_bootstrap_ci",  # rank window over the 40-row replicate
+    # aggregate (B-bounded by construction at any SF); the corpus-
+    # sized pass is one window-free generate+aggregate
     "vocab_build",  # class-offset prefix sum over the (freq, first-
     # char) histogram — bounded by distinct-freqs x alphabet, never
     # corpus- or vocab-sized; replaced the O(H^2) BNLJ the r5 plan

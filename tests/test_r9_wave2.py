@@ -1,0 +1,231 @@
+"""Round-9 second wave: Theil-Sen robust trend, episode mining,
+DP Laplace release, TF-IDF sparse pair similarity.
+
+Each test builds a tiny synthetic fixture whose correct answer is
+derivable by hand, so it pins MECHANISM (robustness, ordering
+semantics, mechanism arithmetic), not just parity -- parity with
+DuckDB is the driver gate's job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _write(df, path):
+    df.write.mode("overwrite").parquet(str(path))
+
+
+def test_theilsen_ignores_single_corrupt_month(spark, tmp_path):
+    """12 months of exactly-linear revenue (slope 100/month) with ONE
+    month corrupted by +1e6: OLS would move the slope by thousands;
+    the Theil-Sen median slope must stay exactly 100. (The corrupt
+    month contributes only 11 of the 66 pairwise slopes -- under the
+    29% breakdown point.)"""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        theilsen_nation_trend,
+    )
+
+    orders = []
+    oid = 0
+    for m in range(1, 13):  # 1995-01 .. 1995-12, t = m
+        rev = 1000.0 + 100.0 * m + (1e6 if m == 7 else 0.0)
+        orders.append((oid, 1, rev, dt.date(1995, m, 15)))
+        oid += 1
+    _write(
+        spark.createDataFrame(
+            orders,
+            "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, "
+            "o_orderdate DATE",
+        ),
+        tmp_path / "orders.parquet",
+    )
+    _write(
+        spark.createDataFrame([(1, 0)], "c_custkey LONG, c_nationkey LONG"),
+        tmp_path / "customer.parquet",
+    )
+    _write(
+        spark.createDataFrame([(0, "X")], "n_nationkey LONG, n_name STRING"),
+        tmp_path / "nation.parquet",
+    )
+    rows = theilsen_nation_trend(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_pairs"] == 66
+    assert r["ts_slope"] == 100.0, r
+    # intercept: median residual at slope 100 -- the 11 clean months
+    # all have residual exactly 1000, so the median is 1000 too
+    assert r["ts_intercept"] == 1000.0, r
+
+
+def test_episode_lift_orders_and_ties(spark, tmp_path):
+    """Hand-checkable journeys: u1 sees A then B, u2 sees B then A,
+    u3 sees A only, u4 sees A and B at the SAME timestamp (event_id
+    breaks the tie toward A-before-B)."""
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        events_episode_lift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    ev = [
+        (1, t0, 1, "A", 0.0, "{}"),
+        (2, t0 + s, 1, "B", 0.0, "{}"),
+        (3, t0, 2, "B", 0.0, "{}"),
+        (4, t0 + s, 2, "A", 0.0, "{}"),
+        (5, t0, 3, "A", 0.0, "{}"),
+        (6, t0, 4, "A", 0.0, "{}"),  # same ts as event 7, lower id
+        (7, t0, 4, "B", 0.0, "{}"),
+    ]
+    _write(
+        spark.createDataFrame(
+            ev,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING",
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in events_episode_lift(spark, str(tmp_path)).collect()
+    }
+    # A-before-B: u1 and u4 (tie broken by event_id) -> 2
+    assert got[("A", "B")]["n_ab"] == 2
+    # B-before-A: u2 only
+    assert got[("B", "A")]["n_ab"] == 1
+    # marginals: A first-occurs for 4 users, B for 3; n_users = 4
+    assert got[("A", "B")]["confidence"] == 0.5  # 2/4
+    assert got[("A", "B")]["lift"] == round(2 * 4 / (4 * 3), 6)
+    assert got[("B", "A")]["confidence"] == round(1 / 3, 6)
+
+
+def test_dp_laplace_mechanism_invariants(spark, sf_dir):
+    """The released noisy count must decompose exactly as
+    n_true + noise; noise is bounded by the eps=1 inverse-CDF range
+    (|ln 1e-15| ~ 34.5); the seeded draw is deterministic across runs
+    and distinct across groups (hash-seeded, not constant)."""
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        dp_laplace_event_counts,
+    )
+
+    rows1 = sorted(
+        dp_laplace_event_counts(spark, sf_dir).collect(),
+        key=lambda r: r["event_type"],
+    )
+    rows2 = sorted(
+        dp_laplace_event_counts(spark, sf_dir).collect(),
+        key=lambda r: r["event_type"],
+    )
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    noises = set()
+    for r in rows1:
+        assert r["noisy_n"] == r["n_true"] + r["noise"], r
+        assert abs(r["noise"]) <= 35.0, r
+        noises.add(r["noise"])
+    assert len(noises) == len(rows1), "hash-seeded noise must vary by key"
+
+
+def test_tfidf_cosine_identical_docs_and_df_cut(spark, tmp_path):
+    """doc 1 == doc 2 exactly -> cosine 1.0 at the top; doc 3 shares
+    no trigram with anything (its df=1 shingles are cut before the
+    join, so it appears in NO pair); doc 4 overlaps docs 1/2 partially
+    -> 0 < cos < 1."""
+    from flights_etl_pipeline_spark.plans.queries_text import (
+        tfidf_cosine_topk,
+    )
+
+    docs = [
+        (1, "a b c d e", "en", "web", 9),
+        (2, "a b c d e", "en", "web", 9),
+        (3, "x y z w v u", "en", "web", 11),
+        (4, "a b c q r s t", "en", "web", 13),
+    ]
+    _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id LONG, text STRING, lang STRING, source STRING, "
+            "n_chars LONG",
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = tfidf_cosine_topk(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert set(pairs) == {(1, 2), (1, 4), (2, 4)}
+    assert pairs[(1, 2)]["cos_sim"] == 1.0
+    assert pairs[(1, 2)]["n_shared"] == 3  # a b c / b c d / c d e
+    assert 0.0 < pairs[(1, 4)]["cos_sim"] < 1.0
+    # symmetric overlap: (1,4) and (2,4) must score identically
+    assert pairs[(1, 4)]["cos_sim"] == pairs[(2, 4)]["cos_sim"]
+    assert rows[0]["cos_sim"] == max(r["cos_sim"] for r in rows)
+
+
+def test_kcore_cascading_peel_and_cycle_survives(spark, tmp_path, monkeypatch):
+    """K=2 hand graph: a 4+4 bipartite cycle (every node degree 2 --
+    a 2-core, must survive whole) with a 3-segment tail (degree-1 end
+    peels first, the cascade removes the tail layer by layer over
+    multiple rounds). Pins the multi-round peel mechanism and that
+    peeling STOPS at the core instead of eroding it."""
+    import flights_etl_pipeline_spark.plans.queries_graph as g
+
+    monkeypatch.setattr(g, "_KCORE_K", 2)
+    # bipartite cycle c1-s1-c2-s2-c3-s3-c4-s4-c1 plus tail s4-c5-s5-c6
+    edges = [
+        (1, 1), (2, 1), (2, 2), (3, 2), (3, 3), (4, 3), (4, 4), (1, 4),
+        (5, 4),  # c5 in tail, shares s4 with the cycle
+        (5, 5),  # c5-s5
+        (6, 5),  # c6-s5; c6 degree 1 -> peels, then s5, then c5's edge
+    ]
+    orders = [(i, c) for i, (c, _s) in enumerate(edges)]
+    li = [(i, s) for i, (_c, s) in enumerate(edges)]
+    orders_df = spark.createDataFrame(orders, "o_orderkey LONG, o_custkey LONG")
+    li_df = spark.createDataFrame(li, "l_orderkey LONG, l_suppkey LONG")
+    orders_df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    li_df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = g.copurchase_kcore(spark, str(tmp_path)).collect()
+    got = {(r["node_type"], r["node"]): r["deg_core"] for r in rows}
+    expect = {("customer", c): 2 for c in (1, 2, 3, 4)}
+    expect.update({("supplier", s): 2 for s in (1, 2, 3, 4)})
+    assert got == expect, got
+
+
+def test_kcore_real_fixture_invariant(spark, sf_dir):
+    """Every surviving node's in-core degree >= K, and the peel is
+    non-trivial on the fixture (some nodes removed)."""
+    import flights_etl_pipeline_spark.plans.queries_graph as g
+
+    rows = g.copurchase_kcore(spark, sf_dir).collect()
+    assert rows, "core must be non-empty at K=8 on sf0.001"
+    assert all(r["deg_core"] >= g._KCORE_K for r in rows)
+    n_customers = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    n_core_cust = sum(1 for r in rows if r["node_type"] == "customer")
+    assert n_core_cust < n_customers, "peel must remove someone"
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """CI must bracket the full-sample mean, replicate determinism must
+    hold across invocations, and the point estimate must equal the
+    directly computed mean."""
+    from flights_etl_pipeline_spark.plans.queries_profile import (
+        revenue_bootstrap_ci,
+    )
+
+    r1 = revenue_bootstrap_ci(spark, sf_dir).collect()[0]
+    r2 = revenue_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1["ci_lo"] <= r1["est_mean"] <= r1["ci_hi"], r1
+    assert r1["ci_lo"] < r1["ci_hi"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    direct = orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("m")
+    ).collect()[0]["m"]
+    import math
+
+    assert r1["est_mean"] == math.floor(direct * 10000 + 0.5) / 10000
