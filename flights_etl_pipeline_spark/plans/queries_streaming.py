@@ -314,3 +314,32 @@ def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental index converges to the offline re-run of the same
     rule."""
     return jobs.corpus_release_stream(spark, sf_dir)
+
+
+@register(
+    "events_ohlc_stream",
+    oracle="""
+WITH r AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour_start, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT hour_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY event_type, hour_start
+""",
+    survey=["streaming", "ohlc", "watermark", "time-series"],
+)
+def events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode OHLC bars; exact parity with the batch
+    two-window oracle via the packed-ordering-key min_by/max_by
+    aggregate (see streaming.jobs.events_ohlc_stream)."""
+    return jobs.events_ohlc_stream(spark, sf_dir)

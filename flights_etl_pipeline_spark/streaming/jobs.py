@@ -1261,3 +1261,52 @@ def corpus_release_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_release_stream.__doc__ = corpus_release_stream.__doc__.format(
     n=_RELEASE_CHUNKS, base=_RELEASE_KEY_BASE
 )
+
+
+def events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: open/high/low/close of ``value`` per
+    (event_type, 1h window) in watermarked APPEND mode — each bar is
+    emitted exactly once, when the watermark closes its hour (the shape
+    a live metrics/market feed publishes).
+
+    Same single-hash-aggregate trick as the batch twin
+    (queries_events.events_ohlc_hourly): open/close are min_by/max_by
+    over a packed (within-hour-offset, event_id) long — declarative
+    aggregates, so the streaming state per (window, type) group is ONE
+    mutable buffer row; no sort, no per-window replay. Sentinel batches
+    advance the watermark past every real window; their own (future)
+    windows are filtered from the sink."""
+    stream_dir, max_us = prepare_stream_dir(
+        spark, sf_dir, n_chunks=4, sentinels=True
+    )
+    ev = read_event_stream(spark, stream_dir).withWatermark("ts", "1 hour")
+    hour = F.date_trunc("hour", "ts")
+    ordk = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(hour))
+        * F.lit(2147483648).cast("long")
+        + F.col("event_id")
+    )
+    bars = (
+        ev.withColumn("ordk", ordk)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", F.col("ordk")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ordk")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    out = _run_to_memory(bars, "append", "ohlc", state_partitions=8)
+    return out.filter(
+        F.col("hour_start") <= F.timestamp_micros(F.lit(max_us))
+    )

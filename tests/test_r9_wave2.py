@@ -229,3 +229,29 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
     import math
 
     assert r1["est_mean"] == math.floor(direct * 10000 + 0.5) / 10000
+
+
+def test_ohlc_stream_equals_batch_twin(spark, sf_dir):
+    """The watermarked append-mode OHLC stream must reproduce the batch
+    events_ohlc_hourly bars exactly (same packed-ordk min_by/max_by),
+    modulo column naming/order."""
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        events_ohlc_hourly,
+    )
+    from flights_etl_pipeline_spark.plans.queries_streaming import (
+        events_ohlc_stream,
+    )
+
+    batch = {
+        (r["event_type"], r["hour_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in events_ohlc_hourly(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["event_type"], r["hour_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in events_ohlc_stream(spark, sf_dir).collect()
+    }
+    assert stream == batch
