@@ -2448,3 +2448,165 @@ def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_batch_serve.__doc__ = ann_batch_serve.__doc__.format(k=_BATCH_K, q=_BATCH_Q)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 9)
+# ---------------------------------------------------------------------------
+
+_MMR_M = 30  # candidate pool (exact top-M by cosine to the query)
+_MMR_K = 10  # diversified picks
+_MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+_MMR_Q8 = "FLOOR({expr} * 100000000 + 0.5) / 100000000"
+
+
+def _mmr_sql() -> str:
+    """Greedy MMR as {k} unrolled MATERIALIZED stages (kcore trick):
+    each stage picks the argmax of 0.7*rel - 0.3*max-sim-to-selected
+    from the remaining candidates. rel and pair sims are QUANTIZED at
+    1e-8 before entering the MMR arithmetic, so both engines compare
+    identical doubles (single multiply/subtract IEEE ops on identical
+    inputs -> identical argmax, ties broken by vec_id)."""
+    q8 = _MMR_Q8
+    rel = q8.format(expr=sql_cosine("e.embedding", "q.qv"))
+    sim = q8.format(expr=sql_cosine("c.embedding", "s.embedding"))
+    parts = [
+        f"""q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding, {rel} AS rel
+  FROM embeddings e CROSS JOIN q
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_M}
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, embedding, rel, 1 AS rank, {_MMR_LAMBDA} * rel AS mmr
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),
+acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        parts.append(
+            f"""sel{t} AS MATERIALIZED (
+  SELECT vec_id, embedding, rel, {t} AS rank,
+         {_MMR_LAMBDA} * rel - {1 - _MMR_LAMBDA:.1f} * (
+           SELECT MAX({sim}) FROM acc{t - 1} s) AS mmr
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{t - 1})
+  ORDER BY mmr DESC, vec_id LIMIT 1
+),
+acc{t} AS MATERIALIZED (
+  SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})"""
+        )
+    out_mmr = q8.format(expr="mmr")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, vec_id, rel AS relevance,
+       {out_mmr} AS mmr_score
+FROM acc{_MMR_K}
+"""
+    )
+
+
+@register(
+    "ann_mmr_rerank",
+    oracle=_mmr_sql(),
+    survey=["mmr", "diversified-retrieval", "rerank", "simsearch"],
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: the exact cosine top-{m}
+    for query vec_id=0 is greedily re-ranked so each of the {k} picks
+    maximizes 0.7*relevance - 0.3*max-similarity-to-already-picked --
+    the standard redundancy-penalized serving rerank (a near-duplicate
+    of an already-returned hit adds no user value, however relevant).
+
+    Split exactly like a production serve path: the CORPUS-sized work
+    (score every vector, keep top-{m}) is one distributed
+    broadcast-join + TakeOrdered scan; the SELECTION over the {m}
+    collected candidates is driver-side frozen-model work (the
+    _probe_select precedent: O(M*K*dim) on M rows is serve-request
+    arithmetic, not data work), using py_decimal_dot -- the bit-exact
+    twin of the oracle's decimal fold. Relevance and pair sims are
+    quantized at 1e-8 BEFORE the MMR arithmetic on both sides, so the
+    greedy argmax compares identical doubles everywhere (the oracle
+    runs the same schedule as {k} unrolled MATERIALIZED stages).
+
+    Scale: candidate generation is the ann_bruteforce_topk plan (at
+    100 TB swap in the IVF probe scan -- selection is unchanged);
+    selection cost is independent of corpus size."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
+    cos = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    cand_rows = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", dround(cos, 8).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_M)
+        .collect()
+    )
+
+    def _q8(x: float) -> float:
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    # bit-exact rel/sim recompute (oracle-twin decimal fold), then the
+    # same quantize the oracle applies before its MMR arithmetic
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in cand_rows}
+    norms = {v: py_decimal_dot(vec, vec) for v, vec in vecs.items()}
+    qrow = next(r for r in cand_rows if r["vec_id"] == 0) if 0 in vecs else None
+    # the query vector is vec_id=0 (always its own top hit); fall back
+    # to an explicit 1-row collect if the fixture ever drops it
+    if qrow is None:
+        qvec = list(
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        )
+    else:
+        qvec = vecs[0]
+    qn = py_decimal_dot(qvec, qvec)
+    rel = {
+        v: _q8(py_decimal_dot(vec, qvec) / math.sqrt(norms[v] * qn))
+        for v, vec in vecs.items()
+    }
+
+    def sim(a: int, b: int) -> float:
+        return _q8(
+            py_decimal_dot(vecs[a], vecs[b])
+            / math.sqrt(norms[a] * norms[b])
+        )
+
+    remaining = sorted(vecs)
+    picked: list[tuple[int, int, float, float]] = []  # rank, vid, rel, mmr
+    first = min(remaining, key=lambda v: (-rel[v], v))
+    picked.append((1, first, rel[first], _MMR_LAMBDA * rel[first]))
+    remaining.remove(first)
+    while len(picked) < _MMR_K and remaining:
+        scored = [
+            (
+                _MMR_LAMBDA * rel[v]
+                - (1 - _MMR_LAMBDA)
+                * max(sim(v, p[1]) for p in picked),
+                v,
+            )
+            for v in remaining
+        ]
+        best_mmr, best = min(scored, key=lambda t: (-t[0], t[1]))
+        picked.append((len(picked) + 1, best, rel[best], best_mmr))
+        remaining.remove(best)
+    out = [
+        (rank, vid, r, _q8(m)) for rank, vid, r, m in picked
+    ]
+    return spark.createDataFrame(
+        out, "rank INT, vec_id LONG, relevance DOUBLE, mmr_score DOUBLE"
+    )
+
+
+ann_mmr_rerank.__doc__ = ann_mmr_rerank.__doc__.format(m=_MMR_M, k=_MMR_K)

@@ -255,3 +255,40 @@ def test_ohlc_stream_equals_batch_twin(spark, sf_dir):
         for r in events_ohlc_stream(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_mmr_skips_redundant_near_duplicate(spark, tmp_path):
+    """Corpus where the two most relevant hits are near-duplicates of
+    each other: pure relevance ranks them 1-2, but MMR must demote the
+    redundant twin below a less-relevant-but-diverse vector."""
+    import flights_etl_pipeline_spark.plans.queries_simsearch as ss
+
+    dim = 8
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    # unit vectors; e1/e2 nearly identical (sim ~.99999), e3 relevant
+    # but pointing elsewhere off-axis: mmr(e2|{0,1}) = .7*.949 -
+    # .3*.99999 = .364 < mmr(e3|{0,1}) = .7*.94 - .3*.94 = .376
+    rows = [
+        (0, vec((0, 1.0)), "q"),                            # the query
+        (1, vec((0, 0.95), (1, 0.31225)), "dupA"),
+        (2, vec((0, 0.949), (1, 0.31528)), "dupB"),         # ~dup of 1
+        (3, vec((0, 0.94), (2, 0.34117)), "diverse"),
+        (4, vec((3, 1.0)), "orthogonal"),                   # irrelevant
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["rank"]: r for r in ss.ann_mmr_rerank(spark, str(tmp_path)).collect()}
+    assert out[1]["vec_id"] == 0          # query is its own top hit
+    assert out[2]["vec_id"] == 1          # most relevant non-self
+    # relevance order would put 2 next; MMR must pick the diverse 3
+    assert out[3]["vec_id"] == 3, out
+    assert out[4]["vec_id"] == 2
+    # mmr scores strictly ordered within the greedy schedule's picks
+    assert out[2]["mmr_score"] >= out[3]["mmr_score"]
