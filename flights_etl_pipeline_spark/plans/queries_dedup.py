@@ -1807,3 +1807,233 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 cdc_chunk_dedup.__doc__ = cdc_chunk_dedup.__doc__.format(
     w=_CDC_W, d=_CDC_DIV, b=ROLLING_BASE, m=ROLLING_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage: EM-fitted m/u weights (round 9)
+# ---------------------------------------------------------------------------
+
+_FS_ITERS = 3
+_FS_INIT = (0.05, 0.9, 0.1)  # p0, m0 (all features), u0 (all features)
+_FS_Q = 10**12  # parameter/weight quantization (exact-int M-steps)
+_FS_FEATURES = ("name_eq", "seg_eq", "bal_exact", "bal_close")
+
+_FS_BASE_SQL = """
+SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat, c_mktsegment AS seg,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+FROM customer
+"""
+# deterministic twin injection (the _corpus pattern): custkey < 100
+# re-enters at +1e6 with identical name/segment; every second twin's
+# balance shifts by 50 cents so the match class spans both bal patterns
+_FS_TWINS_SQL = """
+SELECT c_custkey + 1000000 AS k, c_name AS nm, c_nationkey AS nat,
+       c_mktsegment AS seg,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+         + CASE WHEN c_custkey % 2 = 0 THEN 50 ELSE 0 END AS cents
+FROM customer WHERE c_custkey < 100
+"""
+
+_FS_PATTERN_SQL = f"""
+WITH ent AS MATERIALIZED ({_FS_BASE_SQL} UNION ALL {_FS_TWINS_SQL}),
+pairs AS (
+  SELECT CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END AS g1,
+         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g2,
+         CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END AS g3,
+         CASE WHEN ABS(a.cents - b.cents) <= 100 THEN 1 ELSE 0 END AS g4
+  FROM ent a JOIN ent b ON a.nat = b.nat AND a.k < b.k
+)
+SELECT g1, g2, g3, g4, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY g1, g2, g3, g4
+"""
+
+
+def _fs_em_sql() -> str:
+    """EM unrolled over the 16-row gamma-pattern table. Every w and
+    every parameter is quantized to 1e-12 units immediately, so all
+    M-step sums are EXACT integers and the fit is bit-identical across
+    engines and aggregation orders (pagerank's quantized-contribution
+    discipline applied to EM)."""
+    p0, m0, u0 = _FS_INIT
+    params = (
+        f"SELECT {p0!r} AS p, "
+        + ", ".join(f"{m0!r} AS m{j}, {u0!r} AS u{j}" for j in range(1, 5))
+    )
+    stages = [f"pat AS MATERIALIZED ({_FS_PATTERN_SQL})", f"par0 AS ({params})"]
+    for it in range(1, _FS_ITERS + 1):
+        prev = f"par{it - 1}"
+        ma = " * ".join(
+            f"(CASE WHEN g{j} = 1 THEN m{j} ELSE 1 - m{j} END)"
+            for j in range(1, 5)
+        )
+        ub = " * ".join(
+            f"(CASE WHEN g{j} = 1 THEN u{j} ELSE 1 - u{j} END)"
+            for j in range(1, 5)
+        )
+        stages.append(
+            f"""e{it} AS MATERIALIZED (
+  SELECT g1, g2, g3, g4, n,
+         CAST(FLOOR(p * {ma} / (p * {ma} + (1 - p) * {ub})
+              * {_FS_Q} + 0.5) AS BIGINT) AS wq
+  FROM pat CROSS JOIN {prev})"""
+        )
+        msums = ", ".join(
+            f"SUM(n * wq * g{j}) AS sm{j}, "
+            f"SUM(n * ({_FS_Q} - wq) * g{j}) AS su{j}"
+            for j in range(1, 5)
+        )
+        # clamp into [1/Q, 1-1/Q]: a feature never seen in one class
+        # (e.g. no NON-match pair shares a name) would otherwise drive
+        # u to exactly 0 and the log2 weight to infinity
+        clamp = (
+            "LEAST(GREATEST(FLOOR({{num}} / {{den}} * {q} + 0.5), 1), {qm1})"
+            " / {q}"
+        ).format(q=_FS_Q, qm1=_FS_Q - 1)
+        newparams = ", ".join(
+            clamp.format(num=f"CAST(sm{j} AS DOUBLE)", den="CAST(sw AS DOUBLE)")
+            + f" AS m{j}, "
+            + clamp.format(
+                num=f"CAST(su{j} AS DOUBLE)", den="CAST(snw AS DOUBLE)"
+            )
+            + f" AS u{j}"
+            for j in range(1, 5)
+        )
+        stages.append(
+            f"""par{it} AS MATERIALIZED (
+  SELECT FLOOR(CAST(sw AS DOUBLE) / (CAST(sn AS DOUBLE) * {_FS_Q})
+         * {_FS_Q} + 0.5) / {_FS_Q} AS p, {newparams}
+  FROM (SELECT SUM(n * wq) AS sw, SUM(n * ({_FS_Q} - wq)) AS snw,
+               SUM(n) AS sn, {msums}
+        FROM e{it}))"""
+        )
+    last = f"par{_FS_ITERS}"
+    outs = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, m{j} AS m, u{j} AS u, "
+        f"FLOOR(LOG2(m{j} / u{j}) * 1000000 + 0.5) / 1000000 AS weight, "
+        f"p AS p_match FROM {last}"
+        for j, name in enumerate(_FS_FEATURES, start=1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + outs
+
+
+@register(
+    "fellegi_sunter_em",
+    oracle=_fs_em_sql(),
+    survey=["record-linkage", "fellegi-sunter", "em", "entity-resolution"],
+)
+def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage a la Fellegi-Sunter: fit per-feature
+    match/non-match agreement probabilities (m, u) and the match prior
+    p by unsupervised EM over candidate-pair agreement patterns, then
+    emit each feature's log2(m/u) agreement weight -- the score table a
+    production linker (Splink-style) thresholds pairs with. Features:
+    exact name, market segment, exact balance cents, balance within a
+    dollar; deterministic twin injection (the _corpus pattern) plants a
+    true-match class.
+
+    The EM NEVER iterates over pairs: with 4 binary features there are
+    only 16 gamma patterns, so ONE corpus-scale aggregate compresses
+    all pairs to pattern counts and every EM iteration is arithmetic
+    over <= 16 rows -- Spark collects that O(1) channel and fits
+    driver-side (frozen-model precedent); the oracle unrolls the SAME
+    schedule as SQL stages. Every E-step weight and every parameter is
+    quantized at 1e-12 before any sum, so M-step sums are exact
+    integers and the fit is bit-identical across engines and
+    aggregation orders regardless of float summation order.
+
+    Scale: the only corpus-sized work is the blocked self-join and one
+    map-combinable 16-group aggregate; nation blocking is the DEMO
+    choice (block sizes grow with the table -- production swaps in the
+    fuzzy_customer_pairs deletion canopy, which keeps blocks O(1));
+    EM cost is independent of data size."""
+    import math
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        cents.alias("cents"),
+    )
+    twins = cust.filter(F.col("c_custkey") < 100).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        (
+            cents
+            + F.when(F.col("c_custkey") % 2 == 0, 50).otherwise(0)
+        ).alias("cents"),
+    )
+    ent = base.unionAll(twins)
+    a, b = ent.alias("a"), ent.alias("b")
+    g = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    pat = (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            g(F.col("a.nm") == F.col("b.nm")).alias("g1"),
+            g(F.col("a.seg") == F.col("b.seg")).alias("g2"),
+            g(F.col("a.cents") == F.col("b.cents")).alias("g3"),
+            g(F.abs(F.col("a.cents") - F.col("b.cents")) <= 100).alias("g4"),
+        )
+        .groupBy("g1", "g2", "g3", "g4")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    patterns = [
+        ((r["g1"], r["g2"], r["g3"], r["g4"]), r["n"]) for r in pat
+    ]
+
+    def _q(x: float) -> float:
+        return math.floor(x * _FS_Q + 0.5) / _FS_Q
+
+    p, m0, u0 = _FS_INIT
+    m = [m0] * 4
+    u = [u0] * 4
+    for _ in range(_FS_ITERS):
+        sw = snw = sn = 0
+        sm = [0] * 4
+        su = [0] * 4
+        for gam, n in patterns:
+            ma = 1.0
+            ub = 1.0
+            for j in range(4):
+                ma = ma * (m[j] if gam[j] == 1 else 1 - m[j])
+                ub = ub * (u[j] if gam[j] == 1 else 1 - u[j])
+            wq = math.floor(p * ma / (p * ma + (1 - p) * ub) * _FS_Q + 0.5)
+            sw += n * wq
+            snw += n * (_FS_Q - wq)
+            sn += n
+            for j in range(4):
+                sm[j] += n * wq * gam[j]
+                su[j] += n * (_FS_Q - wq) * gam[j]
+        p = _q(float(sw) / (float(sn) * _FS_Q))
+        # clamp into [1/Q, 1-1/Q] -- mirrors the oracle (see _fs_em_sql)
+        _c = lambda num, den: (
+            min(max(math.floor(num / den * _FS_Q + 0.5), 1), _FS_Q - 1)
+            / _FS_Q
+        )  # noqa: E731
+        m = [_c(float(sm[j]), float(sw)) for j in range(4)]
+        u = [_c(float(su[j]), float(snw)) for j in range(4)]
+    rows = [
+        (
+            name,
+            m[j],
+            u[j],
+            math.floor(math.log2(m[j] / u[j]) * 1e6 + 0.5) / 1e6,
+            p,
+        )
+        for j, name in enumerate(_FS_FEATURES)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature STRING, m DOUBLE, u DOUBLE, weight DOUBLE, p_match DOUBLE",
+    )

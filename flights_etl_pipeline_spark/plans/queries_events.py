@@ -2617,3 +2617,130 @@ def events_episode_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(lift, 6).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction, temporally split and evaluated
+# ---------------------------------------------------------------------------
+
+MARKOV_EVAL_SQL = """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+cut AS (SELECT hi - (hi - lo) // 5 AS cut_us FROM bounds),
+seq AS (
+  SELECT user_id, event_type AS cur, ts,
+         LEAD(event_type) OVER w AS nxt,
+         LEAD(epoch_us(ts)) OVER w AS nxt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT cur, nxt, nxt_us FROM seq WHERE nxt IS NOT NULL
+),
+train AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM trans CROSS JOIN cut WHERE nxt_us <= cut_us
+  GROUP BY cur, nxt
+),
+pred AS (
+  SELECT cur, nxt AS predicted
+  FROM (SELECT cur, nxt,
+               ROW_NUMBER() OVER (PARTITION BY cur
+                                  ORDER BY n DESC, nxt ASC) AS rk
+        FROM train)
+  WHERE rk = 1
+),
+test AS (
+  SELECT cur, nxt FROM trans CROSS JOIN cut WHERE nxt_us > cut_us
+)
+SELECT t.cur,
+       p.predicted,
+       COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       FLOOR(CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+         AS accuracy
+FROM test t JOIN pred p ON t.cur = p.cur
+GROUP BY t.cur, p.predicted
+"""
+
+
+@register(
+    "markov_next_event_eval",
+    oracle=MARKOV_EVAL_SQL,
+    survey=["markov", "temporal-split", "model-eval", "user-journey"],
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/evaluate the first-order Markov next-event predictor with a
+    TEMPORAL split (the only honest split for sequence models --
+    random splits leak future behavior into training): transitions
+    whose successor lands in the first 80% of the time range train the
+    argmax-next-type table; transitions after the cutoff are held out
+    and scored. Output: per current-type prediction, test support, and
+    accuracy -- the eval harness companion to event_transitions.
+
+    Determinism: the cutoff is integer microsecond arithmetic on
+    min/max event times (exact in both engines); the argmax breaks
+    count ties on type name ascending; accuracy is one IEEE division
+    of exact counts, quantized at 1e-6.
+
+    Scale shape: one user-keyed lead window (the same exchange as
+    event_transitions), then type-cardinality-sized aggregates; the
+    bounds ride a tiny scalar aggregate broadcast into the stream --
+    no second corpus pass, no data-dependent literal baked at plan
+    time."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(
+        (F.col("hi") - ((F.col("hi") - F.col("lo")) / 5).cast("long")).alias(
+            "cut_us"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+            F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+    )
+    train = (
+        trans.filter(F.col("nxt_us") <= F.col("cut_us"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cur").orderBy(F.col("n").desc(), F.col("nxt").asc())
+    )
+    pred = (
+        train.select("cur", "nxt", rk.alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    test = trans.filter(F.col("nxt_us") > F.col("cut_us")).select("cur", "nxt")
+    correct = F.sum(
+        F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+    )
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy("cur", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            correct.alias("n_correct"),
+        )
+        .select(
+            "cur",
+            "predicted",
+            "n_test",
+            "n_correct",
+            dround(
+                F.col("n_correct").cast("double") / F.col("n_test"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -292,3 +292,27 @@ def test_mmr_skips_redundant_near_duplicate(spark, tmp_path):
     assert out[4]["vec_id"] == 2
     # mmr scores strictly ordered within the greedy schedule's picks
     assert out[2]["mmr_score"] >= out[3]["mmr_score"]
+
+
+def test_fellegi_sunter_separates_match_class(spark, sf_dir):
+    """EM must discover the injected twin class: the name feature
+    (agreeing on virtually no non-match pair) gets a large positive
+    log2(m/u) weight, far above the segment feature (agrees on ~1/5 of
+    random pairs); the match prior stays small (twins are a sliver of
+    the blocked pair space); all parameters stay inside the clamp."""
+    from flights_etl_pipeline_spark.plans.queries_dedup import (
+        fellegi_sunter_em,
+    )
+
+    rows = {r["feature"]: r for r in fellegi_sunter_em(spark, sf_dir).collect()}
+    assert set(rows) == {"name_eq", "seg_eq", "bal_exact", "bal_close"}
+    for r in rows.values():
+        assert 0.0 < r["m"] < 1.0 and 0.0 < r["u"] < 1.0
+        assert r["p_match"] == rows["name_eq"]["p_match"]
+    assert rows["name_eq"]["weight"] > 5.0
+    assert rows["name_eq"]["weight"] > rows["seg_eq"]["weight"] + 3.0
+    assert rows["name_eq"]["m"] > 0.5
+    assert rows["name_eq"]["u"] < 0.01
+    # at the smoke SF the 99 injected twins are ~7.5% of the blocked
+    # pair space; the prior must sit near that, far from the 0.9 m's
+    assert rows["name_eq"]["p_match"] < 0.2
