@@ -3689,3 +3689,114 @@ def dp_laplace_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         (F.col("n_true").cast("double") + noise).alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity / t-closeness audit (privacy family, round 9)
+# ---------------------------------------------------------------------------
+
+_LDIV_BAND = 100000  # sensitive attribute: acctbal band of 1000 dollars
+
+LDIV_SQL = f"""
+WITH ent AS MATERIALIZED (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         -- explicit FLOOR division: DuckDB's integer // truncates
+         -- toward zero, which would merge negative balances into
+         -- band 0 and disagree with Spark's floor
+         CAST(FLOOR(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                         AS DOUBLE) / {_LDIV_BAND}) AS BIGINT) AS band
+  FROM customer
+),
+gb AS (SELECT nat, seg, band, COUNT(*) AS n FROM ent GROUP BY nat, seg, band),
+g AS (SELECT nat, seg, SUM(n) AS ng FROM gb GROUP BY nat, seg),
+b AS (SELECT band, SUM(n) AS nb FROM gb GROUP BY band),
+tot AS (SELECT SUM(n) AS nt FROM gb),
+grid AS (
+  SELECT g.nat, g.seg, g.ng, b.band, b.nb, COALESCE(gb.n, 0) AS n
+  FROM g CROSS JOIN b
+  LEFT JOIN gb ON gb.nat = g.nat AND gb.seg = g.seg AND gb.band = b.band
+)
+SELECT nat, seg,
+       CAST(MAX(ng) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_diversity,
+       CAST(SUM(CAST(FLOOR(ABS(CAST(n AS DOUBLE) / ng
+                               - CAST(nb AS DOUBLE) / nt)
+                     * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 2000000000 AS t_closeness
+FROM grid CROSS JOIN tot
+GROUP BY nat, seg
+"""
+
+
+@register(
+    "l_diversity_audit",
+    oracle=LDIV_SQL,
+    survey=["l-diversity", "t-closeness", "privacy", "anonymization"],
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two audits beyond k-anonymity (k_anonymity_audit's
+    companions): per quasi-identifier group (nation, segment),
+    l-diversity = how many distinct sensitive values (balance bands)
+    the group contains (a k-anonymous group with ONE sensitive value
+    still leaks it -- homogeneity attack), and t-closeness = the total
+    variation distance between the group's sensitive distribution and
+    the global one (a diverse-but-skewed group leaks via skew).
+
+    Determinism: each |p_group - p_global| term is two exact-count
+    divisions and one subtract (fixed IEEE ops), QUANTIZED to 1e-9
+    integer units BEFORE the band sum -- so the TV distance is an
+    exact integer sum divided once, independent of band summation
+    order in either engine (quantized-contribution discipline).
+
+    Scale shape: one map-combinable (QI, band) aggregate ends the
+    table-sized work; the grid is |QI groups| x |bands| (domain-sized,
+    ~125 x ~12 here), built by cross join + left join over aggregate
+    outputs, with marginals broadcast. No window, no corpus-sized
+    join."""
+    cust = load(spark, sf_dir, "customer")
+    ent = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        # floor division (matches DuckDB //) -- a plain cast would
+        # truncate toward zero and disagree on negative balances
+        F.floor(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            / F.lit(_LDIV_BAND)
+        )
+        .cast("bigint")
+        .alias("band"),
+    )
+    gb = ent.groupBy("nat", "seg", "band").agg(F.count(F.lit(1)).alias("n"))
+    g = gb.groupBy("nat", "seg").agg(F.sum("n").alias("ng"))
+    b = gb.groupBy("band").agg(F.sum("n").alias("nb"))
+    tot = gb.agg(F.sum("n").alias("nt"))
+    grid = (
+        g.crossJoin(F.broadcast(b))
+        .join(gb, ["nat", "seg", "band"], "left")
+        .select(
+            "nat",
+            "seg",
+            "ng",
+            "band",
+            "nb",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    term_nano = F.floor(
+        F.abs(
+            F.col("n").cast("double") / F.col("ng")
+            - F.col("nb").cast("double") / F.col("nt")
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return grid.groupBy("nat", "seg").agg(
+        F.max("ng").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("l_diversity"),
+        (F.sum(term_nano).cast("double") / F.lit(2000000000.0)).alias(
+            "t_closeness"
+        ),
+    )

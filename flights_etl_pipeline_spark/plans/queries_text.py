@@ -2561,3 +2561,101 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 tfidf_cosine_topk.__doc__ = tfidf_cosine_topk.__doc__.format(
     topk=_TFIDF_TOPK, cap=_TFIDF_DF_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# LLM watermark detection (bigram-keyed greenlist z-score)
+# ---------------------------------------------------------------------------
+
+_WM_SEED = "wm-r9"
+
+_WM_PAIR_SQL = """
+SELECT doc_id, toks[i] AS prev, toks[i + 1] AS tok
+FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS toks FROM documents),
+     UNNEST(range(1, GREATEST(len(toks), 1))) AS r(i)
+"""
+
+WATERMARK_SQL = f"""
+WITH pairs AS ({_WM_PAIR_SQL}),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x',
+                substr(md5(prev || '|' || tok || '|{_WM_SEED}'), 1, 15))
+              AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS is_green
+  FROM pairs
+)
+SELECT doc_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(is_green) AS BIGINT) AS n_green,
+       FLOOR((2.0 * SUM(is_green) - COUNT(*)) / SQRT(CAST(COUNT(*) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS z_score
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register(
+    "watermark_greenlist_score",
+    oracle=WATERMARK_SQL,
+    survey=["watermark-detection", "llm-provenance", "text"],
+)
+def watermark_greenlist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kirchenbauer-style LLM watermark detector: a watermarking
+    sampler boosts a pseudorandom half of the vocabulary ("green"
+    tokens) keyed on the previous token; the detector recomputes each
+    bigram's green bit and z-scores the green fraction against the
+    unwatermarked null (p=1/2). Human text sits near z=0; watermarked
+    generations drift to large positive z -- the provenance screen a
+    training-corpus pipeline runs so model-generated text does not
+    feed the next model.
+
+    Determinism: the green bit is the parity of a 60-bit md5 prefix of
+    (prev|token|seed) -- the engine-portable hash trick; z is a fixed
+    IEEE op sequence on exact counts (2*greens - n over sqrt n),
+    quantized at 1e-6.
+
+    Scale shape: one tokenize -> bigram explode (array-index
+    projection, fully codegen) -> one map-combinable per-doc
+    aggregate; the hash rides the exploded stream, no joins, no
+    windows, no second pass."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1)))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("prev"),
+        F.element_at("toks", F.col("i") + 1).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    green = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", "prev", "tok", F.lit(_WM_SEED))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    z = (
+        2.0 * F.col("n_green") - F.col("n_pairs")
+    ) / F.sqrt(F.col("n_pairs").cast("double"))
+    return (
+        pairs.select("doc_id", F.when(green, 1).otherwise(0).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("g").cast("bigint").alias("n_green"),
+        )
+        .select("doc_id", "n_pairs", "n_green", dround(z, 6).alias("z_score"))
+    )

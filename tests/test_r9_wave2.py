@@ -316,3 +316,76 @@ def test_fellegi_sunter_separates_match_class(spark, sf_dir):
     # at the smoke SF the 99 injected twins are ~7.5% of the blocked
     # pair space; the prior must sit near that, far from the 0.9 m's
     assert rows["name_eq"]["p_match"] < 0.2
+
+
+def test_watermark_flags_green_biased_text(spark, tmp_path):
+    """A doc constructed by always choosing a green continuation must
+    z-score at +sqrt(n); ordinary text stays near 0."""
+    import hashlib
+
+    from flights_etl_pipeline_spark.plans.queries_text import (
+        _WM_SEED,
+        watermark_greenlist_score,
+    )
+
+    vocab = [chr(ord("a") + i) for i in range(10)]
+
+    def is_green(prev, tok):
+        h = hashlib.md5(f"{prev}|{tok}|{_WM_SEED}".encode()).hexdigest()
+        return int(h[:15], 16) % 2 == 0
+
+    toks = ["a"]
+    for _ in range(60):
+        toks.append(next(t for t in vocab if is_green(toks[-1], t)))
+    wm_text = " ".join(toks)
+    nat_text = " ".join(vocab * 6 + ["a"])
+    docs = [
+        (1, wm_text, "en", "gen", len(wm_text)),
+        (2, nat_text, "en", "web", len(nat_text)),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in watermark_greenlist_score(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["n_pairs"] == 60
+    assert rows[1]["n_green"] == 60  # every continuation chosen green
+    assert rows[1]["z_score"] == round(60**0.5, 6) or abs(
+        rows[1]["z_score"] - 60**0.5
+    ) < 1e-6
+    assert abs(rows[2]["z_score"]) < 3.0, rows[2]
+
+
+def test_l_diversity_homogeneous_group_flagged(spark, tmp_path):
+    """Group A holds ONE balance band (l=1 -- homogeneity leak) while
+    group B spans all ten; A's t-closeness is hand-computable: 0.45
+    against the 20-row global distribution."""
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        l_diversity_audit,
+    )
+
+    rows = [(i, f"c{i}", 0, 500.0 + 0.0, "X") for i in range(10)]
+    rows += [
+        (100 + i, f"d{i}", 1, 500.0 + 1000.0 * (i % 10), "X")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey LONG, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = {
+        (r["nat"], r["seg"]): r
+        for r in l_diversity_audit(spark, str(tmp_path)).collect()
+    }
+    a, b = out[(0, "X")], out[(1, "X")]
+    assert a["l_diversity"] == 1 and a["n_rows"] == 10
+    assert b["l_diversity"] == 10 and b["n_rows"] == 20
+    # t(A): (|1 - 12/30| + 9 * |0 - 2/30|) / 2 = 0.6
+    # t(B): (|1/10 - 12/30| + 9 * |1/10 - 2/30|) / 2 = 0.3
+    assert abs(a["t_closeness"] - 0.6) < 1e-8
+    assert abs(b["t_closeness"] - 0.3) < 1e-8
+    assert b["t_closeness"] < a["t_closeness"]
