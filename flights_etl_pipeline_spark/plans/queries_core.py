@@ -4632,3 +4632,104 @@ def theilsen_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("ts_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (sMAPE / MAE per nation)
+# ---------------------------------------------------------------------------
+
+BACKTEST_SQL = f"""
+WITH monthly AS (
+  SELECT n.n_name AS nation_name,
+         (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) AS t,
+         {_sql_dsum('o.o_totalprice')} AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate)
+),
+evals AS (
+  SELECT a.nation_name,
+         a.rev AS actual, f.rev AS forecast,
+         ABS(a.rev - f.rev) AS abs_err,
+         CAST(FLOOR(2.0 * CAST(ABS(a.rev - f.rev) AS DOUBLE)
+                    / (CAST(ABS(a.rev) AS DOUBLE) + CAST(ABS(f.rev) AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT) AS smape_nano
+  FROM monthly a
+  JOIN monthly f ON f.nation_name = a.nation_name AND f.t = a.t - 12
+)
+SELECT nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_evals,
+       {_sql_dround(_sql_davg('abs_err', 2), 2)} AS mae,
+       FLOOR(CAST(SUM(smape_nano) AS DOUBLE) / COUNT(*) / 1000
+             + 0.5) / 1000000 AS smape
+FROM evals GROUP BY nation_name
+"""
+
+
+@register(
+    "revenue_backtest_smape",
+    oracle=BACKTEST_SQL,
+    survey=["forecast-backtest", "seasonal-naive", "smape", "time-series"],
+)
+def revenue_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the SEASONAL-NAIVE forecaster
+    (forecast(t) = revenue(t-12)) per nation: sMAPE and MAE over every
+    month with a year-ago observation. Seasonal-naive is the baseline
+    every production forecaster must beat -- this is the harness that
+    produces that bar (companion to the Holt-Winters family, which
+    models what this measures).
+
+    Determinism: each sMAPE term is a fixed IEEE op sequence on
+    exact-decimal revenues, quantized to 1e-9 integer units BEFORE the
+    per-nation mean (quantized-contribution discipline -- the mean is
+    an exact integer sum divided once); MAE is an exact decimal
+    average.
+
+    Scale shape: one map-combinable monthly rollup, then a self-join
+    on (nation, t-12) over the months-bounded spine (calendar-sized,
+    corpus-independent past the rollup) and one final aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+    monthly = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"), t.alias("t"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    a, f_ = monthly.alias("a"), monthly.alias("f")
+    evals = a.join(
+        f_,
+        (F.col("f.nation_name") == F.col("a.nation_name"))
+        & (F.col("f.t") == F.col("a.t") - 12),
+    ).select(
+        F.col("a.nation_name").alias("nation_name"),
+        F.abs(F.col("a.rev") - F.col("f.rev")).alias("abs_err"),
+        F.floor(
+            2.0
+            * F.abs(F.col("a.rev") - F.col("f.rev")).cast("double")
+            / (
+                F.abs(F.col("a.rev")).cast("double")
+                + F.abs(F.col("f.rev")).cast("double")
+            )
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("smape_nano"),
+    )
+    return evals.groupBy("nation_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        dround(davg(F.col("abs_err"), 2), 2).alias("mae"),
+        (
+            F.floor(
+                F.sum("smape_nano").cast("double")
+                / F.count(F.lit(1))
+                / 1000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("smape"),
+    )

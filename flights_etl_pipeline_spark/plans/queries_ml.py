@@ -3800,3 +3800,139 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_closeness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+_CONF_SPLIT_SQL = """
+  SELECT o.o_orderkey AS k, c.c_mktsegment AS seg,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+         CASE WHEN substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 2) < '55'
+              THEN 'train'
+              WHEN substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 2) < 'aa'
+              THEN 'cal' ELSE 'test' END AS split
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+CONFORMAL_SQL = f"""
+WITH base AS MATERIALIZED ({_CONF_SPLIT_SQL}),
+pred AS (
+  SELECT seg, CAST(SUM(price) AS DOUBLE) / COUNT(*) AS mu
+  FROM base WHERE split = 'train' GROUP BY seg
+),
+cal AS (
+  SELECT b.seg, ABS(CAST(b.price AS DOUBLE) - p.mu) AS score,
+         b.k,
+         ROW_NUMBER() OVER (PARTITION BY b.seg
+                            ORDER BY ABS(CAST(b.price AS DOUBLE) - p.mu),
+                                     b.k) AS rn,
+         COUNT(*) OVER (PARTITION BY b.seg) AS nc
+  FROM base b JOIN pred p ON b.seg = p.seg WHERE b.split = 'cal'
+),
+q AS (
+  SELECT seg, MAX(nc) AS n_cal,
+         MAX(CASE WHEN rn = ((nc + 1) * 9 + 9) // 10 THEN score END) AS qhat
+  FROM cal GROUP BY seg
+)
+SELECT t.seg,
+       CAST(MAX(q.n_cal) AS BIGINT) AS n_cal,
+       FLOOR(MAX(q.qhat) * 100 + 0.5) / 100 AS q_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       FLOOR(CAST(SUM(CASE WHEN ABS(CAST(t.price AS DOUBLE) - p.mu)
+                                <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1000000 + 0.5) / 1000000 AS coverage
+FROM base t
+JOIN pred p ON t.seg = p.seg
+JOIN q ON t.seg = q.seg
+WHERE t.split = 'test'
+GROUP BY t.seg
+"""
+
+
+@register(
+    "conformal_order_intervals",
+    oracle=CONFORMAL_SQL,
+    survey=["conformal-prediction", "uncertainty", "model-eval", "statistics"],
+)
+def conformal_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around a per-segment mean
+    predictor: calibration-set nonconformity scores |price - mu| are
+    rank-picked at the finite-sample-corrected ceil((n+1)*0.9) level,
+    giving intervals with DISTRIBUTION-FREE >=90% coverage; the held-out
+    test split then measures realized coverage. This is the
+    uncertainty-quantification harness a scoring pipeline wraps around
+    any point model -- the guarantee needs no assumptions about the
+    price distribution, only exchangeability of the md5 split.
+
+    Determinism: the three-way split is the md5-prefix trick; mu is an
+    exact decimal sum divided once; the quantile is RANK-PICKED (never
+    interpolated, theilsen discipline) with (score, orderkey) ordering;
+    coverage is one IEEE division of exact counts, quantized 1e-6.
+
+    Scale shape: one map-combinable train aggregate (segment-sized,
+    broadcast back), one rank window partitioned by segment over the
+    calibration split, one final test aggregate -- the only windows run
+    per-segment, never global."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    base = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.when(h < "55", "train").when(h < "aa", "cal").otherwise("test")
+        .alias("split"),
+    )
+    pred = (
+        base.filter(F.col("split") == "train")
+        .groupBy("seg")
+        .agg(
+            (F.sum("price").cast("double") / F.count(F.lit(1))).alias("mu")
+        )
+    )
+    score = F.abs(F.col("price").cast("double") - F.col("mu"))
+    wseg = Window.partitionBy("seg").orderBy(score, F.col("k"))
+    wn = Window.partitionBy("seg")
+    cal = (
+        base.filter(F.col("split") == "cal")
+        .join(F.broadcast(pred), "seg")
+        .select(
+            "seg",
+            score.alias("score"),
+            F.row_number().over(wseg).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("nc"),
+        )
+    )
+    q = cal.groupBy("seg").agg(
+        F.max("nc").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor(((F.col("nc") + 1) * 9 + 9) / 10),
+                F.col("score"),
+            )
+        ).alias("qhat"),
+    )
+    test = base.filter(F.col("split") == "test").join(
+        F.broadcast(pred), "seg"
+    ).join(F.broadcast(q), "seg")
+    covered = F.sum(
+        F.when(
+            F.abs(F.col("price").cast("double") - F.col("mu"))
+            <= F.col("qhat"),
+            1,
+        ).otherwise(0)
+    )
+    return test.groupBy("seg").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        (F.floor(F.max("qhat") * 100 + F.lit(0.5)) / 100).alias("q_hat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        dround(covered.cast("double") / F.count(F.lit(1)), 6).alias(
+            "coverage"
+        ),
+    )

@@ -389,3 +389,56 @@ def test_l_diversity_homogeneous_group_flagged(spark, tmp_path):
     assert abs(a["t_closeness"] - 0.6) < 1e-8
     assert abs(b["t_closeness"] - 0.3) < 1e-8
     assert b["t_closeness"] < a["t_closeness"]
+
+
+def test_backtest_perfect_seasonality_zero_smape(spark, tmp_path):
+    """24 months with EXACT 12-month seasonality: the seasonal-naive
+    forecaster is perfect, so sMAPE and MAE must both be exactly 0
+    over the 12 evaluated months."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        revenue_backtest_smape,
+    )
+
+    orders = []
+    oid = 0
+    for y in (1995, 1996):
+        for m in range(1, 13):
+            orders.append((oid, 1, 1000.0 + 37.0 * m, dt.date(y, m, 10)))
+            oid += 1
+    _write(
+        spark.createDataFrame(
+            orders,
+            "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, "
+            "o_orderdate DATE",
+        ),
+        tmp_path / "orders.parquet",
+    )
+    _write(
+        spark.createDataFrame([(1, 0)], "c_custkey LONG, c_nationkey LONG"),
+        tmp_path / "customer.parquet",
+    )
+    _write(
+        spark.createDataFrame([(0, "X")], "n_nationkey LONG, n_name STRING"),
+        tmp_path / "nation.parquet",
+    )
+    rows = revenue_backtest_smape(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_evals"] == 12
+    assert r["mae"] == 0.0 and r["smape"] == 0.0
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """Split-conformal realized coverage must sit near the 90% nominal
+    level on held-out data (the distribution-free guarantee is >=90%
+    in expectation; a fixture realization can dip slightly below)."""
+    from flights_etl_pipeline_spark.plans.queries_ml import (
+        conformal_order_intervals,
+    )
+
+    rows = conformal_order_intervals(spark, sf_dir).collect()
+    assert rows, "must emit one row per segment"
+    for r in rows:
+        assert r["q_hat"] > 0
+        assert r["n_cal"] > 0 and r["n_test"] > 0
+        assert 0.80 <= r["coverage"] <= 1.0, r
