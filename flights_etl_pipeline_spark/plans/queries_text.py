@@ -2659,3 +2659,120 @@ def watermark_greenlist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_pairs", "n_green", dround(z, 6).alias("z_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (query expansion)
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_R = 10  # feedback depth: top-R BM25 docs
+_ROCCHIO_TOPT = 10  # expansion terms returned
+
+ROCCHIO_SQL = f"""
+WITH fb AS MATERIALIZED (
+  SELECT doc_id FROM ({BM25_SQL}) b
+  ORDER BY b.bm25 DESC, b.doc_id LIMIT {_ROCCHIO_R}
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(LN((1.0 + n_docs) / (1.0 + COUNT(*))) * 1000000 + 0.5)
+              AS BIGINT) AS idf_q
+  FROM tf CROSS JOIN nd GROUP BY term, n_docs
+)
+SELECT t.term,
+       CAST(SUM(t.tf * i.idf_q) AS BIGINT) AS centroid_micro,
+       FLOOR(CAST(SUM(t.tf * i.idf_q) AS DOUBLE) / {_ROCCHIO_R} / 1000000
+             * 1000000 + 0.5) / 1000000 AS rocchio_weight
+FROM tf t
+JOIN idf i ON t.term = i.term
+JOIN fb ON t.doc_id = fb.doc_id
+WHERE t.term NOT IN ({_BM25_TERMS_SQL})
+GROUP BY t.term
+ORDER BY centroid_micro DESC, t.term
+LIMIT {_ROCCHIO_TOPT}
+"""
+
+
+@register(
+    "rocchio_query_expansion",
+    oracle=ROCCHIO_SQL,
+    survey=["rocchio", "query-expansion", "relevance-feedback", "retrieval"],
+)
+def rocchio_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: take the BM25 top-{r} for the
+    fixed query, average their TF-IDF vectors, and return the top-{t}
+    non-query terms of the centroid -- the expansion terms a second
+    retrieval round adds to sharpen recall (composes the bm25_scores
+    operator as its first stage, the way a retrieval stack does).
+
+    Determinism: term weights are exact integers (tf x 1e-6-quantized
+    idf, BM25 discipline), so the centroid sum is exact and the
+    ranking ties break on the term string; the normalized weight is a
+    single divide quantized at 1e-6.
+
+    Scale shape: the feedback set is a top-R heap over the BM25
+    scorer's per-doc aggregate; the centroid is one aggregate over the
+    postings of R docs (the broadcast semi-join prunes the corpus scan
+    to the feedback docs' postings before any shuffle)."""
+    fb = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_ROCCHIO_R)
+        .select("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.floor(
+                F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_q"),
+        )
+    )
+    cw = F.sum(F.col("tf") * F.col("idf_q"))
+    return (
+        tf.join(F.broadcast(fb), "doc_id")
+        .join(idf, "term")
+        .filter(~F.col("term").isin(*_BM25_QUERY))
+        .groupBy("term")
+        .agg(cw.cast("bigint").alias("centroid_micro"))
+        .select(
+            "term",
+            "centroid_micro",
+            (
+                F.floor(
+                    F.col("centroid_micro").cast("double")
+                    / _ROCCHIO_R
+                    / 1000000
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("rocchio_weight"),
+        )
+        .orderBy(F.col("centroid_micro").desc(), "term")
+        .limit(_ROCCHIO_TOPT)
+    )
+
+
+rocchio_query_expansion.__doc__ = rocchio_query_expansion.__doc__.format(
+    r=_ROCCHIO_R, t=_ROCCHIO_TOPT
+)
