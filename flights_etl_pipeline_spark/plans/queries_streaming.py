@@ -343,3 +343,39 @@ def events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-window oracle via the packed-ordering-key min_by/max_by
     aggregate (see streaming.jobs.events_ohlc_stream)."""
     return jobs.events_ohlc_stream(spark, sf_dir)
+
+
+@register(
+    "events_zscore_stream",
+    oracle="""
+WITH m AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+         COUNT(*) OVER w AS n,
+         SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER w AS s,
+         SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER w AS q
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT user_id, event_id, n AS n_prior,
+         CAST(vm AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS dev,
+         CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+  FROM m WHERE n >= 5
+)
+SELECT user_id, event_id, n_prior,
+       FLOOR(dev * dev / var * 1000000 + 0.5) / 1000000 AS zsq
+FROM scored
+WHERE var > 0 AND dev * dev > 9.0 * var
+""",
+    survey=["streaming", "stateful", "anomaly", "zscore"],
+)
+def events_zscore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming anomaly screen (applyInPandasWithState,
+    three exact integers of state per user); exact parity with the
+    batch running-moments window oracle."""
+    return jobs.events_zscore_stream(spark, sf_dir)

@@ -1310,3 +1310,80 @@ def events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.col("hour_start") <= F.timestamp_micros(F.lit(max_us))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-user running z-score anomalies (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+ZS_MIN_PRIOR = 5  # score only once 5 prior observations exist
+ZS_OUT_SCHEMA = "user_id LONG, event_id LONG, n_prior LONG, zsq DOUBLE"
+ZS_STATE_SCHEMA = "n LONG, s LONG, q LONG"
+
+
+def zscore_state_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running-moments anomaly scorer: state carries (n, sum, sumsq)
+    of the user's PRIOR values in exact milli-unit integers; each event
+    is scored against the moments strictly before it (dev^2 > 9*var
+    with n_prior >= {ZS_MIN_PRIOR}), then folded in. Vectorized:
+    shifted cumsums give every row's prior moments in one pass."""
+    import numpy as np
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.assign(_us=_ts_to_us(pdf["ts"])).sort_values(["_us", "event_id"])
+    vm = np.floor(pdf["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+    k = len(vm)
+    nn = n0 + np.arange(k, dtype=np.int64)          # priors BEFORE row
+    ss = s0 + np.concatenate(([0], np.cumsum(vm)[:-1]))
+    qq = q0 + np.concatenate(([0], np.cumsum(vm * vm)[:-1]))
+    state.update(
+        (int(n0 + k), int(s0 + vm.sum()), int(q0 + (vm * vm).sum()))
+    )
+    ok = nn >= ZS_MIN_PRIOR
+    if not ok.any():
+        return
+    # identical IEEE op sequence to the oracle: mean = s/n, var =
+    # q/n - mean*mean, dev = vm - mean; anomaly iff var > 0 and
+    # dev*dev > 9*var
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = ss / nn
+        var = qq / nn - mean * mean
+        dev = vm - mean
+        flag = ok & (var > 0) & (dev * dev > 9.0 * var)
+    if not flag.any():
+        return
+    zsq = np.floor(dev * dev / var * 1000000 + 0.5) / 1000000
+    out = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy()[flag],
+            "event_id": pdf["event_id"].to_numpy()[flag],
+            "n_prior": nn[flag],
+            "zsq": zsq[flag],
+        }
+    )
+    yield out
+
+
+def events_zscore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of a per-user running z-score screen: emits events
+    whose milli-quantized value deviates > 3 sigma from the user's PRIOR
+    running moments. State is three exact integers per user; scoring is
+    a shifted-cumsum vectorized pass per micro-batch, so per-batch cost
+    is O(rows), not O(rows x history) -- the state never stores raw
+    events (unlike sessionize there are no timers, so no sentinels or
+    watermark mechanics are needed)."""
+    stream_dir, _ = prepare_stream_dir(spark, sf_dir, n_chunks=4, sentinels=False)
+    ev = read_event_stream(spark, stream_dir).withWatermark("ts", "1 hour")
+    flagged = ev.groupBy("user_id").applyInPandasWithState(
+        zscore_state_fn,
+        outputStructType=ZS_OUT_SCHEMA,
+        stateStructType=ZS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(flagged, "append", "zscore", state_partitions=8)

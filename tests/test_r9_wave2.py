@@ -442,3 +442,38 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
         assert r["q_hat"] > 0
         assert r["n_cal"] > 0 and r["n_test"] > 0
         assert 0.80 <= r["coverage"] <= 1.0, r
+
+
+def test_zscore_stream_cross_batch_state_and_var_guard(spark, tmp_path):
+    """User 2's anomaly arrives in the LAST replay chunk while the
+    prior moments accumulated in earlier micro-batches -- flagging it
+    proves state carries across batches. User 1 is constant-valued:
+    var == 0, and the var > 0 guard must keep the zero-deviation rows
+    from false-flagging."""
+    from flights_etl_pipeline_spark.streaming.jobs import events_zscore_stream
+
+    t0 = dt.datetime(2024, 3, 1)
+    ev = []
+    eid = 0
+    vals2 = [10.0, 12.0, 11.0, 10.0, 12.0, 11.0, 100.0]
+    for i in range(7):
+        ev.append((eid, t0 + dt.timedelta(minutes=i), 1, "view", 10.0, "{}"))
+        eid += 1
+        ev.append(
+            (eid, t0 + dt.timedelta(minutes=i, seconds=30), 2, "view",
+             vals2[i], "{}")
+        )
+        eid += 1
+    _write(
+        spark.createDataFrame(
+            ev,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING",
+        ),
+        tmp_path / "events.parquet",
+    )
+    rows = events_zscore_stream(spark, str(tmp_path)).collect()
+    flagged = {(r["user_id"], r["event_id"]): r for r in rows}
+    # user 2's 100.0 (event_id 13, 6 priors) must be the only flag
+    assert set(flagged) == {(2, 13)}, flagged
+    assert flagged[(2, 13)]["n_prior"] == 6
