@@ -2744,3 +2744,112 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences readout (causal companion to CUPED)
+# ---------------------------------------------------------------------------
+
+AB_DID_SQL = """
+WITH span AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(concat('ab|', CAST(user_id AS VARCHAR))), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) <= span.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS x,
+         COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) > span.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS y
+  FROM events, span
+  GROUP BY user_id, span.mid
+),
+vm AS (
+  SELECT variant, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy
+  FROM per_user GROUP BY variant
+)
+SELECT CAST(a.n AS BIGINT) AS n_control,
+       CAST(b.n AS BIGINT) AS n_treated,
+       FLOOR((a.sy / a.n - a.sx / a.n) * 10000 + 0.5) / 10000
+         AS delta_control,
+       FLOOR((b.sy / b.n - b.sx / b.n) * 10000 + 0.5) / 10000
+         AS delta_treated,
+       FLOOR(((b.sy / b.n - b.sx / b.n) - (a.sy / a.n - a.sx / a.n))
+             * 10000 + 0.5) / 10000 AS did
+FROM (SELECT * FROM vm WHERE variant = 'A') a,
+     (SELECT * FROM vm WHERE variant = 'B') b
+"""
+
+
+@register(
+    "ab_did_readout",
+    oracle=AB_DID_SQL,
+    survey=["diff-in-diffs", "causal-inference", "ab-testing"],
+)
+def ab_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the treated variant's pre-to-post
+    change minus the control's -- the causal-inference readout that
+    strips out the common time trend a naive post-period comparison
+    confounds (the companion to ab_cuped_adjusted, which reduces
+    variance but not trend bias). Same md5 variant split and mid-span
+    pre/post periods as CUPED, so the two readouts are directly
+    comparable.
+
+    Determinism: per-user period sums and per-variant sums are exact
+    decimal; the readout is a fixed IEEE op sequence on six scalars,
+    floored at 1e-4.
+
+    Scale shape: the identical ONE-pass user-keyed aggregate as CUPED
+    (two rows after the variant rollup); the final readout is a 1x1
+    cross join of two scalar rows."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        ).isin(*"01234567"),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    us = F.unix_micros(F.col("ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "mid")
+        .agg(
+            F.coalesce(
+                dsum(F.when(us <= F.col("mid"), F.col("value")), 2), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                dsum(F.when(us > F.col("mid"), F.col("value")), 2), F.lit(0.0)
+            ).alias("y"),
+        )
+        .select(variant.alias("variant"), "x", "y")
+    )
+    vm = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,2)")).cast("double").alias("sy"),
+    )
+    a = vm.filter(F.col("variant") == "A").alias("a")
+    b = vm.filter(F.col("variant") == "B").alias("b")
+    da = F.col("a.sy") / F.col("a.n") - F.col("a.sx") / F.col("a.n")
+    db = F.col("b.sy") / F.col("b.n") - F.col("b.sx") / F.col("b.n")
+    q = F.lit(10000)
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("bigint").alias("n_control"),
+        F.col("b.n").cast("bigint").alias("n_treated"),
+        (F.floor(da * q + 0.5) / q).alias("delta_control"),
+        (F.floor(db * q + 0.5) / q).alias("delta_treated"),
+        (F.floor((db - da) * q + 0.5) / q).alias("did"),
+    )
