@@ -2776,3 +2776,189 @@ def rocchio_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 rocchio_query_expansion.__doc__ = rocchio_query_expansion.__doc__.format(
     r=_ROCCHIO_R, t=_ROCCHIO_TOPT
 )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (stopword-delimited co-occurrence scoring)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPK = 5  # corpus-driven stopword set: top-K most frequent tokens
+_RAKE_MAXLEN = 3  # candidate phrases longer than this are discarded
+_RAKE_TOPP = 20
+
+RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t.toks[i] AS tok
+  FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS toks
+        FROM documents) t,
+       UNNEST(range(1, len(t.toks) + 1)) AS r(i)
+),
+stop AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {_RAKE_STOPK})
+),
+runs AS (
+  SELECT doc_id, pos, tok,
+         COUNT(*) FILTER (WHERE is_stop) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS run_id,
+         is_stop
+  FROM (SELECT t.doc_id, t.pos, t.tok,
+               t.tok IN (SELECT tok FROM stop) AS is_stop
+        FROM toks t)
+),
+phrases AS (
+  SELECT doc_id, run_id,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM runs WHERE NOT is_stop
+  GROUP BY doc_id, run_id
+  HAVING COUNT(*) <= {_RAKE_MAXLEN}
+),
+words AS (
+  SELECT UNNEST(string_split(phrase, ' ')) AS w, plen FROM phrases
+),
+wscore AS (
+  SELECT w,
+         FLOOR(CAST(SUM(plen) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+           / 1000000 AS s
+  FROM words GROUP BY w
+),
+pscore AS (
+  SELECT p.phrase, COUNT(*) AS n_occ, MAX(sc.ps) AS score
+  FROM phrases p
+  JOIN (
+    SELECT phrase_key, FLOOR(SUM(s_nano) * 1000000 + 0.5) / 1000000 AS ps
+    FROM (
+      SELECT pp.phrase AS phrase_key, ws.s AS s_nano
+      FROM (SELECT DISTINCT phrase FROM phrases) pp,
+           UNNEST(string_split(pp.phrase, ' ')) AS u(w)
+      JOIN wscore ws ON ws.w = u.w
+    ) GROUP BY phrase_key
+  ) sc ON sc.phrase_key = p.phrase
+  GROUP BY p.phrase
+)
+SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, score
+FROM pscore
+ORDER BY score DESC, phrase ASC
+LIMIT {_RAKE_TOPP}
+"""
+
+
+@register(
+    "doc_keyphrases_rake",
+    oracle=RAKE_SQL,
+    survey=["keyphrase-extraction", "rake", "text"],
+)
+def doc_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (stopwords = the corpus's
+    top-{k} tokens, data-driven since the synthetic corpus has no
+    English function words); each word scores deg/freq (deg = summed
+    length of phrases containing it) and a phrase scores the sum of
+    its words -- the unsupervised keyphrase table a corpus indexer
+    ships alongside BM25.
+
+    Determinism: word scores are one exact-count division quantized at
+    1e-6; a phrase's score sums its (<= {m}) quantized word scores --
+    both engines sum the same quantized values per phrase via a
+    GROUP BY over exact keys, and the 1e-6 grid keeps the <= {m}-term
+    float sum exact (each addend is a multiple of 1e-6 with <= 10
+    integer digits, so every partial sum is exactly representable).
+
+    Scale shape: tokenize + positional explode once; the run
+    segmentation window partitions BY DOC (doc-length-bounded, never
+    global); phrase/word aggregates are map-combinable; stopwords are
+    a top-K heap broadcast back. The top-{p} output is a TakeOrdered."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos", "tok"),
+    )
+    stop = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(_RAKE_STOPK)
+        .select(F.col("tok").alias("stok"))
+    )
+    flagged = toks.join(
+        F.broadcast(stop), F.col("tok") == F.col("stok"), "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.col("stok").isNotNull().alias("is_stop"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = flagged.select(
+        "doc_id",
+        "pos",
+        "tok",
+        "is_stop",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wrun).alias(
+            "run_id"
+        ),
+    )
+    phrases = (
+        runs.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAXLEN)
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    )
+    wscore = words.groupBy("w").agg(
+        (
+            F.floor(
+                F.sum("plen").cast("double")
+                / F.count(F.lit(1))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("s")
+    )
+    pwords = (
+        phrases.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    )
+    pscores = (
+        pwords.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(
+            (F.floor(F.sum("s") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "ps"
+            )
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+        .join(pscores, "phrase")
+        .select("phrase", "n_occ", F.col("ps").alias("score"))
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(_RAKE_TOPP)
+    )
+
+
+doc_keyphrases_rake.__doc__ = doc_keyphrases_rake.__doc__.format(
+    k=_RAKE_STOPK, m=_RAKE_MAXLEN, p=_RAKE_TOPP
+)
