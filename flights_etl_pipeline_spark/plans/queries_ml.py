@@ -3936,3 +3936,110 @@ def conformal_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Purged time-series cross-validation (embargoed fold assignment)
+# ---------------------------------------------------------------------------
+
+_PCV_FOLDS = 5
+_PCV_EMBARGO = 1  # months excluded from train on each side of the test block
+
+PURGED_CV_SQL = f"""
+WITH t AS (
+  SELECT o_orderkey,
+         (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) AS m
+  FROM orders
+),
+span AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM t),
+tagged AS (
+  SELECT o_orderkey, m,
+         (m - lo) * {_PCV_FOLDS} // (hi - lo + 1) AS fold_of_m,
+         lo, hi
+  FROM t CROSS JOIN span
+),
+folds AS (SELECT UNNEST(range({_PCV_FOLDS})) AS fold),
+blocks AS (
+  SELECT fold,
+         MIN(m) AS blk_lo, MAX(m) AS blk_hi
+  FROM (SELECT DISTINCT fold_of_m AS fold, m FROM tagged)
+  GROUP BY fold
+)
+SELECT f.fold,
+       CAST(SUM(CASE WHEN g.fold_of_m = f.fold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(SUM(CASE WHEN g.fold_of_m != f.fold
+                      AND g.m >= b.blk_lo - {_PCV_EMBARGO}
+                      AND g.m <= b.blk_hi + {_PCV_EMBARGO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_embargoed,
+       CAST(SUM(CASE WHEN g.fold_of_m != f.fold
+                      AND (g.m < b.blk_lo - {_PCV_EMBARGO}
+                           OR g.m > b.blk_hi + {_PCV_EMBARGO})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+FROM tagged g
+CROSS JOIN folds f
+JOIN blocks b ON b.fold = f.fold
+GROUP BY f.fold
+"""
+
+
+@register(
+    "purged_cv_folds",
+    oracle=PURGED_CV_SQL,
+    survey=["purged-cv", "temporal-split", "embargo", "model-eval"],
+)
+def purged_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold assignment for time-series models (the
+    Lopez de Prado discipline): folds are CONTIGUOUS month blocks, and
+    train rows within {e} month(s) of the test block are EMBARGOED --
+    dropped -- so serial correlation cannot leak label information
+    across the split boundary (a shuffled k-fold over time series
+    overstates accuracy; kfold_assign is the iid sibling). Output per
+    fold: test/train/embargoed row counts -- the audit a training
+    pipeline records before fitting.
+
+    Determinism: everything is integer month arithmetic over exact
+    aggregates; fold blocks derive from the data's own month span via
+    integer floor division.
+
+    Scale shape: one projection to month indexes, a broadcast scalar
+    span, and one aggregate after a {k}-way fold explode (constant
+    fan-out); block bounds are a months-sized aggregate broadcast
+    back. No windows, no corpus-sized joins."""
+    orders = load(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+    t = orders.select(m.alias("m"))
+    span = t.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    tagged = t.crossJoin(F.broadcast(span)).select(
+        "m",
+        F.floor(
+            (F.col("m") - F.col("lo"))
+            * _PCV_FOLDS
+            / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("long")
+        .alias("fold_of_m"),
+    )
+    blocks = tagged.groupBy(F.col("fold_of_m").alias("fold")).agg(
+        F.min("m").alias("blk_lo"), F.max("m").alias("blk_hi")
+    )
+    folds = spark.range(_PCV_FOLDS).select(F.col("id").alias("fold"))
+    g = tagged.crossJoin(F.broadcast(folds.join(blocks, "fold")))
+    in_embargo = (
+        (F.col("fold_of_m") != F.col("fold"))
+        & (F.col("m") >= F.col("blk_lo") - _PCV_EMBARGO)
+        & (F.col("m") <= F.col("blk_hi") + _PCV_EMBARGO)
+    )
+    in_train = (F.col("fold_of_m") != F.col("fold")) & (
+        (F.col("m") < F.col("blk_lo") - _PCV_EMBARGO)
+        | (F.col("m") > F.col("blk_hi") + _PCV_EMBARGO)
+    )
+    return g.groupBy("fold").agg(
+        F.sum(F.when(F.col("fold_of_m") == F.col("fold"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+        F.sum(F.when(in_embargo, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_embargoed"),
+        F.sum(F.when(in_train, 1).otherwise(0)).cast("bigint").alias("n_train"),
+    )

@@ -891,3 +891,115 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 revenue_bootstrap_ci.__doc__ = revenue_bootstrap_ci.__doc__.format(b=_BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# AGMS (tug-of-war) second-moment sketch: self-join size estimation
+# ---------------------------------------------------------------------------
+
+_AGMS_REPS = 16
+_AGMS_SEED = "agms-r9"
+
+
+def _agms_sign_sql(h: str, key: str) -> str:
+    return (
+        f"CASE WHEN CAST(concat('0x', substr(md5(CAST({h} AS VARCHAR) || '|' "
+        f"|| CAST({key} AS VARCHAR) || '|{_AGMS_SEED}'), 1, 15)) AS BIGINT)"
+        f" % 2 = 0 THEN 1 ELSE -1 END"
+    )
+
+
+AGMS_SQL = f"""
+WITH cnt AS (
+  SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey
+),
+f2 AS (SELECT SUM(c * c) AS f2 FROM cnt),
+z AS (
+  SELECT h, SUM({_agms_sign_sql('h', 'k')} * c) AS zval
+  FROM cnt CROSS JOIN (SELECT UNNEST(range({_AGMS_REPS})) AS h)
+  GROUP BY h
+),
+est AS (SELECT SUM(zval * zval) AS sq FROM z)
+SELECT CAST(f2.f2 AS BIGINT) AS exact_f2,
+       CAST(est.sq AS DOUBLE) / {_AGMS_REPS} AS est_f2,
+       FLOOR(ABS(CAST(est.sq AS DOUBLE) / {_AGMS_REPS}
+                 - CAST(f2.f2 AS DOUBLE))
+             / CAST(f2.f2 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS rel_err
+FROM f2 CROSS JOIN est
+"""
+
+
+@register(
+    "lineitem_f2_agms",
+    oracle=AGMS_SQL,
+    survey=["agms-sketch", "second-moment", "join-size-estimation", "sketch"],
+)
+def lineitem_f2_agms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGMS (Alon-Gilbert-Matias-Szegedy "tug-of-war") sketch of the
+    second frequency moment of l_suppkey -- F2 = sum c_k^2 IS the
+    self-equijoin size, the quantity a cost-based optimizer estimates
+    before picking a join strategy. {r} independent +-1 hash signs give
+    Z_i = sum sign_i(k)*c_k; mean(Z_i^2) is an unbiased F2 estimator
+    with relative error ~1/sqrt({r}). The exact F2 is computed
+    alongside so the output carries the realized relative error.
+
+    Determinism: signs are md5-parity (engine-portable); every Z and
+    Z^2 is exact integer arithmetic; the only doubles are the final
+    mean and error, fixed IEEE ops quantized at 1e-6.
+
+    Scale shape: ONE map-combinable count aggregate ends the
+    corpus-sized work; the sketch is a {r}-way explode over the
+    KEY-cardinality table (suppliers, not lineitems) into {r} exact
+    sums -- mergeable partials, one pass, the sketch property that
+    matters at 100 TB (the exact-F2 side is itself one aggregate)."""
+    li = load(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    f2 = cnt.agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+    h = F.explode(F.sequence(F.lit(0), F.lit(_AGMS_REPS - 1))).alias("h")
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("h").cast("string"),
+                        F.col("k").cast("string"),
+                        F.lit(_AGMS_SEED),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    z = (
+        cnt.select("k", "c", h)
+        .groupBy("h")
+        .agg(F.sum(sign * F.col("c")).alias("zval"))
+    )
+    est = z.agg(F.sum(F.col("zval") * F.col("zval")).alias("sq"))
+    est_f2 = F.col("sq").cast("double") / _AGMS_REPS
+    rel = (
+        F.floor(
+            F.abs(est_f2 - F.col("f2").cast("double"))
+            / F.col("f2").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return (
+        f2.crossJoin(est)
+        .select(
+            F.col("f2").cast("bigint").alias("exact_f2"),
+            est_f2.alias("est_f2"),
+            rel.alias("rel_err"),
+        )
+    )

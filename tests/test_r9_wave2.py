@@ -477,3 +477,35 @@ def test_zscore_stream_cross_batch_state_and_var_guard(spark, tmp_path):
     # user 2's 100.0 (event_id 13, 6 priors) must be the only flag
     assert set(flagged) == {(2, 13)}, flagged
     assert flagged[(2, 13)]["n_prior"] == 6
+
+
+def test_purged_cv_embargo_accounting(spark, sf_dir):
+    """Every order lands in exactly one bucket per fold
+    (test + train + embargoed == total), test blocks partition the
+    data across folds, and the embargo actually removes rows (interior
+    folds must embargo > 0)."""
+    from flights_etl_pipeline_spark.plans.queries_ml import purged_cv_folds
+
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    rows = purged_cv_folds(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sum(r["n_test"] for r in rows) == total
+    for r in rows:
+        assert r["n_test"] + r["n_train"] + r["n_embargoed"] == total
+    assert sum(r["n_embargoed"] for r in rows) > 0
+
+
+def test_agms_estimator_reasonable_and_deterministic(spark, sf_dir):
+    """The tug-of-war estimate must sit within the ~1/sqrt(16)
+    relative-error regime of the exact F2 (loose 3x slack), and the
+    seeded sketch must reproduce bit-identically."""
+    from flights_etl_pipeline_spark.plans.queries_profile import (
+        lineitem_f2_agms,
+    )
+
+    r1 = lineitem_f2_agms(spark, sf_dir).collect()[0]
+    r2 = lineitem_f2_agms(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1["exact_f2"] > 0
+    assert r1["rel_err"] < 0.75  # 3x the 1/sqrt(16) = 0.25 regime
+    assert abs(r1["est_f2"] / r1["exact_f2"] - 1.0) - r1["rel_err"] < 1e-4
