@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flights_etl_pipeline_spark.functions.scalar import dround
 from flights_etl_pipeline_spark.plans.registry import load, register
@@ -1002,4 +1003,210 @@ def lineitem_f2_agms(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_f2.alias("est_f2"),
             rel.alias("rel_err"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (heavy-tail diagnostics)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+HILL_SQL = f"""
+WITH top AS MATERIALIZED (
+  SELECT o_totalprice AS x,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {_HILL_K + 1}
+),
+xm AS (SELECT x AS xmin FROM top WHERE rn = {_HILL_K + 1}),
+terms AS (
+  SELECT CAST(FLOOR(LN(t.x / xm.xmin) * 1000000000 + 0.5) AS BIGINT)
+           AS ln_nano
+  FROM top t CROSS JOIN xm WHERE t.rn <= {_HILL_K}
+)
+SELECT {_HILL_K} AS k,
+       FLOOR(xm.xmin * 100 + 0.5) / 100 AS x_min,
+       FLOOR({_HILL_K}.0 * 1000000000 / SUM(terms.ln_nano) * 1000000 + 0.5)
+         / 1000000 AS hill_alpha
+FROM terms CROSS JOIN xm
+GROUP BY xm.xmin
+"""
+
+
+@register(
+    "order_value_hill_tail",
+    oracle=HILL_SQL,
+    survey=["hill-estimator", "heavy-tail", "statistics", "top-k"],
+)
+def order_value_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate over the top-{k} order values:
+    alpha = k / sum ln(x_i / x_(k+1)) -- the heavy-tail diagnostic that
+    decides whether means/variances are even meaningful for a metric
+    (alpha <= 2: infinite variance; alpha <= 1: infinite mean). The
+    power-law sibling of copurchase_degree_powerlaw, applied to a value
+    column instead of degrees.
+
+    Determinism: the top-(k+1) set is a TakeOrdered heap with full
+    (value, orderkey) tie-break; each ln term is quantized to 1e-9
+    integer units before the sum (BM25 ln discipline), so alpha is two
+    exact integers through one IEEE division, quantized at 1e-6.
+
+    Scale shape: ONE global top-(k+1) heap (per-task heaps merged at
+    the driver -- no global sort); the rank window and the term sum run
+    over the 101-row heap output, bounded by construction at any SF
+    (hybrid_retrieval_rrf precedent)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    top = (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .select(
+            F.col("o_totalprice").alias("x"),
+            F.row_number()
+            .over(
+                Window.partitionBy().orderBy(
+                    F.col("o_totalprice").desc(), "o_orderkey"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    xm = top.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("x").alias("xmin")
+    )
+    terms = (
+        top.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(xm))
+        .select(
+            F.floor(
+                F.log(F.col("x") / F.col("xmin")) * 1000000000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ln_nano"),
+            "xmin",
+        )
+    )
+    return terms.groupBy("xmin").agg(
+        F.lit(_HILL_K).alias("k"),
+        (F.floor(F.max("xmin") * 100 + F.lit(0.5)) / 100).alias("x_min"),
+        (
+            F.floor(
+                F.lit(float(_HILL_K))
+                * 1000000000
+                / F.sum("ln_nano")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("hill_alpha"),
+    ).select("k", "x_min", "hill_alpha")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval (order-statistic ranks)
+# ---------------------------------------------------------------------------
+
+MEDIAN_CI_SQL = """
+WITH r AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT),
+                    o.o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+k AS (
+  SELECT seg, rn, cents, n,
+         GREATEST(CAST(FLOOR((n - 1.96 * SQRT(CAST(n AS DOUBLE))) / 2)
+                  AS BIGINT), 1) AS r_lo,
+         LEAST(CAST(CEIL((n + 1.96 * SQRT(CAST(n AS DOUBLE))) / 2 + 1)
+               AS BIGINT), n) AS r_hi
+  FROM r
+)
+SELECT seg,
+       CAST(MAX(n) AS BIGINT) AS n,
+       0.5 * (MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+              + MAX(CASE WHEN rn = n // 2 + 1 THEN cents END)) / 100
+         AS median,
+       CAST(MAX(CASE WHEN rn = r_lo THEN cents END) AS DOUBLE) / 100
+         AS ci_lo,
+       CAST(MAX(CASE WHEN rn = r_hi THEN cents END) AS DOUBLE) / 100
+         AS ci_hi
+FROM k GROUP BY seg
+"""
+
+
+@register(
+    "segment_median_rank_ci",
+    oracle=MEDIAN_CI_SQL,
+    survey=["median-ci", "order-statistics", "distribution-free",
+            "statistics"],
+)
+def segment_median_rank_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median order
+    value per segment, via ORDER STATISTICS: the CI endpoints are the
+    values at ranks n/2 -+ 1.96*sqrt(n)/2 (the binomial/sign-test
+    interval -- valid for ANY continuous distribution, no normality or
+    bootstrap needed; revenue_bootstrap_ci is the resampling sibling
+    for the mean).
+
+    Determinism: values are integer cents; the median averages the two
+    middle RANKS explicitly (theilsen discipline, no engine percentile
+    interpolation); the CI ranks come from one fixed IEEE formula on n,
+    clamped into [1, n]; all picks are MAX(CASE WHEN rn = ...) over a
+    (cents, orderkey)-tie-broken rank.
+
+    Scale note: the rank window partitions on the 5-value segment key,
+    so per-partition sort length grows with the corpus -- acceptable at
+    bench scale, and the documented 100 TB swap is the
+    exact_percentiles_two_pass bucket-spine (same rank-pick semantics,
+    histogram-bounded memory), which this query intentionally mirrors
+    in output shape."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("seg"),
+        cents.alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("seg")
+    r = base.select(
+        "seg",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    r_lo = F.greatest(
+        F.floor((F.col("n") - 1.96 * F.sqrt(nd)) / 2).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    r_hi = F.least(
+        F.ceil((F.col("n") + 1.96 * F.sqrt(nd)) / 2 + 1).cast("bigint"),
+        F.col("n").cast("bigint"),
+    )
+    k = r.select("seg", "rn", "cents", "n", r_lo.alias("r_lo"), r_hi.alias("r_hi"))
+    pick = lambda cond: F.max(F.when(cond, F.col("cents")))  # noqa: E731
+    return k.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            0.5
+            * (
+                pick(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                + pick(F.col("rn") == F.floor(F.col("n") / 2) + 1)
+            )
+            / 100
+        ).alias("median"),
+        (pick(F.col("rn") == F.col("r_lo")).cast("double") / 100).alias(
+            "ci_lo"
+        ),
+        (pick(F.col("rn") == F.col("r_hi")).cast("double") / 100).alias(
+            "ci_hi"
+        ),
     )

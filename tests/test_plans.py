@@ -97,6 +97,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "hybrid_retrieval_rrf",  # rank windows over each retrieval leg's
     # own top-20 heap output (TakeOrdered result — bounded by
     # construction at any SF); the corpus-sized passes are window-free
+    "order_value_hill_tail",  # rank window over the global top-101
+    # heap's own output (TakeOrdered result -- bounded by construction
+    # at any SF; hybrid_retrieval_rrf precedent)
     "revenue_bootstrap_ci",  # rank window over the 40-row replicate
     # aggregate (B-bounded by construction at any SF); the corpus-
     # sized pass is one window-free generate+aggregate

@@ -509,3 +509,38 @@ def test_agms_estimator_reasonable_and_deterministic(spark, sf_dir):
     assert r1["exact_f2"] > 0
     assert r1["rel_err"] < 0.75  # 3x the 1/sqrt(16) = 0.25 regime
     assert abs(r1["est_f2"] / r1["exact_f2"] - 1.0) - r1["rel_err"] < 1e-4
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark, tmp_path):
+    """Synthetic Pareto(alpha=2) sample via inverse CDF on a uniform
+    grid: the Hill estimate over the top-100 must land near 2."""
+    from flights_etl_pipeline_spark.plans.queries_profile import (
+        order_value_hill_tail,
+    )
+
+    n = 2000
+    rows = [
+        (i, 1, 100.0 * (1.0 - (i + 0.5) / n) ** (-1.0 / 2.0))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = order_value_hill_tail(spark, str(tmp_path)).collect()[0]
+    assert r["k"] == 100
+    assert 1.6 < r["hill_alpha"] < 2.5, r
+
+
+def test_median_ci_brackets_median_and_orders(spark, sf_dir):
+    """Per segment: ci_lo <= median <= ci_hi, the interval is
+    non-degenerate, and n matches the join cardinality."""
+    from flights_etl_pipeline_spark.plans.queries_profile import (
+        segment_median_rank_ci,
+    )
+
+    rows = segment_median_rank_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["median"] <= r["ci_hi"], r
+        assert r["ci_lo"] < r["ci_hi"]
+        assert r["n"] > 0
