@@ -2962,3 +2962,218 @@ def doc_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_keyphrases_rake.__doc__ = doc_keyphrases_rake.__doc__.format(
     k=_RAKE_STOPK, m=_RAKE_MAXLEN, p=_RAKE_TOPP
 )
+
+
+# ---------------------------------------------------------------------------
+# Composed provenance pipeline: watermark gate -> quality -> dedup -> DP bill
+# ---------------------------------------------------------------------------
+
+_PROV_Z = 4.0  # watermark z threshold: flag as model-generated
+_PROV_MIN_TOKS = 20
+_PROV_EPS = 1.0
+_PROV_SEED = "prov-r9"
+
+PROVENANCE_SQL = f"""
+WITH pairs AS ({_WM_PAIR_SQL}),
+wm AS (
+  SELECT doc_id,
+         (2.0 * SUM(CASE WHEN CAST(concat('0x', substr(md5(prev || '|' ||
+             tok || '|{_WM_SEED}'), 1, 15)) AS BIGINT) % 2 = 0
+             THEN 1 ELSE 0 END) - COUNT(*))
+           / SQRT(CAST(COUNT(*) AS DOUBLE)) AS z
+  FROM pairs GROUP BY doc_id
+),
+staged AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(wm.z, 0.0) > {_PROV_Z!r} AS is_generated,
+         len(string_split({_TFIDF_NORM_SQL}, ' ')) >= {_PROV_MIN_TOKS}
+           AS passes_quality,
+         md5({_TFIDF_NORM_SQL}) AS fp
+  FROM documents d LEFT JOIN wm ON d.doc_id = wm.doc_id
+),
+surv AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rank
+  FROM staged WHERE NOT is_generated AND passes_quality
+),
+agg AS (
+  SELECT s.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN s.is_generated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_generated,
+         CAST(SUM(CASE WHEN NOT s.is_generated AND NOT s.passes_quality
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         CAST((SELECT COUNT(*) FROM surv v
+               WHERE v.source = s.source AND v.fp_rank > 1) AS BIGINT)
+           AS n_dup_dropped,
+         CAST((SELECT COUNT(*) FROM surv v
+               WHERE v.source = s.source AND v.fp_rank = 1) AS BIGINT)
+           AS n_released
+  FROM staged s GROUP BY s.source
+)
+SELECT source, n_docs, n_generated, n_low_quality, n_dup_dropped, n_released,
+       CAST(n_released AS DOUBLE)
+         + FLOOR((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * (1.0 / {_PROV_EPS!r})
+                 * LN(GREATEST(1.0 - 2.0 * ABS(u - 0.5), 1e-15))
+                 * 1000000 + 0.5) / 1000000 AS released_noisy
+FROM (
+  SELECT *, CAST(CAST(concat('0x', substr(md5(source || '|{_PROV_SEED}'),
+             1, 15)) AS BIGINT) % {1 << 52} AS DOUBLE) / {float(1 << 52)!r}
+           AS u
+  FROM agg
+)
+"""
+
+
+@register(
+    "corpus_provenance_pipeline",
+    oracle=PROVENANCE_SQL,
+    survey=["pipeline-composed", "watermark-detection", "dedup-exact",
+            "differential-privacy", "training-prep"],
+)
+def corpus_provenance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end provenance funnel composing four round-9 primitives:
+    (1) the watermark greenlist z-score drops model-generated text
+    (z > {z}), (2) a minimum-length quality gate, (3) exact-fingerprint
+    dedup keeps each normalized text's lowest doc_id, (4) the
+    per-source release bill ships with a LAPLACE-NOISED released count
+    (the dp_laplace mechanism) so the bill itself does not leak
+    single-document membership. The per-source funnel a crawl->train
+    release pipeline publishes (llm_corpus_pipeline's provenance-aware
+    sibling).
+
+    Determinism: stage arithmetic is the respective operators'
+    (quantized z, md5 fingerprints, seeded inverse-CDF noise at 1e-6).
+
+    Scale shape: one bigram explode + per-doc aggregate (watermark),
+    one row-local gate projection, one fingerprint-keyed rank window
+    (dup groups are fingerprint-sized), one source-keyed rollup --
+    every stage map-combinable or key-partitioned, no corpus-sized
+    collect anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1)))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("prev"),
+        F.element_at("toks", F.col("i") + 1).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    green = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "prev", "tok", F.lit(_WM_SEED))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    wm = pairs.groupBy("doc_id").agg(
+        (
+            (
+                2.0 * F.sum(F.when(green, 1).otherwise(0))
+                - F.count(F.lit(1))
+            )
+            / F.sqrt(F.count(F.lit(1)).cast("double"))
+        ).alias("z")
+    )
+    norm = normalize_text("text")
+    staged = docs.join(wm, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        (F.coalesce(F.col("z"), F.lit(0.0)) > _PROV_Z).alias("is_generated"),
+        (F.size(F.split(norm, " ")) >= _PROV_MIN_TOKS).alias(
+            "passes_quality"
+        ),
+        F.md5(norm).alias("fp"),
+    )
+    surv = staged.filter(
+        ~F.col("is_generated") & F.col("passes_quality")
+    ).select(
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("fp").orderBy("doc_id"))
+        .alias("fp_rank"),
+    )
+    surv_agg = surv.groupBy("source").agg(
+        F.sum(F.when(F.col("fp_rank") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_dropped"),
+        F.sum(F.when(F.col("fp_rank") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_released"),
+    )
+    agg = (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_generated"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_generated"),
+            F.sum(
+                F.when(
+                    ~F.col("is_generated") & ~F.col("passes_quality"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low_quality"),
+        )
+        .join(surv_agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_generated",
+            "n_low_quality",
+            F.coalesce("n_dup_dropped", F.lit(0).cast("bigint")).alias(
+                "n_dup_dropped"
+            ),
+            F.coalesce("n_released", F.lit(0).cast("bigint")).alias(
+                "n_released"
+            ),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "source", F.lit(_PROV_SEED))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1 << 52)
+    ).cast("double") / F.lit(float(1 << 52))
+    uc = u - F.lit(0.5)
+    noise = (
+        F.floor(
+            F.when(uc >= 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.lit(1.0 / _PROV_EPS)
+            * F.log(
+                F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(uc), F.lit(1e-15))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_generated",
+        "n_low_quality",
+        "n_dup_dropped",
+        "n_released",
+        (F.col("n_released").cast("double") + noise).alias("released_noisy"),
+    )
+
+
+corpus_provenance_pipeline.__doc__ = corpus_provenance_pipeline.__doc__.format(
+    z=_PROV_Z
+)
