@@ -4733,3 +4733,223 @@ def revenue_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index (decomposable entropy measure)
+# ---------------------------------------------------------------------------
+
+THEIL_SQL = f"""
+WITH nr AS (
+  SELECT n.n_name AS nation_name, {_sql_dsum('o.o_totalprice')} AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT SUM(CAST(rev AS DECIMAL(38,2))) AS x, COUNT(*) AS n FROM nr),
+terms AS (
+  SELECT CAST(FLOOR(
+           (CAST(rev AS DOUBLE) / CAST(x AS DOUBLE))
+           * LN(CAST(rev AS DOUBLE) * n / CAST(x AS DOUBLE))
+           * 1000000000 + 0.5) AS BIGINT) AS t_nano
+  FROM nr CROSS JOIN tot
+)
+SELECT CAST(MAX(tot.n) AS BIGINT) AS n_nations,
+       FLOOR(CAST(SUM(t_nano) AS DOUBLE) / 1000 + 0.5) / 1000000 AS theil_t
+FROM terms CROSS JOIN tot
+"""
+
+
+@register(
+    "nation_revenue_theil_index",
+    oracle=THEIL_SQL,
+    survey=["theil-index", "inequality", "entropy", "statistics"],
+)
+def nation_revenue_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of revenue across nations — the
+    ENTROPY-based inequality measure that, unlike Gini
+    (nation_revenue_gini), decomposes exactly into within-group +
+    between-group components, which is why inequality audits of
+    hierarchical data prefer it. T = sum (x_i/X) ln(x_i n / X); 0 =
+    perfectly equal, ln(n) = maximally concentrated.
+
+    Determinism: revenues are exact decimal sums; each share*ln term
+    is quantized to 1e-9 integer units before the sum (BM25 ln
+    discipline), so the index is independent of term order in either
+    engine.
+
+    Scale shape: one map-combinable nation rollup; everything after is
+    nation-cardinality-sized with broadcast totals."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nr = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    tot = nr.agg(
+        F.sum(F.col("rev").cast("decimal(38,2)")).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rd = F.col("rev").cast("double")
+    xd = F.col("x").cast("double")
+    t_nano = F.floor(
+        (rd / xd) * F.log(rd * F.col("n") / xd) * 1000000000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        nr.crossJoin(F.broadcast(tot))
+        .select(t_nano.alias("t_nano"), "n")
+        .groupBy("n")
+        .agg(F.sum("t_nano").alias("s"))
+        .select(
+            F.col("n").cast("bigint").alias("n_nations"),
+            (
+                F.floor(F.col("s").cast("double") / 1000 + F.lit(0.5))
+                / 1000000
+            ).alias("theil_t"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of the daily revenue series)
+# ---------------------------------------------------------------------------
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+ranked AS (
+  SELECT d, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, d) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+med AS (
+  SELECT 0.5 * (MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                + MAX(CASE WHEN rn = n // 2 + 1 THEN cents END)) AS m
+  FROM ranked
+),
+signs AS (
+  SELECT d, cents > m AS up,
+         LAG(cents > m) OVER (ORDER BY d) AS prev_up
+  FROM daily CROSS JOIN med
+  WHERE cents != m
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev_up IS NOT NULL AND up != prev_up
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM signs
+)
+SELECT n1, n2, runs,
+       FLOOR((CAST(runs AS DOUBLE)
+              - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / SQRT((2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0)
+                    * (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0)
+                    / (n1 + n2 - 1.0))
+             * 1000000 + 0.5) / 1000000 AS z_stat
+FROM stats
+"""
+
+
+@register(
+    "orders_runs_test",
+    oracle=RUNS_TEST_SQL,
+    survey=["runs-test", "randomness", "statistics", "time-series"],
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: counts
+    maximal runs of above/below-median days and z-scores the count
+    against the randomness null -- too FEW runs means trending/sticky
+    revenue, too MANY means oscillation; the nonparametric sanity test
+    run before fitting any time-series model (companion to revenue_acf).
+
+    Determinism: daily revenue is exact integer cents; the median is
+    the explicit two-middle-rank average (theilsen discipline);
+    equal-to-median days are excluded per the classical test; the z
+    statistic is a fixed IEEE op sequence on three exact counts,
+    quantized at 1e-6.
+
+    Scale shape: one map-combinable daily rollup; the rank and lag
+    windows run on the DAILY SPINE (calendar-bounded rows, corpus-
+    independent -- revenue_mom_change precedent)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    wr = Window.partitionBy().orderBy("cents", "d")
+    wn = Window.partitionBy()
+    ranked = daily.select(
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.agg(
+        (
+            0.5
+            * (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                        F.col("cents"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.floor(F.col("n") / 2) + 1,
+                        F.col("cents"),
+                    )
+                )
+            )
+        ).alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "d",
+            (F.col("cents") > F.col("m")).alias("up"),
+        )
+        .select(
+            "up",
+            F.lag("up").over(Window.partitionBy().orderBy("d")).alias(
+                "prev_up"
+            ),
+        )
+    )
+    stats = signs.agg(
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("up"), 0).otherwise(1)).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mu = 2.0 * n1d * n2d / (n1d + n2d) + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n1d + n2d - 1.0)
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    return stats.select(
+        "n1",
+        "n2",
+        "runs",
+        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z_stat"),
+    )

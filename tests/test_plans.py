@@ -97,6 +97,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "hybrid_retrieval_rrf",  # rank windows over each retrieval leg's
     # own top-20 heap output (TakeOrdered result — bounded by
     # construction at any SF); the corpus-sized passes are window-free
+    "orders_runs_test",  # rank/lag windows over the DAILY revenue
+    # spine (calendar-bounded rows, corpus-independent -- the
+    # revenue_mom_change precedent)
     "order_value_hill_tail",  # rank window over the global top-101
     # heap's own output (TakeOrdered result -- bounded by construction
     # at any SF; hybrid_retrieval_rrf precedent)

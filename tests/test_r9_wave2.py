@@ -544,3 +544,72 @@ def test_median_ci_brackets_median_and_orders(spark, sf_dir):
         assert r["ci_lo"] <= r["median"] <= r["ci_hi"], r
         assert r["ci_lo"] < r["ci_hi"]
         assert r["n"] > 0
+
+
+def test_theil_zero_on_equal_and_positive_on_skew(spark, tmp_path):
+    """Equal revenues across nations -> Theil T exactly 0; a skewed
+    allocation -> strictly positive."""
+    from flights_etl_pipeline_spark.plans.queries_core import (
+        nation_revenue_theil_index,
+    )
+
+    def build(revs):
+        orders = [
+            (i, i, float(r), dt.date(1995, 6, 1)) for i, r in enumerate(revs)
+        ]
+        _write(
+            spark.createDataFrame(
+                orders,
+                "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, "
+                "o_orderdate DATE",
+            ),
+            tmp_path / "orders.parquet",
+        )
+        _write(
+            spark.createDataFrame(
+                [(i, i) for i in range(len(revs))],
+                "c_custkey LONG, c_nationkey LONG",
+            ),
+            tmp_path / "customer.parquet",
+        )
+        _write(
+            spark.createDataFrame(
+                [(i, f"N{i}") for i in range(len(revs))],
+                "n_nationkey LONG, n_name STRING",
+            ),
+            tmp_path / "nation.parquet",
+        )
+        return nation_revenue_theil_index(spark, str(tmp_path)).collect()[0]
+
+    eq = build([100.0, 100.0, 100.0, 100.0])
+    assert eq["theil_t"] == 0.0
+    sk = build([1000.0, 10.0, 10.0, 10.0])
+    assert sk["theil_t"] > 0.5
+
+
+def test_runs_test_detects_trend_vs_alternation(spark, tmp_path):
+    """A perfectly alternating daily series has the maximum run count
+    (z >> 0); a two-block trending series has 2 runs (z << 0)."""
+    from flights_etl_pipeline_spark.plans.queries_core import orders_runs_test
+
+    def build(vals):
+        orders = [
+            (i, 1, float(v), dt.date(1995, 1, 1) + dt.timedelta(days=i))
+            for i, v in enumerate(vals)
+        ]
+        _write(
+            spark.createDataFrame(
+                orders,
+                "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, "
+                "o_orderdate DATE",
+            ),
+            tmp_path / "orders.parquet",
+        )
+        return orders_runs_test(spark, str(tmp_path)).collect()[0]
+
+    alt = build([10.0, 100.0] * 10)
+    assert alt["runs"] == alt["n1"] + alt["n2"]  # maximum possible
+    assert alt["z_stat"] > 3.0
+    trend = build([10.0] * 10 + [100.0] * 10)
+    assert trend["runs"] == 2
+    assert trend["z_stat"] < -3.0
