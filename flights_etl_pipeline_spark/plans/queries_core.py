@@ -4953,3 +4953,83 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gamma method-of-moments fit of order inter-arrival gaps
+# ---------------------------------------------------------------------------
+
+GAMMA_MOM_SQL = """
+WITH gaps AS (
+  SELECT DATE_DIFF('day',
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS g
+  FROM orders
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS s1,
+         CAST(SUM(g * g) AS BIGINT) AS s2
+  FROM gaps WHERE g IS NOT NULL AND g > 0
+)
+SELECT n,
+       FLOOR(CAST(s1 AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean_days,
+       FLOOR((CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             * 10000 + 0.5) / 10000 AS var_days,
+       FLOOR((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             / (CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             * 1000000 + 0.5) / 1000000 AS gamma_shape,
+       FLOOR((CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / (CAST(s1 AS DOUBLE) / n) * 1000000 + 0.5) / 1000000
+         AS gamma_scale
+FROM mom
+"""
+
+
+@register(
+    "interarrival_gamma_mom",
+    oracle=GAMMA_MOM_SQL,
+    survey=["gamma-fit", "method-of-moments", "interarrival", "statistics"],
+)
+def interarrival_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma(shape k, scale theta) fit of positive order inter-arrival
+    gaps by METHOD OF MOMENTS: k = mean^2/var, theta = var/mean -- the
+    two-parameter renewal model a demand-forecasting pipeline fits
+    before simulating reorder behavior (orders_interarrival reports
+    the raw per-customer stats; this is the corpus-level parametric
+    layer on top). Moments distribute exactly because day gaps are
+    INTEGERS: one lag window, then exact integer (n, sum, sum-of-
+    squares) partials -- the same moments-first discipline as the OLS
+    family.
+
+    Determinism: all three moments are exact integers; every derived
+    quantity is a fixed IEEE op sequence on them, floored at 1e-4/1e-6.
+
+    Scale shape: one customer-keyed lag window (the orders_interarrival
+    exchange), one map-combinable global aggregate, then scalar math."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    gaps = orders.select(g.alias("g")).filter(
+        F.col("g").isNotNull() & (F.col("g") > 0)
+    )
+    mom = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mean * mean
+    q4, q6 = F.lit(10000), F.lit(1000000)
+    return mom.select(
+        "n",
+        (F.floor(mean * q4 + 0.5) / q4).alias("mean_days"),
+        (F.floor(var * q4 + 0.5) / q4).alias("var_days"),
+        (F.floor(mean * mean / var * q6 + 0.5) / q6).alias("gamma_shape"),
+        (F.floor(var / mean * q6 + 0.5) / q6).alias("gamma_scale"),
+    )

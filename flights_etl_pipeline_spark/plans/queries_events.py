@@ -2853,3 +2853,140 @@ def ab_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(db * q + 0.5) / q).alias("delta_treated"),
         (F.floor((db - da) * q + 0.5) / q).alias("did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uplift by score decile (targeting-policy readout)
+# ---------------------------------------------------------------------------
+
+UPLIFT_SQL = """
+WITH span AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(concat('ab|', CAST(user_id AS VARCHAR))), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) <= span.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS x,
+         COALESCE(CAST(SUM(CASE WHEN epoch_us(ts) > span.mid
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+           AS y
+  FROM events, span
+  GROUP BY user_id, span.mid
+),
+ranked AS (
+  SELECT *,
+         (ROW_NUMBER() OVER (ORDER BY x DESC, user_id) - 1) * 10
+           // COUNT(*) OVER () + 1 AS decile
+  FROM per_user
+)
+SELECT decile,
+       CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_treated,
+       CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_control,
+       FLOOR(CAST(SUM(CASE WHEN variant = 'B'
+                  THEN CAST(y AS DECIMAL(38,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+             * 10000 + 0.5) / 10000 AS y_treated,
+       FLOOR(CAST(SUM(CASE WHEN variant = 'A'
+                  THEN CAST(y AS DECIMAL(38,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+             * 10000 + 0.5) / 10000 AS y_control,
+       FLOOR((CAST(SUM(CASE WHEN variant = 'B'
+                  THEN CAST(y AS DECIMAL(38,2)) END) AS DOUBLE)
+              / SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+              - CAST(SUM(CASE WHEN variant = 'A'
+                    THEN CAST(y AS DECIMAL(38,2)) END) AS DOUBLE)
+                / SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END))
+             * 10000 + 0.5) / 10000 AS uplift
+FROM ranked
+GROUP BY decile
+"""
+
+
+@register(
+    "events_uplift_by_decile",
+    oracle=UPLIFT_SQL,
+    survey=["uplift", "qini", "targeting", "ab-testing"],
+)
+def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (treated-minus-control post-period mean) per pre-period
+    score decile -- the qini-curve table an uplift-modeling pipeline
+    reads to decide WHO to target: a useful targeting score
+    concentrates uplift in its top deciles; a useless one shows a flat
+    profile. Score = the user's pre-period value (the same proxy
+    ab_cuped_adjusted uses as its covariate), variants from the shared
+    md5 split, so all three experiment readouts (CUPED, DiD, uplift)
+    are directly comparable.
+
+    Determinism: per-user period sums are exact decimal; deciles come
+    from a ROW_NUMBER with full (x, user_id) tie-break and integer
+    arithmetic; per-decile means are exact-decimal sums through one
+    IEEE division, floored at 1e-4.
+
+    Scale note: the decile rank is a global window over the USER
+    aggregate (one row per user) -- the customer_rfm_segments
+    precedent; at production user counts the documented swap is a
+    two-pass histogram-offset rank (exact_percentiles_two_pass), same
+    decile semantics."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        ).isin(*"01234567"),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    us = F.unix_micros(F.col("ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "mid")
+        .agg(
+            F.coalesce(
+                dsum(F.when(us <= F.col("mid"), F.col("value")), 2), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                dsum(F.when(us > F.col("mid"), F.col("value")), 2), F.lit(0.0)
+            ).alias("y"),
+        )
+        .select("user_id", variant.alias("variant"), "x", "y")
+    )
+    wr = Window.partitionBy().orderBy(F.col("x").desc(), "user_id")
+    wn = Window.partitionBy()
+    ranked = per_user.select(
+        "variant",
+        "y",
+        (
+            F.floor(
+                (F.row_number().over(wr) - 1)
+                * 10
+                / F.count(F.lit(1)).over(wn)
+            ).cast("long")
+            + 1
+        ).alias("decile"),
+    )
+    yd = F.col("y").cast("decimal(38,2)")
+    st = F.sum(F.when(F.col("variant") == "B", yd))
+    sc = F.sum(F.when(F.col("variant") == "A", yd))
+    nt = F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+    nc = F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+    mt = st.cast("double") / nt
+    mc = sc.cast("double") / nc
+    q = F.lit(10000)
+    return ranked.groupBy("decile").agg(
+        nt.cast("bigint").alias("n_treated"),
+        nc.cast("bigint").alias("n_control"),
+        (F.floor(mt * q + 0.5) / q).alias("y_treated"),
+        (F.floor(mc * q + 0.5) / q).alias("y_control"),
+        (F.floor((mt - mc) * q + 0.5) / q).alias("uplift"),
+    )

@@ -97,6 +97,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     "hybrid_retrieval_rrf",  # rank windows over each retrieval leg's
     # own top-20 heap output (TakeOrdered result — bounded by
     # construction at any SF); the corpus-sized passes are window-free
+    "events_uplift_by_decile",  # decile rank over the per-USER
+    # aggregate (one row per user -- customer_rfm_segments precedent;
+    # docstring documents the histogram-offset swap at scale)
     "orders_runs_test",  # rank/lag windows over the DAILY revenue
     # spine (calendar-bounded rows, corpus-independent -- the
     # revenue_mom_change precedent)
