@@ -4850,12 +4850,18 @@ stats AS (
   FROM signs
 )
 SELECT n1, n2, runs,
-       FLOOR((CAST(runs AS DOUBLE)
-              - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
-             / SQRT((2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0)
-                    * (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0)
-                    / (n1 + n2 - 1.0))
-             * 1000000 + 0.5) / 1000000 AS z_stat
+       CASE
+         WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1 THEN NULL
+         WHEN (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0)
+              * (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0)
+              / (n1 + n2 - 1.0) <= 0 THEN NULL
+         ELSE FLOOR((CAST(runs AS DOUBLE)
+                     - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                    / SQRT((2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0)
+                           * (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0)
+                           / (n1 + n2 - 1.0))
+                    * 1000000 + 0.5) / 1000000
+       END AS z_stat
 FROM stats
 """
 
@@ -4947,12 +4953,21 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = 2.0 * n1d * n2d / (n1d + n2d) + 1.0
     var = (mu - 1.0) * (mu - 2.0) / (n1d + n2d - 1.0)
     z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
-    return stats.select(
-        "n1",
-        "n2",
-        "runs",
-        (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z_stat"),
+    # Degenerate-series guard (round-9 ADVICE): all days on one side
+    # (n1=0 or n2=0), a 1-element series, or var <= 0 (e.g. n1=n2=1)
+    # would make z Inf/NaN, where Spark's floor-to-long and DuckDB's
+    # FLOOR(inf)=inf disagree — emit NULL instead, on both sides.
+    z_guarded = (
+        F.when(
+            (F.col("n1") == 0)
+            | (F.col("n2") == 0)
+            | (F.col("n1") + F.col("n2") <= 1),
+            F.lit(None).cast("double"),
+        )
+        .when(var <= 0, F.lit(None).cast("double"))
+        .otherwise(F.floor(z * 1000000 + F.lit(0.5)) / 1000000)
     )
+    return stats.select("n1", "n2", "runs", z_guarded.alias("z_stat"))
 
 
 # ---------------------------------------------------------------------------

@@ -766,6 +766,33 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _checked_event_id(allow_negative: bool = False):
+    """event_id with the packed-ordering-key precondition enforced:
+    the OHLC min_by/max_by trick packs (within-hour us offset) * 2^31
+    + event_id into one long, which is only order-preserving while
+    event_id < 2^31.  Beyond that the open/close picks would silently
+    diverge from (ts ASC, event_id ASC) — so raise loudly instead
+    (round-9 ADVICE).  Shared by the batch twin and the stream job;
+    the stream passes allow_negative=True because its watermark
+    sentinel rows carry negative ids and never reach the sink (their
+    future windows are filtered), so only the upper bound matters."""
+    lower = (
+        F.lit(True) if allow_negative else (F.col("event_id") >= 0)
+    )
+    return F.when(
+        lower & (F.col("event_id") < 2147483648),
+        F.col("event_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ohlc packed ordering key requires event_id"
+                      " < 2^31, got "),
+                F.col("event_id").cast("string"),
+            )
+        ).cast("long")
+    )
+
+
 @register(
     "events_ohlc_hourly",
     oracle="""
@@ -805,10 +832,14 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode the within-hour microsecond offset (< 2^32) shifted left 31
     # bits plus event_id (< 2^31): max 3.6e9 * 2^31 + 2^31 ~ 7.7e18 < 2^63.
     # Long buffer -> partial+final HashAggregate, no sort at all.
+    # PRECONDITION: event_id < 2^31, or the packed key collides across
+    # microseconds and open/close picks silently diverge from the
+    # (ts, event_id) order — so the guard raises instead (row-local
+    # branch, stays inside codegen; no extra scan).
     ordk = (
         (F.unix_micros(F.col("ts")) - F.unix_micros(hour))
         * F.lit(2147483648).cast("long")
-        + F.col("event_id")
+        + _checked_event_id()
     )
     return (
         ev.groupBy("event_type", hour.alias("hour_start"))

@@ -1025,7 +1025,10 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_nxt = nxt.count()
         edges = nxt
-        if n_nxt == n_edges:
+        # n_nxt == 0 IS a fixpoint (peeling an empty set is a no-op);
+        # without it a peel that empties on the final round would trip
+        # the for/else spuriously (round-9 ADVICE).
+        if n_nxt == n_edges or n_nxt == 0:
             break
         n_edges = n_nxt
     else:

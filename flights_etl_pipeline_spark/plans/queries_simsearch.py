@@ -2456,7 +2456,14 @@ ann_batch_serve.__doc__ = ann_batch_serve.__doc__.format(k=_BATCH_K, q=_BATCH_Q)
 
 _MMR_M = 30  # candidate pool (exact top-M by cosine to the query)
 _MMR_K = 10  # diversified picks
-_MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+_MMR_LAMBDA = 0.7  # relevance weight; _MMR_MU penalizes redundancy
+# The redundancy weight is computed ONCE, in Python double arithmetic
+# (1 - 0.7 = 0.30000000000000004), and interpolated into the oracle SQL
+# at full repr precision with an explicit DOUBLE cast.  Re-deriving it
+# inside SQL (e.g. a 0.3 decimal literal) lands one ulp away
+# (0.29999999999999998...) and a near-tie argmax flip cascades through
+# every later greedy pick (round-9 ADVICE, medium).
+_MMR_MU = 1 - _MMR_LAMBDA
 _MMR_Q8 = "FLOOR({expr} * 100000000 + 0.5) / 100000000"
 
 
@@ -2487,7 +2494,7 @@ acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
         parts.append(
             f"""sel{t} AS MATERIALIZED (
   SELECT vec_id, embedding, rel, {t} AS rank,
-         {_MMR_LAMBDA} * rel - {1 - _MMR_LAMBDA:.1f} * (
+         {_MMR_LAMBDA} * rel - CAST({_MMR_MU!r} AS DOUBLE) * (
            SELECT MAX({sim}) FROM acc{t - 1} s) AS mmr
   FROM cand c
   WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{t - 1})
@@ -2592,7 +2599,7 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = [
             (
                 _MMR_LAMBDA * rel[v]
-                - (1 - _MMR_LAMBDA)
+                - _MMR_MU
                 * max(sim(v, p[1]) for p in picked),
                 v,
             )

@@ -1281,10 +1281,16 @@ def events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = read_event_stream(spark, stream_dir).withWatermark("ts", "1 hour")
     hour = F.date_trunc("hour", "ts")
+    # Packed key precondition (event_id < 2^31) enforced row-locally —
+    # see queries_events._checked_event_id (round-9 ADVICE).
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        _checked_event_id,
+    )
+
     ordk = (
         (F.unix_micros(F.col("ts")) - F.unix_micros(hour))
         * F.lit(2147483648).cast("long")
-        + F.col("event_id")
+        + _checked_event_id(allow_negative=True)
     )
     bars = (
         ev.withColumn("ordk", ordk)
@@ -1338,6 +1344,21 @@ def zscore_state_fn(
     vm = np.floor(pdf["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
     n0, s0, q0 = state.get if state.exists else (0, 0, 0)
     k = len(vm)
+    # Overflow guard (round-9 ADVICE): the sum-of-squares state is an
+    # int64 and numpy wraps SILENTLY; the DuckDB oracle promotes to
+    # HUGEINT and never does, so a wrap would corrupt anomaly flags
+    # without any error. Bound the whole batch in exact Python ints:
+    # every prefix of q0 + cumsum(vm*vm) is <= q0 + k*vmax^2, so if
+    # that fits in 2^62 nothing below can wrap (vmax < isqrt(2^63)
+    # keeps each vm*vm element exact too). ~3e7 events/user at fixture
+    # value scale before this trips — fail loudly, don't corrupt.
+    vmax = int(np.abs(vm).max(initial=0))
+    if vmax >= 3_037_000_499 or int(q0) + k * vmax * vmax >= 2**62:
+        raise OverflowError(
+            "zscore state sum-of-squares would exceed int64: "
+            f"n={n0 + k} vmax={vmax} q0={q0}; widen the state schema "
+            "or re-quantize before this user's history grows further"
+        )
     nn = n0 + np.arange(k, dtype=np.int64)          # priors BEFORE row
     ss = s0 + np.concatenate(([0], np.cumsum(vm)[:-1]))
     qq = q0 + np.concatenate(([0], np.cumsum(vm * vm)[:-1]))
