@@ -354,7 +354,7 @@ def main() -> None:
     # the compact line always survives truncation and stays parseable
     # (BENCH_r02-r04 all recorded parsed=null because the full JSON's
     # head fell off the tail).
-    _report_deltas(timings)
+    _report_deltas(timings, spot)
     sys.stderr.flush()
     print(json.dumps(full))
     worst3 = dict(
@@ -448,30 +448,113 @@ def _baseline() -> tuple[int, dict[str, float]] | None:
     return (best[0], best[1]) if best else None
 
 
-def _report_deltas(timings: dict[str, float]) -> None:
-    """Per-query regression report vs the latest recorded round
+# Same-code slope-band medians wobble up to ~1.12x between quiet-machine
+# runs (documented in SCALE.md); a median drift beyond that is either a
+# plan change or a machine-state problem and deserves a look either way
+# (VERDICT r9 item 2b: the r9 copurchase band drift went unflagged and
+# cost a judge re-measure to attribute to noise).
+_SLOPE_DRIFT_BAR = 1.12
+
+
+def _baseline_slopes() -> tuple[int, dict[str, list[float]]] | None:
+    """Latest committed (round, {spot: scaleup_band}) record. Prefers
+    the full BENCH_LOCAL_r{N}.json written by tools/round_close.py;
+    falls back to a driver BENCH_r{N}.json whose parsed compact line
+    carries sf1_scaleup bands."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, int, dict[str, list[float]]] | None = None
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH(_LOCAL)?_r(\d+)\.json", f)
+        if not m:
+            continue
+        try:
+            doc = json.load(open(os.path.join(here, f)))
+        except Exception:
+            continue
+        bands: dict[str, list[float]] = {}
+        spot = doc.get("sf1_spot")
+        if isinstance(spot, dict):  # full (BENCH_LOCAL) shape
+            for k, v in (spot.get("queries") or {}).items():
+                if isinstance(v, dict) and isinstance(
+                    v.get("scaleup_band"), list
+                ):
+                    bands[k] = v["scaleup_band"]
+        else:  # driver compact shape
+            parsed = doc.get("parsed")
+            if isinstance(parsed, dict):
+                for k, v in (parsed.get("sf1_scaleup") or {}).items():
+                    if isinstance(v, list) and len(v) == 3:
+                        bands[k] = v
+        if not bands:
+            continue
+        rnd = int(m.group(2))
+        pref = 1 if m.group(1) else 0  # full local record outranks
+        if best is None or (rnd, pref) > (best[0], best[1]):
+            best = (rnd, pref, bands)
+    return (best[0], best[2]) if best else None
+
+
+def _report_deltas(timings: dict[str, float], spot: dict | None = None) -> None:
+    """Per-query regression report vs the latest recorded round, plus a
+    slope-band MEDIAN drift check vs the latest committed band record
     (stderr only -- stdout stays the single JSON line)."""
     base = _baseline()
-    if base is None:
+    if base is not None:
+        rnd, prev = base
+        flagged = []
+        for name, sec in sorted(timings.items()):
+            p = prev.get(name)
+            if p is None:
+                print(
+                    f"bench-delta r{rnd}: {name} NEW {sec:.3f}s",
+                    file=sys.stderr,
+                )
+                continue
+            ratio = sec / p if p else float("inf")
+            mark = "  <-- REGRESSION >2x" if ratio > 2.0 else ""
+            print(
+                f"bench-delta r{rnd}: {name} {p:.3f}s -> {sec:.3f}s "
+                f"({ratio:.2f}x){mark}",
+                file=sys.stderr,
+            )
+            if ratio > 2.0:
+                flagged.append(name)
+        if flagged:
+            print(f"bench-delta r{rnd}: FLAGGED {flagged}", file=sys.stderr)
+    if spot is None:
         return
-    rnd, prev = base
-    flagged = []
-    for name, sec in sorted(timings.items()):
-        p = prev.get(name)
-        if p is None:
-            print(f"bench-delta r{rnd}: {name} NEW {sec:.3f}s", file=sys.stderr)
+    slopes = _baseline_slopes()
+    if slopes is None:
+        return
+    srnd, prev_bands = slopes
+    drifted = []
+    for name, entry in sorted((spot.get("queries") or {}).items()):
+        band = entry.get("scaleup_band") if isinstance(entry, dict) else None
+        pband = prev_bands.get(name)
+        if not band or not pband:
             continue
-        ratio = sec / p if p else float("inf")
-        mark = "  <-- REGRESSION >2x" if ratio > 2.0 else ""
+        med, pmed = band[1], pband[1]
+        if not pmed:
+            continue
+        drift = med / pmed
+        mark = (
+            f"  <-- SLOPE DRIFT >{_SLOPE_DRIFT_BAR}x"
+            if drift > _SLOPE_DRIFT_BAR or drift < 1 / _SLOPE_DRIFT_BAR
+            else ""
+        )
         print(
-            f"bench-delta r{rnd}: {name} {p:.3f}s -> {sec:.3f}s "
-            f"({ratio:.2f}x){mark}",
+            f"slope-delta r{srnd}: {name} median {pmed:.2f} -> {med:.2f} "
+            f"({drift:.2f}x){mark}",
             file=sys.stderr,
         )
-        if ratio > 2.0:
-            flagged.append(name)
-    if flagged:
-        print(f"bench-delta r{rnd}: FLAGGED {flagged}", file=sys.stderr)
+        if mark:
+            drifted.append(name)
+    if drifted:
+        print(
+            f"slope-delta r{srnd}: DRIFTED {drifted} -- re-measure on a "
+            f"quiet machine before attributing to code",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -98,3 +98,42 @@ def test_centroid_cache_invalidates_on_fixture_identity(spark):
     )
     assert len(a) == qs.K_CENTROIDS
     assert [c[0] for c in a] == sorted(c[0] for c in a)
+
+
+def test_slope_drift_report_flags_median_drift(capsys, tmp_path, monkeypatch):
+    """_report_deltas must flag a >1.12x sf1 slope-band MEDIAN drift vs
+    the latest committed band record, and prefer a full BENCH_LOCAL
+    record over the driver's compact BENCH_r file for the same round
+    (VERDICT r9 item 2b)."""
+    import json
+    import sys as _sys
+
+    import bench as b
+
+    # a fake repo dir with both record shapes for the same round
+    (tmp_path / "BENCH_r42.json").write_text(json.dumps(
+        {"parsed": {"sf1_scaleup": {"q_a": [1.0, 2.0, 3.0]}}}
+    ))
+    (tmp_path / "BENCH_LOCAL_r42.json").write_text(json.dumps(
+        {"queries": {"q_a": 1.0},
+         "sf1_spot": {"queries": {
+             "q_a": {"scaleup_band": [1.0, 1.5, 2.0]},
+             "q_b": {"scaleup_band": [1.0, 1.0, 1.0]},
+         }}}
+    ))
+    monkeypatch.setattr(
+        b.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    rnd, bands = b._baseline_slopes()
+    assert rnd == 42
+    assert bands["q_a"] == [1.0, 1.5, 2.0], "full local record must win"
+
+    spot = {"queries": {
+        "q_a": {"scaleup_band": [1.6, 1.7, 1.8]},   # 1.7/1.5 = 1.13 -> drift
+        "q_b": {"scaleup_band": [0.95, 1.05, 1.1]},  # 1.05 -> within bar
+    }}
+    b._report_deltas({}, spot)
+    err = capsys.readouterr().err
+    assert "SLOPE DRIFT" in err and "q_a" in err
+    assert "DRIFTED ['q_a']" in err
+    assert "q_b" in err and "DRIFTED ['q_a', 'q_b']" not in err

@@ -4,19 +4,25 @@ each round, after the final code/test commit, so the recorded green-suite
 numbers describe the tree that actually ships.
 
 1. Refuses on a dirty tree — the sweep must describe a commit.
-2. Full `pytest tests/ -q` and full `tools/check_parity.py` sweep.
-3. Appends a "Final-tree verification" block to SCALE.md and refreshes
+2. Full `bench.py` FIRST (while the machine is still quiet — pytest
+   heats it ~25%), persisting the FULL per-query record as
+   BENCH_LOCAL_r{N}.json (VERDICT r9 item 2a: the driver keeps only a
+   ~2 KB tail, so without this the per-round comparison needs a full
+   re-run). Pass --skip-bench to reuse an existing BENCH_LOCAL_r{N}.json.
+3. Full `pytest tests/ -q` and full `tools/check_parity.py` sweep.
+4. Appends a "Final-tree verification" block to SCALE.md and refreshes
    README.md's parity counts, stamped with the audited commit hash.
 
 The doc updates then go in one final DOC-ONLY commit, so the recorded
 counts remain true of the shipped code tree (round 8's failure mode was
 test commits landing AFTER the recorded sweep).
 
-Usage: python tools/round_close.py <round-number>
+Usage: python tools/round_close.py <round-number> [--skip-bench]
 """
 
 from __future__ import annotations
 
+import json
 import re
 import subprocess
 import sys
@@ -35,10 +41,46 @@ def _run(cmd: list[str]) -> str:
     return out
 
 
+def _run_bench(rnd: int) -> str:
+    """Run bench.py on the (still-quiet) machine and persist the FULL
+    per-query record — queries dict + sf1_spot bands — as
+    BENCH_LOCAL_r{rnd}.json. Returns a one-line summary."""
+    out = _run([sys.executable, "bench.py"])
+    full = None
+    for ln in out.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                doc = json.loads(ln)
+            except Exception:
+                continue
+            if isinstance(doc.get("queries"), dict):
+                full = doc
+                break
+    if full is None:
+        sys.exit("bench.py produced no full JSON record")
+    path = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
+    with open(path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    drift = [
+        ln for ln in out.splitlines() if "SLOPE DRIFT" in ln or "DRIFTED" in ln
+    ]
+    for ln in drift:
+        print(ln, flush=True)
+    return (
+        f"bench total {full['value']}s / {len(full['queries'])} queries "
+        f"(full record: BENCH_LOCAL_r{rnd}.json"
+        + (f"; {len(drift) - 1} slope drifts flagged)" if drift else ")")
+    )
+
+
 def main() -> None:
-    if len(sys.argv) != 2:
-        sys.exit("usage: round_close.py <round-number>")
-    rnd = int(sys.argv[1])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_bench = "--skip-bench" in sys.argv
+    if len(args) != 1:
+        sys.exit("usage: round_close.py <round-number> [--skip-bench]")
+    rnd = int(args[0])
 
     dirty = subprocess.run(
         ["git", "-C", REPO, "status", "--porcelain"],
@@ -53,6 +95,15 @@ def main() -> None:
         ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True, check=True,
     ).stdout.strip()
+
+    if skip_bench:
+        if not os.path.exists(
+            os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
+        ):
+            sys.exit(f"--skip-bench but BENCH_LOCAL_r{rnd}.json is missing")
+        bench_line = f"bench reused (BENCH_LOCAL_r{rnd}.json)"
+    else:
+        bench_line = _run_bench(rnd)
 
     pytest_out = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
     pytest_line = next(
@@ -94,11 +145,12 @@ def main() -> None:
         fh.write(readme)
 
     print()
+    print(f"bench  : {bench_line}")
     print(f"pytest : {pytest_line}")
     print(f"parity : {parity_line}")
     print(f"commit : {commit}")
-    print("SCALE.md/README.md updated — commit them as the round's final,")
-    print("doc-only commit.")
+    print("SCALE.md/README.md/BENCH_LOCAL updated — commit them as the")
+    print("round's final, doc-only commit.")
 
 
 if __name__ == "__main__":
