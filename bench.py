@@ -245,6 +245,58 @@ def _sf1_organic_docs_dir(spark, sf_dir: str) -> str:
     return out
 
 
+def _sf1_vocab_docs_dir(spark, sf_dir: str) -> str:
+    """documents at 10x with replica-suffixed VOCABULARY: every word in
+    a rep>0 doc gets a 'zr<rep>' suffix, so each replica carries its
+    own disjoint vocabulary. That preserves the PER-TERM df
+    distribution exactly while the corpus grows 10x -- the Heaps-law
+    organic-growth model for DF-capped lexical plans (tfidf_cosine_
+    topk): new content brings new terms, a surviving term's df stays
+    bounded, and candidate pairs grow linearly with the corpus. The
+    plain replicated fixture is the opposite extreme for this query:
+    it multiplies every df by the replica count, which the fixed
+    df-cap either cuts (df*10 > cap: work vanishes) or quadratically
+    inflates (pairs ~ df^2) -- neither is the organic slope (VERDICT
+    r9 item 3). Word suffixing keeps doc length, token counts, and
+    within-replica term statistics identical to the base corpus."""
+    from pyspark.sql import functions as F
+    import hashlib
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    fp = hashlib.md5(f"vocab:{st.st_mtime_ns}:{st.st_size}".encode())
+    out = (
+        f"/tmp/spark_graft_bench_voc_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{fp.hexdigest()[:10]}"
+    )
+    target = os.path.join(out, "documents.parquet")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return out
+    src = spark.read.parquet(p)
+    n = src.count()
+    reps = spark.range(_SF1_REPLICAS).select(F.col("id").alias("rep"))
+    suffixed = F.expr(
+        "concat_ws(' ', transform(split(text, ' '), "
+        "w -> concat(w, 'zr', CAST(rep AS STRING))))"
+    )
+    cols = []
+    for c in src.columns:
+        if c == "doc_id":
+            cols.append((F.col("doc_id") + F.col("rep") * n).alias("doc_id"))
+        elif c == "text":
+            cols.append(
+                F.when(F.col("rep") == 0, F.col("text"))
+                .otherwise(suffixed)
+                .alias("text")
+            )
+        else:
+            cols.append(F.col(c))
+    src.crossJoin(reps).select(*cols).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(target)
+    return out
+
+
 def _timed_runs(spark, fn, sf_dir: str, n: int) -> list[float]:
     """Sorted wall seconds over n end-to-end noop-sink runs.
 
@@ -318,6 +370,16 @@ def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         org_dir = _sf1_organic_docs_dir(spark, sf_dir)
         out["minhash_lsh_pairs_organic"] = _spot_entry(
             "minhash_lsh_pairs", org_dir
+        )
+    # Organic 10x slope for the DF-capped TF-IDF pair query: disjoint
+    # per-replica vocabulary preserves the df distribution, so the cap
+    # cuts the same stopword fraction and candidates grow linearly --
+    # the replicated fixture cannot measure this plan (see
+    # _sf1_vocab_docs_dir; VERDICT r9 item 3).
+    if "tfidf_cosine_topk" in qs and "tfidf_cosine_topk" in timings:
+        voc_dir = _sf1_vocab_docs_dir(spark, sf_dir)
+        out["tfidf_cosine_topk_organic"] = _spot_entry(
+            "tfidf_cosine_topk", voc_dir
         )
     return {"data_ratio": _SF1_REPLICAS, "queries": out}
 

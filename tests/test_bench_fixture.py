@@ -137,3 +137,40 @@ def test_slope_drift_report_flags_median_drift(capsys, tmp_path, monkeypatch):
     assert "SLOPE DRIFT" in err and "q_a" in err
     assert "DRIFTED ['q_a']" in err
     assert "q_b" in err and "DRIFTED ['q_a', 'q_b']" not in err
+
+
+def test_vocab_fixture_preserves_df_distribution(spark):
+    """The tfidf organic fixture must (a) replicate docs 10x, (b) keep
+    doc lengths identical, and (c) preserve the per-term df HISTOGRAM
+    exactly (each replica's suffixed vocabulary is a bijection of the
+    base vocabulary, so every df bucket's term count multiplies by the
+    replica count) — the property that makes the DF cap cut the same
+    stopword fraction at 10x."""
+    out = bench._sf1_vocab_docs_dir(spark, SF_DIR)
+    r = bench._SF1_REPLICAS
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    assert big.count() == r * base.count()
+    assert big.select("doc_id").distinct().count() == r * base.count()
+
+    def lengths(df):
+        return dict(
+            df.select(F.size(F.split("text", " ")).alias("n"))
+            .groupBy("n").count().collect()
+        )
+
+    bl, gl = lengths(base), lengths(big)
+    assert gl == {k: r * v for k, v in bl.items()}
+
+    def df_hist(df):
+        words = df.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        ).distinct()
+        return dict(
+            words.groupBy("w").count().groupBy("count").agg(
+                F.count(F.lit(1)).alias("terms")
+            ).collect()
+        )
+
+    bh, gh = df_hist(base), df_hist(big)
+    assert gh == {k: r * v for k, v in bh.items()}
