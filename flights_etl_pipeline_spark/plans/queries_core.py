@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from flights_etl_pipeline_spark.functions.scalar import davg, dround, dsum
 from flights_etl_pipeline_spark.plans.registry import (
     load,
+    model_channel,
     register,
     result_checkpoint,
 )
@@ -1478,7 +1479,10 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
-        .collect()
+    )
+    pos_rows = model_channel(
+        pos_rows, _BF_BITS, "bloom filter bit positions: distinct "
+        "values of hash % _BF_BITS, bounded by the filter width"
     )
     bits = {int(r["pos"]) for r in pos_rows}
     n_bits_set = len(bits)

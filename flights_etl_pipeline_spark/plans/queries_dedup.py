@@ -34,6 +34,7 @@ from flights_etl_pipeline_spark.functions.text import (
 )
 from flights_etl_pipeline_spark.plans.registry import (
     load,
+    model_channel,
     register,
     result_checkpoint,
 )
@@ -1986,7 +1987,10 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g1", "g2", "g3", "g4")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    )
+    pat = model_channel(
+        pat, 16, "fellegi-sunter gamma patterns: 4 binary agreement "
+        "fields -> at most 2^4 groups regardless of pair count"
     )
     patterns = [
         ((r["g1"], r["g2"], r["g3"], r["g4"]), r["n"]) for r in pat

@@ -33,7 +33,11 @@ from flights_etl_pipeline_spark.functions.text import (
     stopword_score,
     tokenize,
 )
-from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.registry import (
+    load,
+    model_channel,
+    register,
+)
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround, sql_dsum
 
 # ---------------------------------------------------------------------------
@@ -1517,10 +1521,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine), never corpus rows. Rounds are fixed (3), so the oracle
     unrolls like PageRank's."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init = (
-        emb.filter(F.col("vec_id") < _KM_K)
-        .select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
-        .collect()
+    init = model_channel(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "val")
+        ),
+        _KM_K * 64,
+        "kmeans init centroids: K vectors x 64 dims",
     )
     # assignment is COMPUTE-bound (K x dim double folds + a dim-way
     # posexplode per row): rebalance the raw rows so each round's pass
@@ -1567,7 +1573,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("val")
             )
-            .collect()
+        )
+        new_rows = model_channel(
+            new_rows,
+            _KM_K * 64,
+            "kmeans round update: K centroids x 64 dims of partial "
+            "means — the per-round model exchange",
         )
         for row in new_rows:  # empty clusters keep previous centroids
             cents[row["cid"]][row["pos"]] = float(row["val"])

@@ -29,7 +29,11 @@ from flights_etl_pipeline_spark.functions.vectors import (
     py_decimal_dot,
     signed_hyperplane,
 )
-from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.registry import (
+    load,
+    model_channel,
+    register,
+)
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_cosine, sql_decimal_dot
 
 DIM = 64
@@ -104,7 +108,10 @@ def _centroids(spark: SparkSession, sf_dir: str, k: int = None) -> list[tuple]:
                 F.col("embedding").alias("cvec"),
             )
             .select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
-            .collect()
+        )
+        rows = model_channel(
+            rows, k, "frozen centroid set: vec_id < k filter yields at "
+            "most k rows by construction"
         )
         data = sorted(
             (int(r["cid"]), [float(v) for v in r["cvec"]], float(r["cnorm"]))
@@ -1288,7 +1295,10 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[tuple]]:
                 ).alias("m", "cv"),
             )
             .withColumn("cnorm", decimal_dot("cv", "cv"))
-            .collect()
+        )
+        rows = model_channel(
+            rows, PQ_K * PQ_M, "PQ codebook: PQ_K centroid vectors x "
+            "PQ_M subspaces"
         )
         data: list[list[tuple]] = [[] for _ in range(PQ_M)]
         for r in rows:
@@ -1846,7 +1856,10 @@ def pca_projection(
                     / F.count(F.lit(1))
                 ).alias("mu")
             )
-            .collect()
+        )
+        rows = model_channel(
+            rows, 64, "per-dimension means: grouped by the 64 embedding "
+            "dimensions, corpus-size-independent"
         )
         return [r["mu"] for r in sorted(rows, key=lambda r: r["i"])]
 
@@ -1883,7 +1896,10 @@ def pca_projection(
                 for j in range(64)
             ]
         )
-        .collect()
+    )
+    s_rows = model_channel(
+        s_rows, 64, "covariance moment rows: one per embedding "
+        "dimension (64 x 64 scalars total), corpus-size-independent"
     )
     s = {
         (r["i"], j): r[f"s{j}"] for r in s_rows for j in range(64)
@@ -2360,9 +2376,13 @@ def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qrows = sorted(
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < _BATCH_Q)
-        .select("vec_id", "embedding")
-        .collect()
+        for r in model_channel(
+            emb.filter(F.col("vec_id") < _BATCH_Q).select(
+                "vec_id", "embedding"
+            ),
+            _BATCH_Q,
+            "serve batch query vectors: vec_id < Q filter",
+        )
     )
     qvecs = [v for _, v in qrows]
     qids = [int(i) for i, _ in qrows]
@@ -2385,7 +2405,13 @@ def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qi", F.floor(F.col("sc") * _BATCH_BUCKETS).alias("b")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    )
+    # cosine in [-1, 1] -> bucket ids in [-B, B]: (2B + 1) per query
+    hist = model_channel(
+        hist,
+        _BATCH_Q * (2 * _BATCH_BUCKETS + 1),
+        "per-query cosine histogram: domain-bounded bucket counts, "
+        "never corpus rows (the largest declared channel in the repo)",
     )
     by_q: dict[int, list[tuple[int, int]]] = {}
     for r in hist:
@@ -2554,12 +2580,13 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_dot("embedding", "embedding"),
         "qnorm",
     )
-    cand_rows = (
+    cand_rows = model_channel(
         emb.crossJoin(F.broadcast(q))
         .select("vec_id", "embedding", dround(cos, 8).alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id")
-        .limit(_MMR_M)
-        .collect()
+        .limit(_MMR_M),
+        _MMR_M,
+        "MMR candidate pool: TakeOrdered top-M by relevance",
     )
 
     def _q8(x: float) -> float:
@@ -2574,7 +2601,11 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to an explicit 1-row collect if the fixture ever drops it
     if qrow is None:
         qvec = list(
-            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+            model_channel(
+                emb.filter(F.col("vec_id") == 0),
+                1,
+                "single query vector by primary key",
+            )[0]["embedding"]
         )
     else:
         qvec = vecs[0]

@@ -91,6 +91,30 @@ def result_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def model_channel(df: DataFrame, max_rows: int, why: str) -> list:
+    """Collect a driver-side MODEL channel (frozen centroids, score
+    histograms, gamma-pattern counts, top-M serve candidates...) with
+    its size bound enforced at RUNTIME: fetches at most ``max_rows + 1``
+    rows and raises if the declared bound is exceeded, so a fixture or
+    upstream-plan change can never silently turn a model-sized channel
+    into a data-sized collect (VERDICT r9 item 4 — these bounds
+    previously lived only in docstrings).
+
+    The ``limit(max_rows + 1)`` is part of the plan, so even on a
+    breach the driver transfer stays bounded — the failure is a clean
+    AssertionError, not an OOM. Every ``.collect()`` under ``plans/``
+    must flow through this helper or carry a ``naked-collect-ok``
+    exemption comment (enforced by tests/test_plans.py)."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise AssertionError(
+            f"model channel exceeded its declared bound of {max_rows} "
+            f"rows ({why}) — this collect is sized by the MODEL, not "
+            f"the data; the input no longer satisfies that invariant"
+        )
+    return rows
+
+
 def register(
     name: str,
     oracle: str | None = None,

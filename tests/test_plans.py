@@ -579,3 +579,58 @@ def test_rag_retrieve_broadcasts_topk_side(spark):
     plan = plan_str(rag_retrieve(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_naked_collects_in_plans():
+    """Every ``.collect()`` under plans/ must flow through
+    registry.model_channel — the helper that enforces a declared
+    row-count bound at runtime — or carry an explicit
+    ``naked-collect-ok: <reason>`` exemption comment within the three
+    preceding lines (VERDICT r9 item 4: driver-channel bounds used to
+    live only in docstrings, where a fixture change could silently
+    break them). ``.first()``/``limit(1)`` are exempt by construction
+    (the transfer is one row by plan shape)."""
+    import os
+    import re
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flights_etl_pipeline_spark",
+        "plans",
+    )
+    offenders = []
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py") or fname == "registry.py":
+            continue
+        lines = open(os.path.join(plans_dir, fname)).read().splitlines()
+        for i, ln in enumerate(lines):
+            if ".collect()" not in ln or ln.lstrip().startswith("#"):
+                continue
+            ctx = "\n".join(lines[max(0, i - 3): i + 1])
+            if "naked-collect-ok" in ctx:
+                continue
+            offenders.append(f"{fname}:{i + 1}: {ln.strip()}")
+    assert not offenders, (
+        "naked .collect() in plans/ — route through "
+        "registry.model_channel(df, max_rows, why) or add a "
+        "'# naked-collect-ok: <reason>' comment:\n" + "\n".join(offenders)
+    )
+
+    # registry.py itself must contain exactly the helper's collect
+    reg = open(os.path.join(plans_dir, "registry.py")).read()
+    code_hits = [
+        ln for ln in reg.splitlines()
+        if ".collect()" in ln and not ln.lstrip().startswith(("#", "A"))
+        and '``' not in ln
+    ]
+    assert len(code_hits) == 1, code_hits
+
+
+def test_model_channel_raises_on_bound_breach(spark):
+    from flights_etl_pipeline_spark.plans.registry import model_channel
+
+    df = spark.range(100)
+    rows = model_channel(df, 100, "all rows fit")
+    assert len(rows) == 100
+    with pytest.raises(AssertionError, match="declared bound of 10"):
+        model_channel(df, 10, "too many")
