@@ -124,6 +124,60 @@ _SINGLE_PARTITION_SANCTIONED = {
 _STREAMING_PREFIXES = ("events_hourly_stream", "events_sessionize_stream")
 
 
+def _node_depth(line: str) -> int:
+    """Tree depth of a simple-mode explain line (length of the drawing
+    prefix: spaces, ':', '+', '-', '|')."""
+    import re
+
+    return len(re.match(r"^[\s:+\-|]*", line).group(0))
+
+
+_BOUNDING_NODE = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+)
+# Broadcast joins are PASS-THROUGH: a bounded subtree crossed with a
+# broadcast scalar (median, max-date) stays bounded — the walk continues
+# into the streamed side, which must still aggregate before its scan.
+# Shuffle joins and cartesian products are breakers: their output can be
+# table-sized no matter what feeds them.
+_UNBOUNDED_NODE = (
+    "FileScan",
+    "Scan parquet",
+    "Scan ExistingRDD",
+    "Generate",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "CartesianProduct",
+)
+
+
+def _single_partition_input_is_bounded(lines: list[str], i: int) -> bool:
+    """True iff the Exchange SinglePartition at ``lines[i]`` feeds from
+    a BOUNDED subtree: walking its child subtree top-down, a bounding
+    node (aggregate partial/final, top-k heap, limit) appears before
+    any scan/generate/join — i.e. the single partition only ever holds
+    post-aggregate or post-heap rows, never table-sized input. This is
+    the STRUCTURAL form of the _SINGLE_PARTITION_SANCTIONED contract
+    (VERDICT r9 item 5): a refactor can keep a name on the list, but
+    it cannot un-bound the window's input without failing here."""
+    d = _node_depth(lines[i])
+    for ln in lines[i + 1 :]:
+        if not ln.strip():
+            continue
+        if _node_depth(ln) <= d:
+            break  # left the exchange's subtree
+        if any(b in ln for b in _BOUNDING_NODE):
+            return True
+        if any(u in ln for u in _UNBOUNDED_NODE):
+            return False
+    return True  # subtree exhausted without hitting a data source
+
+
 def test_plan_lint_all_registered_queries(spark):
     """One sweep, two repo-wide scale invariants, pinned so refactors
     can't silently regress them:
@@ -169,9 +223,22 @@ def test_plan_lint_all_registered_queries(spark):
             funnels_sort_or_window = (
                 "Window" in above or "Sort" in above
             ) and "Aggregate" not in above
-            if funnels_sort_or_window and name not in _SINGLE_PARTITION_SANCTIONED:
+            if not funnels_sort_or_window:
+                continue
+            if name not in _SINGLE_PARTITION_SANCTIONED:
                 violations.append(
                     f"{name}: Sort/Window over Exchange SinglePartition"
+                )
+                break
+            # sanctioned: the name alone is not enough — the exchange's
+            # input subtree must STILL be bounded by construction
+            # (aggregate or top-k before any scan/generate/join)
+            if not _single_partition_input_is_bounded(lines, i):
+                violations.append(
+                    f"{name}: SANCTIONED single-partition window, but "
+                    f"its input subtree is no longer bounded (no "
+                    f"aggregate/top-k between the exchange and a data "
+                    f"source) — the sanction no longer holds"
                 )
                 break
     assert not violations, "\n".join(violations)
@@ -634,3 +701,53 @@ def test_model_channel_raises_on_bound_breach(spark):
     assert len(rows) == 100
     with pytest.raises(AssertionError, match="declared bound of 10"):
         model_channel(df, 10, "too many")
+
+
+def test_single_partition_bound_checker_mechanics():
+    """The structural checker itself: bounded subtrees (aggregate or
+    top-k before any scan, broadcast-scalar cross joins pass through)
+    accept; a raw scan or shuffle join under the exchange rejects."""
+    bounded = """Window [x]
++- Sort [x ASC]
+   +- Exchange SinglePartition
+      +- HashAggregate(keys=[d], functions=[sum(v)])
+         +- Exchange hashpartitioning(d, 8)
+            +- FileScan parquet [d,v]""".splitlines()
+    assert _single_partition_input_is_bounded(bounded, 2)
+
+    via_bcast = """Window [x]
++- Sort [x ASC]
+   +- Exchange SinglePartition
+      +- Project [a, b]
+         +- BroadcastNestedLoopJoin BuildRight, Cross
+            :- HashAggregate(keys=[k], functions=[max(d)])
+            :  +- FileScan parquet [k,d]
+            +- BroadcastExchange IdentityBroadcastMode
+               +- HashAggregate(keys=[], functions=[max(d)])""".splitlines()
+    assert _single_partition_input_is_bounded(via_bcast, 2)
+
+    raw_scan = """Window [x]
++- Sort [x ASC]
+   +- Exchange SinglePartition
+      +- Project [a]
+         +- Filter isnotnull(a)
+            +- FileScan parquet [a]""".splitlines()
+    assert not _single_partition_input_is_bounded(raw_scan, 2)
+
+    shuffle_join = """Window [x]
++- Sort [x ASC]
+   +- Exchange SinglePartition
+      +- SortMergeJoin [a], [b], Inner
+         :- HashAggregate(keys=[a], functions=[count(1)])
+         +- FileScan parquet [b]""".splitlines()
+    assert not _single_partition_input_is_bounded(shuffle_join, 2)
+
+    # sibling subtree beyond the exchange must NOT leak into the walk:
+    # the exchange's subtree ends at the depth-decrease, and an
+    # aggregate in a sibling branch cannot vouch for this exchange
+    sibling = """Union
+:- Window [x]
+:  +- Exchange SinglePartition
+:     +- FileScan parquet [a]
++- HashAggregate(keys=[], functions=[count(1)])""".splitlines()
+    assert not _single_partition_input_is_bounded(sibling, 2)
