@@ -454,6 +454,59 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_THRESHOLD = 0.5
 
 
+def _propagate_parts(pairs: DataFrame):
+    """LAZY building blocks of min-label propagation: the symmetric
+    edge set and the min-of-neighborhood seed labels. Shared by the
+    convergence loop (which persists/checkpoints them) and the
+    EXPLAINS plan audit (which reads them lazily — the loop-body
+    checkpoint otherwise hides the per-round plan; VERDICT r9
+    item 7)."""
+    ca, cb = pairs.columns
+    edges = pairs.union(pairs.select(cb, ca)).toDF("src", "dst")
+    # seed comp = min(id, neighbors) instead of id: for near-clique
+    # components (the dominant shape here) that IS the fixed point, so
+    # the loop's first round only confirms convergence — one round
+    # saved at identical cost (a groupBy replaces the distinct)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "mn").alias("comp"),
+        )
+    )
+    return edges, labels
+
+
+def _propagate_round(
+    edges: DataFrame, labels: DataFrame, comp_type: str, obs=None
+) -> DataFrame:
+    """One LAZY propagation round: join labels across edges, elect the
+    min label per node (the old label rides the union as a null-padded
+    ``prev`` column so MIN(prev) recovers it through the same
+    aggregate). The caller checkpoints the result and reads the
+    changed-label Observation; the audit path just explains it."""
+    prop = edges.join(labels, edges["src"] == labels["id"]).select(
+        F.col("dst").alias("id"),
+        "comp",
+        F.lit(None).cast(comp_type).alias("prev"),
+    )
+    out = (
+        labels.select("id", "comp", F.col("comp").alias("prev"))
+        .unionByName(prop)
+        .groupBy("id")
+        .agg(F.min("comp").alias("comp"), F.min("prev").alias("prev"))
+    )
+    if obs is not None:
+        out = out.observe(
+            obs,
+            F.sum((F.col("comp") != F.col("prev")).cast("int")).alias(
+                "changed"
+            ),
+        )
+    return out.select("id", "comp")
+
+
 def _min_label_propagate(
     pairs: DataFrame, max_rounds: int = 20
 ) -> DataFrame:
@@ -480,45 +533,15 @@ def _min_label_propagate(
     instead of returning silently-wrong components."""
     from pyspark.sql import Observation
 
-    ca, cb = pairs.columns
-    edges = (
-        pairs.union(pairs.select(cb, ca)).toDF("src", "dst").persist()
-    )
-    # seed comp = min(id, neighbors) instead of id: for near-clique
-    # components (the dominant shape here) that IS the fixed point, so
-    # the loop's first round only confirms convergence — one round
-    # saved at identical cost (a groupBy replaces the distinct)
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select(
-            F.col("src").alias("id"),
-            F.least("src", "mn").alias("comp"),
-        )
-        .localCheckpoint()
-    )
+    edges, labels = _propagate_parts(pairs)
+    edges = edges.persist()
+    labels = labels.localCheckpoint()
     comp_type = dict(labels.dtypes)["comp"]
     for _ in range(max_rounds):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"),
-            "comp",
-            F.lit(None).cast(comp_type).alias("prev"),
-        )
         obs = Observation()
-        new_labels = (
-            labels.select("id", "comp", F.col("comp").alias("prev"))
-            .unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"), F.min("prev").alias("prev"))
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("comp") != F.col("prev")).cast("int")
-                ).alias("changed"),
-            )
-            .select("id", "comp")
-            .localCheckpoint()
-        )
+        new_labels = _propagate_round(
+            edges, labels, comp_type, obs
+        ).localCheckpoint()
         labels, prev = new_labels, labels
         prev.unpersist()
         if not (obs.get["changed"] or 0):

@@ -2493,6 +2493,32 @@ _MMR_MU = 1 - _MMR_LAMBDA
 _MMR_Q8 = "FLOOR({expr} * 100000000 + 0.5) / 100000000"
 
 
+def _mmr_candidates(emb: DataFrame) -> DataFrame:
+    """LAZY candidate-pool plan for the MMR rerank: score every corpus
+    vector against the broadcast query (exact cosine via the decimal
+    fold) and keep the top-M as a TakeOrdered — the corpus-sized half
+    of the serve path. Shared by ann_mmr_rerank (which collects it
+    through model_channel) and the EXPLAINS plan audit (the query's own
+    returned DF is driver-assembled selection output, so its explain
+    shows only Scan ExistingRDD; this is the real distributed tree)."""
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
+    )
+    cos = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", dround(cos, 8).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_M)
+    )
+
+
 def _mmr_sql() -> str:
     """Greedy MMR as {k} unrolled MATERIALIZED stages (kcore trick):
     each stage picks the argmax of 0.7*rel - 0.3*max-sim-to-selected
@@ -2570,21 +2596,8 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qv"))
-        .select("qv", decimal_dot("qv", "qv").alias("qnorm"))
-    )
-    cos = cosine_from_parts(
-        decimal_dot("embedding", "qv"),
-        decimal_dot("embedding", "embedding"),
-        "qnorm",
-    )
     cand_rows = model_channel(
-        emb.crossJoin(F.broadcast(q))
-        .select("vec_id", "embedding", dround(cos, 8).alias("rel"))
-        .orderBy(F.col("rel").desc(), "vec_id")
-        .limit(_MMR_M),
+        _mmr_candidates(emb),
         _MMR_M,
         "MMR candidate pool: TakeOrdered top-M by relevance",
     )
