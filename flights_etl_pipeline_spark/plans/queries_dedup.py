@@ -31,6 +31,7 @@ from flights_etl_pipeline_spark.functions.text import (
     minhash_params,
     normalize_text,
     shingle_hash_long,
+    shingle_rows,
 )
 from flights_etl_pipeline_spark.plans.registry import (
     load,
@@ -2064,3 +2065,139 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "feature STRING, m DOUBLE, u DOUBLE, weight DOUBLE, p_match DOUBLE",
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup: doc-in-doc detection (round 10)
+# ---------------------------------------------------------------------------
+
+_CONT_DF_MIN = 2  # df=1 shingles cannot pair
+_CONT_DF_CAP = 100  # posting cap: bounds self-join fan-out per shingle
+_CONT_THRESHOLD = 0.9
+_CONT_TOPK = 100
+
+CONTAINMENT_SQL = f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, UNNEST({WORD_SHINGLES_SQL}) AS s FROM corpus)
+),
+keep AS (
+  SELECT s FROM sh GROUP BY s
+  HAVING COUNT(*) BETWEEN {_CONT_DF_MIN} AND {_CONT_DF_CAP}
+),
+post AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM post GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_shared,
+       na.n_sh AS n_a, nb.n_sh AS n_b,
+       FLOOR(CAST(i.n_shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh)
+             * 1000000 + 0.5) / 1000000 AS containment,
+       CASE WHEN na.n_sh < nb.n_sh THEN i.doc_a
+            WHEN nb.n_sh < na.n_sh THEN i.doc_b
+            ELSE LEAST(i.doc_a, i.doc_b) END AS contained_doc
+FROM inter i
+JOIN sizes na ON i.doc_a = na.doc_id
+JOIN sizes nb ON i.doc_b = nb.doc_id
+WHERE CAST(i.n_shared AS DOUBLE) / LEAST(na.n_sh, nb.n_sh)
+      >= {_CONT_THRESHOLD}
+ORDER BY containment DESC, doc_a, doc_b
+LIMIT {_CONT_TOPK}
+"""
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=CONTAINMENT_SQL,
+    survey=["dedup-containment", "doc-in-doc", "inverted-index"],
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A,B) = |S(A) n S(B)| / min(|S(A)|,
+    |S(B)|) over distinct word-trigram shingle sets -- the doc-IN-doc
+    detector. Jaccard misses a short document quoted verbatim inside a
+    long one (union-normalized similarity collapses), but containment
+    of the SMALLER side stays ~1; a training corpus keeps the superset
+    and drops the contained doc (``contained_doc`` names it). The
+    planted near-copies (base text + 2 tokens) are the fixture's
+    contained pairs: the original's shingles are a subset of its copy's.
+
+    Engine-exactness: intersection and set sizes are exact integers
+    over the SAME df-capped shingle universe on both sides; containment
+    is one int->double divide, quantized at 1e-6 before the ordered
+    top-{topk} with full (doc_a, doc_b) tie-break.
+
+    Scale shape: same sub-quadratic discipline as tfidf_cosine_topk --
+    the DF cut (df > {cap} stopword-like shingles are pair-explosive:
+    d(d-1)/2 candidates each) runs BEFORE the inverted-index self-join,
+    bounding fan-out per shingle at {cap}^2; postings are persisted
+    because three plan legs consume them (two join sides + sizes). One
+    explode -> two map-combinable aggregates; the top-k is a
+    TakeOrdered, never a global sort."""
+    corpus = _corpus(spark, sf_dir)
+    sh = shingle_rows(corpus, ["doc_id"]).distinct()
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= _CONT_DF_MIN) & (F.col("df") <= _CONT_DF_CAP)
+        )
+        .select("sh")
+    )
+    post = sh.join(keep, "sh", "left_semi").persist()
+    sizes = post.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    ratio = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(ratio >= _CONT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            dround(ratio, 6).alias("containment"),
+            F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
+            .when(F.col("n_b") < F.col("n_a"), F.col("doc_b"))
+            .otherwise(F.least("doc_a", "doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(_CONT_TOPK)
+        .transform(result_checkpoint)  # top-k-sized; releases postings
+    )
+    post.unpersist()
+    return out
+
+
+shingle_containment_pairs.__doc__ = shingle_containment_pairs.__doc__.format(
+    topk=_CONT_TOPK, cap=_CONT_DF_CAP
+)

@@ -3021,3 +3021,98 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(mc * q + 0.5) / q).alias("y_control"),
         (F.floor((mt - mc) * q + 0.5) / q).alias("uplift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: per-user state history with validity intervals (round 10)
+# ---------------------------------------------------------------------------
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type != event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+  FROM ordered
+),
+segs AS (
+  SELECT user_id, event_type, seg,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, event_type, seg
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+         AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg) IS NULL
+         AS is_current,
+       n_events
+FROM segs
+"""
+
+
+@register(
+    "scd2_user_state_history",
+    oracle=SCD2_SQL,
+    survey=["scd2", "slowly-changing-dimension", "warehouse", "intervals"],
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change log: each
+    user's event stream is collapsed into maximal runs of constant
+    event_type, emitted as validity intervals [valid_from, valid_to)
+    with the open interval flagged ``is_current`` -- the standard
+    warehouse history table (cdc_latest_state is the Type-1 twin that
+    keeps only the last row; this keeps the full auditable history an
+    as-of join can probe).
+
+    Mechanics: the classic gaps-and-islands construction -- lag to
+    detect changes, a running change-count as the island id, one
+    aggregate per island, lead for the closing bound. Determinism:
+    every window orders by the full (ts, event_id) key.
+
+    Scale shape: ALL windows partition by user_id (key-partitioned,
+    never global -- the sessionize/retention precedent); the island
+    aggregate is map-combinable on (user, type, seg). One shuffle on
+    user_id shared by every stage, no join anywhere."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(wo).alias("prev_type"),
+    )
+    runs = ordered.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("seg"),
+    )
+    segs = runs.groupBy("user_id", "event_type", "seg").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("seg")
+    return segs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(ws).alias("valid_to"),
+        F.lead("valid_from").over(ws).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -28,6 +28,7 @@ from flights_etl_pipeline_spark.functions.scalar import dround, dsum
 from flights_etl_pipeline_spark.functions.text import (
     STOPWORDS,
     fingerprint,
+    normalize_text,
     shingle_hash_long,
     shingle_rows,
     stopword_score,
@@ -37,6 +38,7 @@ from flights_etl_pipeline_spark.plans.registry import (
     load,
     model_channel,
     register,
+    result_checkpoint,
 )
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_dround, sql_dsum
 
@@ -4054,3 +4056,200 @@ def purged_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_embargoed"),
         F.sum(F.when(in_train, 1).otherwise(0)).cast("bigint").alias("n_train"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (round 10)
+# ---------------------------------------------------------------------------
+
+_NB_Q = 10**6  # log-prob quantization: 1e-6 integer micro-nats
+
+NB_CLASSIFIER_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, text, {_SPLIT_CASE_SQL} AS split FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, split, UNNEST({_TOKS_SQL}) AS tok FROM docs
+),
+cnt AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks WHERE split = 'train' GROUP BY lang, tok
+),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM cnt GROUP BY lang),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM toks WHERE split = 'train'
+),
+priors AS (
+  SELECT lang,
+         CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / n_train) * {_NB_Q} + 0.5)
+              AS BIGINT) AS prior_q
+  FROM (SELECT lang, COUNT(*) AS n_docs FROM docs
+        WHERE split = 'train' GROUP BY lang)
+  CROSS JOIN (SELECT COUNT(*) AS n_train FROM docs WHERE split = 'train')
+),
+defaults AS (
+  SELECT t.lang, t.tot,
+         CAST(FLOOR(LN(1.0 / (t.tot + v.v)) * {_NB_Q} + 0.5) AS BIGINT)
+           AS default_q
+  FROM tot t CROSS JOIN vocab v
+),
+model AS (
+  SELECT c.lang, c.tok,
+         CAST(FLOOR(LN((c.n + 1.0) / (d.tot + v.v)) * {_NB_Q} + 0.5)
+              AS BIGINT) - d.default_q AS delta_q
+  FROM cnt c
+  JOIN defaults d ON c.lang = d.lang
+  CROSS JOIN vocab v
+),
+doc_len AS (
+  SELECT doc_id, lang AS true_lang, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM toks WHERE split = 'test' GROUP BY doc_id, lang
+),
+test_cnt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE split = 'test' GROUP BY doc_id, tok
+),
+adj AS (
+  SELECT tc.doc_id, m.lang, CAST(SUM(tc.cnt * m.delta_q) AS BIGINT) AS adj
+  FROM test_cnt tc JOIN model m ON tc.tok = m.tok
+  GROUP BY tc.doc_id, m.lang
+),
+scores AS (
+  SELECT dl.doc_id, dl.true_lang, p.lang,
+         p.prior_q + dl.n_toks * d.default_q + COALESCE(a.adj, 0) AS score
+  FROM doc_len dl
+  CROSS JOIN priors p
+  JOIN defaults d ON p.lang = d.lang
+  LEFT JOIN adj a ON a.doc_id = dl.doc_id AND a.lang = p.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY true_lang, pred_lang
+"""
+
+
+@register(
+    "naive_bayes_lang_classifier",
+    oracle=NB_CLASSIFIER_SQL,
+    survey=["naive-bayes", "text-classification", "train-apply", "lang-id"],
+)
+def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND applied distributed: learn
+    add-1-smoothed per-(lang, token) log-probabilities on the md5
+    'train' split, score every 'test' doc against every language, and
+    report the confusion matrix -- the classic learned LID/quality
+    classifier shape (train = one aggregation pass, apply = one join),
+    vs doc_lang_id's fixed stopword heuristic.
+
+    Engine-exactness: every log-probability is quantized to integer
+    1e-6 micro-nats at birth (BM25/dp_laplace discipline), so scoring
+    is PURE INTEGER arithmetic -- prior_q + n_toks*default_q +
+    sum(cnt * delta_q) -- and the per-doc argmax (row_number over
+    (score DESC, lang ASC)) is exact on both engines.
+
+    Scale shape: training is two map-combinable aggregates (token
+    counts, totals) -- the model never leaves the cluster; scoring uses
+    the SPARSE trick: only (token, lang) pairs present in the model
+    contribute a delta against the per-lang unseen-token default, so
+    the scoring join is test-tokens x model on the token key
+    (high-cardinality, well-distributed), never test-docs x vocab.
+    Priors/defaults are lang-bounded broadcasts; the argmax window
+    partitions by doc_id (key-partitioned, never global)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "split", split_assign("doc_id")
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+    ).persist()
+    train = toks.filter(F.col("split") == "train")
+    cnt = train.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("bigint").alias("tot"))
+    vocab = train.agg(
+        F.count_distinct("tok").cast("bigint").alias("v")
+    )
+    n_train = docs.filter(F.col("split") == "train").agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    lnq = lambda col: F.floor(F.log(col) * _NB_Q + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    priors = (
+        docs.filter(F.col("split") == "train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            lnq(
+                F.col("n_docs").cast("double") / F.col("n_train")
+            ).alias("prior_q"),
+        )
+    )
+    defaults = tot.crossJoin(F.broadcast(vocab)).select(
+        "lang",
+        "tot",
+        lnq(F.lit(1.0) / (F.col("tot") + F.col("v"))).alias("default_q"),
+    )
+    model = (
+        cnt.join(defaults, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            (
+                lnq((F.col("n") + 1.0) / (F.col("tot") + F.col("v")))
+                - F.col("default_q")
+            ).alias("delta_q"),
+        )
+    )
+    test = toks.filter(F.col("split") == "test")
+    doc_len = test.groupBy(
+        "doc_id", F.col("lang").alias("true_lang")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_toks"))
+    test_cnt = test.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    adj = (
+        test_cnt.join(model, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("delta_q")).cast("bigint").alias("adj"))
+    )
+    scores = (
+        doc_len.crossJoin(F.broadcast(priors))
+        .join(F.broadcast(defaults.select("lang", "default_q")), "lang")
+        .join(adj, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.col("prior_q")
+                + F.col("n_toks") * F.col("default_q")
+                + F.coalesce(F.col("adj"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    out = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .transform(result_checkpoint)  # lang^2-sized; releases toks
+    )
+    toks.unpersist()
+    return out
