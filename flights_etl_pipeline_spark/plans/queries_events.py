@@ -3116,3 +3116,101 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(ws).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: frequent 3-event sequences (round 10)
+# ---------------------------------------------------------------------------
+
+_SEQ_TOPK = 50
+
+SEQ_MINING_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events
+),
+triples AS (
+  SELECT t1, t2, t3,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY t1, t2, t3
+),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users
+       FROM events)
+SELECT t1, t2, t3, n_occurrences, n_users,
+       FLOOR(CAST(n_users AS DOUBLE) / total_users * 1000000 + 0.5)
+         / 1000000 AS support
+FROM triples CROSS JOIN nu
+ORDER BY n_users DESC, n_occurrences DESC, t1, t2, t3
+LIMIT {_SEQ_TOPK}
+"""
+
+
+@register(
+    "event_sequence_mining",
+    oracle=SEQ_MINING_SQL,
+    survey=["sequence-mining", "sequential-patterns", "behavioral"],
+)
+def event_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent consecutive 3-event sequences: every (t1 -> t2 -> t3)
+    run in a user's time-ordered stream, ranked by USER support (the
+    GSP/PrefixSpan level-3 readout) -- the sequential upgrade of
+    event_transitions' bigram matrix: 'view -> cart -> purchase' vs
+    'view -> cart -> view' separates converting paths from browsing
+    loops, which no unordered co-occurrence query can see.
+
+    Determinism: windows order by the full (ts, event_id) key; support
+    is one exact-int divide quantized at 1e-6; the top-{topk} carries
+    the full (n_users, n_occurrences, t1, t2, t3) tie-break.
+
+    Scale shape: the two LEADs share ONE key-partitioned window pass
+    (user-keyed, never global); triple counting is a map-combinable
+    aggregate on the (t1,t2,t3) domain (|event types|^3 groups, ~200);
+    distinct-user support shuffles on the same bounded triple key. The
+    top-k is a TakeOrdered over the bounded triple domain."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    triples = seq.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    nu = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("total_users")
+    )
+    return (
+        triples.crossJoin(F.broadcast(nu))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_occurrences",
+            "n_users",
+            dround(
+                F.col("n_users").cast("double") / F.col("total_users"), 6
+            ).alias("support"),
+        )
+        .orderBy(
+            F.col("n_users").desc(),
+            F.col("n_occurrences").desc(),
+            "t1",
+            "t2",
+            "t3",
+        )
+        .limit(_SEQ_TOPK)
+    )
+
+
+event_sequence_mining.__doc__ = event_sequence_mining.__doc__.format(
+    topk=_SEQ_TOPK
+)

@@ -4253,3 +4253,150 @@ def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sample (round 10)
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000  # total sample budget across strata
+
+NEYMAN_SQL = f"""
+WITH stats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY source
+),
+wgt AS (
+  SELECT source, n_h,
+         CAST(FLOOR(SQRT(GREATEST(
+                CAST(q AS DOUBLE) / n_h
+                - (CAST(s AS DOUBLE) / n_h) * (CAST(s AS DOUBLE) / n_h),
+                0.0))
+              * n_h * 1000000 + 0.5) AS BIGINT) AS w_q
+  FROM stats
+),
+tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS tw FROM wgt),
+alloc AS (
+  SELECT source, n_h, w_q,
+         LEAST(({_NEY_BUDGET} * w_q) // tw, n_h) AS n_alloc
+  FROM wgt CROSS JOIN tot
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+),
+samp AS (
+  SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(r.n_chars) AS BIGINT) AS chars
+  FROM ranked r JOIN alloc a ON r.source = a.source AND r.rn <= a.n_alloc
+  GROUP BY r.source
+)
+SELECT a.source, a.n_h AS n_total, a.w_q, a.n_alloc,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       CASE WHEN s.n_sampled > 0
+            THEN FLOOR(CAST(s.chars AS DOUBLE) / s.n_sampled * 10000 + 0.5)
+                 / 10000 END AS mean_chars_sampled
+FROM alloc a LEFT JOIN samp s ON a.source = s.source
+"""
+
+
+@register(
+    "neyman_stratified_sample",
+    oracle=NEYMAN_SQL,
+    survey=["neyman-allocation", "stratified-sampling", "survey-design"],
+)
+def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sampling: the {budget}-doc budget is
+    allocated across source strata by Neyman allocation n_h ~ N_h *
+    sigma_h (high-variance strata get proportionally MORE rows than
+    proportional allocation gives them -- the survey-sampling optimum
+    for estimating the corpus mean), then drawn deterministically by
+    md5 rank within each stratum. stratified_sample is the
+    proportional baseline; this is the estimator-variance-minimizing
+    upgrade a 100 TB eval-subset draw would actually use.
+
+    Engine-exactness: per-stratum moments are exact integer sums;
+    sigma_h is one fixed IEEE op sequence (q/n, s/n, mul, sub, sqrt --
+    the zscore discipline, GREATEST(...,0)-guarded for constant
+    strata); the allocation weight is quantized to integer 1e-6 units
+    BEFORE the cross-stratum sum (quantize-before-sum discipline), so
+    allocation is pure integer arithmetic -- (budget * w_q) DIV
+    total_w, positive-operand integer division in both engines.
+
+    Scale shape: one map-combinable moment aggregate; the allocation
+    table is strata-bounded (broadcast); the md5 rank window partitions
+    by stratum (key-partitioned -- at extreme per-stratum cardinality
+    swap for the histogram-threshold draw, orders_priority_sample
+    precedent); the sample summary is one more map-combinable
+    aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("q"),
+    )
+    qd = F.col("q").cast("double") / F.col("n_h")
+    md = F.col("s").cast("double") / F.col("n_h")
+    var = F.greatest(qd - md * md, F.lit(0.0))
+    wgt = stats.select(
+        "source",
+        "n_h",
+        F.floor(F.sqrt(var) * F.col("n_h") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    tot = wgt.agg(F.sum("w_q").cast("bigint").alias("tw"))
+    alloc = (
+        wgt.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_h",
+            "w_q",
+            F.least(
+                F.expr(f"({_NEY_BUDGET} * w_q) DIV tw"), F.col("n_h")
+            ).alias("n_alloc"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(wr).alias("rn")
+    )
+    samp = (
+        ranked.join(F.broadcast(alloc.select("source", "n_alloc")), "source")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+    return (
+        alloc.join(samp, "source", "left")
+        .select(
+            "source",
+            F.col("n_h").alias("n_total"),
+            "w_q",
+            "n_alloc",
+            F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint")).alias(
+                "n_sampled"
+            ),
+            F.when(
+                F.col("n_sampled") > 0,
+                dround(
+                    F.col("chars").cast("double") / F.col("n_sampled"), 4
+                ),
+            ).alias("mean_chars_sampled"),
+        )
+    )
+
+
+neyman_stratified_sample.__doc__ = neyman_stratified_sample.__doc__.format(
+    budget=_NEY_BUDGET
+)

@@ -1,0 +1,140 @@
+"""Mechanism tests for the round-10 operator wave: containment dedup,
+Naive Bayes classification, SCD2 intervals, Neyman allocation, and
+sequential pattern mining. Value parity is pinned by the DuckDB oracles;
+these tests pin the SEMANTIC invariants the oracles alone can't state.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    from flights_etl_pipeline_spark.plans.registry import REGISTRY
+    import flights_etl_pipeline_spark.plans.queries  # noqa: F401
+
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_containment_flags_subset_docs_asymmetrically(spark):
+    """Every emitted pair must name the smaller shingle set as the
+    contained doc (ties -> least id); planted exact copies
+    (doc_id+10000) surface at containment 1.0; and at least one
+    STRICTLY asymmetric pair (n_a != n_b, i.e. a doc inside a larger
+    doc — the case Jaccard under-scores) must be present. The planted
+    near-copies rank below the 1.0-tie top-k cut at this SF, so the
+    asymmetry evidence comes from the corpus's organic subset pairs."""
+    rows = _q(spark, "shingle_containment_pairs").collect()
+    assert rows, "containment query returned nothing"
+    for r in rows:
+        assert r["containment"] >= 0.9
+        if r["n_a"] < r["n_b"]:
+            assert r["contained_doc"] == r["doc_a"]
+        elif r["n_b"] < r["n_a"]:
+            assert r["contained_doc"] == r["doc_b"]
+        else:
+            assert r["contained_doc"] == min(r["doc_a"], r["doc_b"])
+    exact = [r for r in rows if r["doc_b"] == r["doc_a"] + 10000]
+    assert exact, "no planted exact-copy pairs surfaced"
+    for r in exact:
+        assert r["containment"] == 1.0 and r["n_a"] == r["n_b"]
+    assert any(r["n_a"] != r["n_b"] for r in rows), (
+        "no asymmetric (doc-in-doc) pair surfaced"
+    )
+
+
+def test_nb_classifier_confusion_is_complete_and_train_closed(spark):
+    """The confusion matrix must cover every test doc exactly once and
+    only ever predict languages seen in training (the model cannot
+    invent a class)."""
+    from flights_etl_pipeline_spark.plans.queries_ml import split_assign
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    docs = load(spark, SF_DIR, "documents").withColumn(
+        "split", split_assign("doc_id")
+    )
+    n_test = docs.filter(F.col("split") == "test").count()
+    train_langs = {
+        r["lang"]
+        for r in docs.filter(F.col("split") == "train")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    rows = _q(spark, "naive_bayes_lang_classifier").collect()
+    assert sum(r["n_docs"] for r in rows) == n_test
+    assert {r["pred_lang"] for r in rows} <= train_langs
+    # better than uniform-random on the diagonal (weak but real signal)
+    acc = sum(
+        r["n_docs"] for r in rows if r["true_lang"] == r["pred_lang"]
+    ) / n_test
+    assert acc > 1.0 / (len(train_langs) + 1)
+
+
+def test_scd2_intervals_tile_each_user_history(spark):
+    """Per user: intervals are disjoint and contiguous (each valid_to
+    equals the next valid_from), exactly one open (is_current) row, no
+    two consecutive intervals share a state, and n_events sums to the
+    user's event count."""
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    out = _q(spark, "scd2_user_state_history")
+    rows = out.orderBy("user_id", "valid_from").collect()
+    ev_counts = dict(
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, ivs in by_user.items():
+        assert sum(r["n_events"] for r in ivs) == ev_counts[uid]
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+
+
+def test_neyman_allocation_respects_budget_and_favors_variance(spark):
+    from flights_etl_pipeline_spark.plans.queries_ml import _NEY_BUDGET
+
+    rows = _q(spark, "neyman_stratified_sample").collect()
+    assert rows
+    assert sum(r["n_alloc"] for r in rows) <= _NEY_BUDGET
+    for r in rows:
+        assert 0 <= r["n_alloc"] <= r["n_total"]
+        # the rank draw fills the allocation exactly (n_alloc <= N_h)
+        assert r["n_sampled"] == r["n_alloc"]
+    # allocation ordering follows the Neyman weight ordering
+    by_w = sorted(rows, key=lambda r: -r["w_q"])
+    allocs = [r["n_alloc"] for r in by_w]
+    assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:])), (
+        "higher Neyman weight must never get a materially smaller "
+        "allocation"
+    )
+
+
+def test_sequence_mining_support_and_counts_are_consistent(spark):
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    rows = _q(spark, "event_sequence_mining").collect()
+    assert rows
+    total_users = (
+        load(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    prev = None
+    for r in rows:
+        assert 1 <= r["n_users"] <= r["n_occurrences"]
+        assert 0 < r["support"] <= 1
+        assert r["n_users"] <= total_users
+        if prev is not None:  # ranked by user support, descending
+            assert r["n_users"] <= prev
+        prev = r["n_users"]
