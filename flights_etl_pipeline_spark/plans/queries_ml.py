@@ -4400,3 +4400,136 @@ def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 neyman_stratified_sample.__doc__ = neyman_stratified_sample.__doc__.format(
     budget=_NEY_BUDGET
 )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration of the quality gate (PAV via exact minimax, round 10)
+# ---------------------------------------------------------------------------
+
+_ISO_Q = 10**9  # pooled-average quantization: 1e-9 integer units
+
+ISO_CALIBRATION_SQL = f"""
+WITH scored AS ({QLR_SQL}),
+lab AS (
+  SELECT CAST(s.prob_micro // 10000 AS BIGINT) AS bucket,
+         CASE WHEN d.lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS pos
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+b AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM lab GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, n, p,
+         ROW_NUMBER() OVER (ORDER BY bucket) AS r,
+         SUM(n) OVER (ORDER BY bucket) AS cn,
+         SUM(p) OVER (ORDER BY bucket) AS cp
+  FROM b
+),
+pairs AS (
+  SELECT j.r AS rj, k.r AS rk,
+         CAST(FLOOR(CAST(k.cp - (j.cp - j.p) AS DOUBLE)
+                    / (k.cn - (j.cn - j.n)) * {_ISO_Q} + 0.5) AS BIGINT)
+           AS avg_q
+  FROM cum j JOIN cum k ON j.r <= k.r
+),
+mins AS (SELECT rj, MIN(avg_q) AS m_q FROM pairs GROUP BY rj),
+iso AS (
+  SELECT rj AS r, MAX(m_q) OVER (ORDER BY rj) AS iso_q FROM mins
+)
+SELECT c.bucket, c.n AS n_docs, c.p AS n_pos,
+       FLOOR(CAST(c.p AS DOUBLE) / c.n * 1000000 + 0.5) / 1000000
+         AS frac_pos,
+       FLOOR(CAST(i.iso_q AS DOUBLE) / 1000 + 0.5) / 1000000
+         AS iso_calibrated
+FROM cum c JOIN iso i ON c.r = i.r
+"""
+
+
+@register(
+    "quality_isotonic_calibration",
+    oracle=ISO_CALIBRATION_SQL,
+    survey=["isotonic-regression", "pav", "calibration", "model-eval"],
+)
+def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the quality gate: fits the
+    monotone-nondecreasing map from predicted-probability bucket to
+    observed positive rate that minimizes squared error -- the
+    standard post-hoc calibrator when the reliability diagram
+    (quality_gate_calibration) shows miscalibration. Computed by the
+    exact MINIMAX characterization of the PAV solution, g(i) =
+    max_(j<=i) min_(k>=j) wavg(y[j..k]), instead of the sequential
+    pool-adjacent-violators loop: on the BOUNDED bucket domain the
+    O(B^2) pair table is ~5k rows at any corpus size, and the closed
+    form is engine-portable where the stateful PAV loop is not.
+
+    Engine-exactness: pooled averages come from exact integer prefix
+    sums, one int->double divide each, quantized to 1e-9 integers
+    BEFORE the min/max lattice (quantize-before-reduce discipline), so
+    the fit is exact on both engines.
+
+    Scale shape: the corpus-sized work is ONE hash aggregate onto the
+    101-bucket domain; everything after (prefix windows, the pair
+    join, the minimax) runs on domain-bounded rows -- the
+    single-partition windows sit on the bucket aggregate's output
+    (sanctioned, orders_price_histogram precedent)."""
+    scored = quality_logreg_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = scored.join(docs, "doc_id").select(
+        F.expr("prob_micro DIV 10000").cast("bigint").alias("bucket"),
+        F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    b = lab.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    wo = Window.partitionBy().orderBy("bucket")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "bucket",
+        "n",
+        "p",
+        F.row_number().over(wo).alias("r"),
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("p").over(wcum).alias("cp"),
+    )
+    j = cum.select(
+        F.col("r").alias("rj"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cp") - F.col("p")).alias("cp0"),
+    )
+    k = cum.select(
+        F.col("r").alias("rk"), F.col("cn").alias("cnk"),
+        F.col("cp").alias("cpk"),
+    )
+    pairs = j.join(k, F.col("rj") <= F.col("rk")).select(
+        "rj",
+        F.floor(
+            (F.col("cpk") - F.col("cp0")).cast("double")
+            / (F.col("cnk") - F.col("cn0"))
+            * _ISO_Q
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("avg_q"),
+    )
+    mins = pairs.groupBy("rj").agg(F.min("avg_q").alias("m_q"))
+    wiso = Window.partitionBy().orderBy("rj").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    iso = mins.select(
+        F.col("rj").alias("r"), F.max("m_q").over(wiso).alias("iso_q")
+    )
+    return cum.join(iso, "r").select(
+        "bucket",
+        F.col("n").alias("n_docs"),
+        F.col("p").alias("n_pos"),
+        dround(F.col("p").cast("double") / F.col("n"), 6).alias("frac_pos"),
+        (
+            F.floor(F.col("iso_q").cast("double") / 1000 + F.lit(0.5))
+            / 1000000
+        ).alias("iso_calibrated"),
+    )

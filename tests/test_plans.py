@@ -115,6 +115,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     # audit flagged. The vocab-sized rank is key-partitioned.
     "tokenizer_apply",  # composes vocab_build, inheriting its bounded
     # histogram prefix sum (the encode stages themselves are window-free)
+    "quality_isotonic_calibration",  # prefix/minimax windows over the
+    # 101-bucket probability aggregate — domain-bounded by construction;
+    # the corpus-sized pass is the one window-free bucket aggregate
     "exact_percentiles_two_pass",  # prefix sums over the pass-1
     # bucket spine (domain/65536 rows — domain-bounded, data-size
     # independent) and the <=65536-row pass-2 per-rank refinement;

@@ -138,3 +138,24 @@ def test_sequence_mining_support_and_counts_are_consistent(spark):
         if prev is not None:  # ranked by user support, descending
             assert r["n_users"] <= prev
         prev = r["n_users"]
+
+
+def test_isotonic_calibration_is_monotone_and_mean_preserving(spark):
+    """The PAV fit must be monotone non-decreasing in the score bucket,
+    bounded by [0, 1], and preserve the GLOBAL positive rate under
+    count weighting (a property of the exact least-squares isotonic
+    solution; the minimax formula must reproduce it)."""
+    rows = sorted(
+        _q(spark, "quality_isotonic_calibration").collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    prev = -1.0
+    for r in rows:
+        assert 0.0 <= r["iso_calibrated"] <= 1.0
+        assert r["iso_calibrated"] >= prev - 1e-12
+        prev = r["iso_calibrated"]
+    n = sum(r["n_docs"] for r in rows)
+    pos = sum(r["n_pos"] for r in rows)
+    fitted = sum(r["iso_calibrated"] * r["n_docs"] for r in rows)
+    assert abs(fitted - pos) / n < 1e-4
