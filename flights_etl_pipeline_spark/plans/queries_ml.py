@@ -4533,3 +4533,184 @@ def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("iso_calibrated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual sampling weights (round 10)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7  # the mT5/XLM-R exponent: upsample tails, damp the head
+
+TEMPERATURE_SQL = f"""
+WITH l AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM l),
+u AS (
+  SELECT lang, chars,
+         CAST(FLOOR(EXP({_TEMP_ALPHA} * LN(CAST(chars AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT) AS u_q
+  FROM l
+),
+su AS (SELECT CAST(SUM(u_q) AS BIGINT) AS sum_u FROM u)
+SELECT u.lang, u.chars,
+       FLOOR(CAST(u.chars AS DOUBLE) / total * 100000000 + 0.5)
+         / 100000000 AS p_natural,
+       FLOOR(CAST(u.u_q AS DOUBLE) / sum_u * 100000000 + 0.5)
+         / 100000000 AS p_sampled,
+       FLOOR((CAST(u.u_q AS DOUBLE) / sum_u)
+             / (CAST(u.chars AS DOUBLE) / total) * 1000000 + 0.5)
+         / 1000000 AS boost
+FROM u CROSS JOIN tot CROSS JOIN su
+"""
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle=TEMPERATURE_SQL,
+    survey=["temperature-sampling", "multilingual-mixture", "ml-prep"],
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling: p_sampled(l) ~
+    p_natural(l)^{alpha} -- the multilingual-pretraining mixture rule
+    (mT5/XLM-R, alpha = {alpha}) that upsamples tail languages and
+    damps the head so low-resource languages are seen more than their
+    natural share without destroying the head distribution. ``boost``
+    is the per-language resampling factor a loader applies (> 1 =
+    upsample). unimax_mixture_allocation is the hard-cap alternative;
+    this is the smooth power-law one.
+
+    Engine-exactness: the only transcendental chain (exp(alpha *
+    ln(chars)), the sigmoid precedent) is quantized to integer 1e-6
+    units per language BEFORE the cross-language normalization sum
+    (quantize-before-sum), so both normalizations divide identical
+    exact integers.
+
+    Scale shape: one map-combinable char-count aggregate; everything
+    after runs on the language-bounded domain."""
+    l = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    tot = l.agg(F.sum("chars").cast("bigint").alias("total"))
+    u = l.select(
+        "lang",
+        "chars",
+        F.floor(
+            F.exp(_TEMP_ALPHA * F.log(F.col("chars").cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("u_q"),
+    )
+    su = u.agg(F.sum("u_q").cast("bigint").alias("sum_u"))
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(su))
+        .select(
+            "lang",
+            "chars",
+            dround(
+                F.col("chars").cast("double") / F.col("total"), 8
+            ).alias("p_natural"),
+            dround(
+                F.col("u_q").cast("double") / F.col("sum_u"), 8
+            ).alias("p_sampled"),
+            dround(
+                (F.col("u_q").cast("double") / F.col("sum_u"))
+                / (F.col("chars").cast("double") / F.col("total")),
+                6,
+            ).alias("boost"),
+        )
+    )
+
+
+temperature_sampling_weights.__doc__ = (
+    temperature_sampling_weights.__doc__.format(alpha=_TEMP_ALPHA)
+)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out impact readout (round 10)
+# ---------------------------------------------------------------------------
+
+LOSO_SQL = f"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN n_chars
+                       ELSE 0 END) AS BIGINT) AS tgt_chars
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(chars) AS BIGINT) AS total,
+         CAST(SUM(tgt_chars) AS BIGINT) AS tgt_total
+  FROM s
+)
+SELECT s.source, s.chars, s.tgt_chars,
+       FLOOR(CAST(s.chars AS DOUBLE) / total * 1000000 + 0.5)
+         / 1000000 AS corpus_share,
+       FLOOR(CAST(tgt_total AS DOUBLE) / total * 1000000 + 0.5)
+         / 1000000 AS metric_full,
+       FLOOR(CAST(tgt_total - s.tgt_chars AS DOUBLE)
+             / (total - s.chars) * 1000000 + 0.5)
+         / 1000000 AS metric_without,
+       FLOOR((CAST(tgt_total - s.tgt_chars AS DOUBLE) / (total - s.chars)
+              - CAST(tgt_total AS DOUBLE) / total) * 1000000000 + 0.5)
+         / 1000000000 AS delta
+FROM s CROSS JOIN tot
+"""
+
+
+@register(
+    "loso_source_impact",
+    oracle=LOSO_SQL,
+    survey=["data-valuation", "leave-one-out", "source-attribution"],
+)
+def loso_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation on an additive corpus
+    metric (target-language char share): for each source, what the
+    metric becomes if that source is dropped, and the signed delta --
+    the cheapest real data-attribution readout (the additive-metric
+    special case of Shapley values, where marginal contribution is
+    exact from ONE pass: metric_without = (T - t_s) / (N - n_s)).
+    A negative delta means the source is pulling the corpus TOWARD the
+    target language.
+
+    Engine-exactness: all numerators/denominators are exact integer
+    sums; each readout is one int->double divide (or one subtract of
+    two such divides), quantized.
+
+    Scale shape: one map-combinable aggregate onto the source domain;
+    the totals row broadcasts back -- the 20 leave-one-out corpora are
+    never materialized."""
+    s = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.sum(
+            F.when(
+                F.col("lang") == _DSIR_TARGET_LANG, F.col("n_chars")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tgt_chars"),
+    )
+    tot = s.agg(
+        F.sum("chars").cast("bigint").alias("total"),
+        F.sum("tgt_chars").cast("bigint").alias("tgt_total"),
+    )
+    full = F.col("tgt_total").cast("double") / F.col("total")
+    without = (F.col("tgt_total") - F.col("tgt_chars")).cast("double") / (
+        F.col("total") - F.col("chars")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        "tgt_chars",
+        dround(F.col("chars").cast("double") / F.col("total"), 6).alias(
+            "corpus_share"
+        ),
+        dround(full, 6).alias("metric_full"),
+        dround(without, 6).alias("metric_without"),
+        dround(without - full, 9).alias("delta"),
+    )

