@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
-from flights_etl_pipeline_spark.plans.registry import load, register
+from flights_etl_pipeline_spark.plans.registry import (
+    load,
+    model_channel,
+    register,
+)
 
 # ---------------------------------------------------------------------------
 # Tumbling event-time window (batch groupBy(F.window(...)))
@@ -3213,4 +3217,239 @@ def event_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 event_sequence_mining.__doc__ = event_sequence_mining.__doc__.format(
     topk=_SEQ_TOPK
+)
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing chain, round 10)
+# ---------------------------------------------------------------------------
+
+_MRK_Q = 10**9  # absorption probabilities in integer 1e-9 units
+_MRK_ROUNDS = 40  # fixed value-iteration schedule (identical both engines)
+_MRK_CHANNELS = ("click", "error", "signup", "view")
+_MRK_CONV = "purchase"
+
+_MRK_TRANS_SQL = f"""
+ev AS (
+  SELECT user_id, ts, event_id, event_type AS t,
+         COALESCE(SUM(CASE WHEN event_type = '{_MRK_CONV}' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ep
+  FROM events
+),
+seq AS (
+  SELECT user_id, ep, t,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ep
+                            ORDER BY ts, event_id) AS rn,
+         LEAD(t) OVER (PARTITION BY user_id, ep
+                       ORDER BY ts, event_id) AS nt
+  FROM ev
+),
+trans AS (
+  SELECT '__start__' AS s,
+         CASE WHEN t = '{_MRK_CONV}' THEN '__conv__' ELSE t END AS s2
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT t,
+         CASE WHEN nt IS NULL THEN '__null__'
+              WHEN nt = '{_MRK_CONV}' THEN '__conv__' ELSE nt END
+  FROM seq WHERE t != '{_MRK_CONV}'
+),
+cnt AS MATERIALIZED (
+  SELECT s, s2, CAST(COUNT(*) AS BIGINT) AS n FROM trans GROUP BY s, s2
+),
+ns AS MATERIALIZED (SELECT s, CAST(SUM(n) AS BIGINT) AS tot FROM cnt GROUP BY s)
+"""
+
+
+def _mrk_pval(col_prev: str, removed: str | None) -> str:
+    """The value a transition target contributes in one iteration:
+    conv absorbs at Q, null (and the removed channel) at 0, transient
+    states at the previous round's value."""
+    rm = (
+        f"WHEN c.s2 = '{removed}' THEN 0\n         "
+        if removed is not None
+        else ""
+    )
+    return (
+        f"CASE WHEN c.s2 = '__conv__' THEN {_MRK_Q}\n         "
+        f"WHEN c.s2 = '__null__' THEN 0\n         "
+        f"{rm}ELSE COALESCE(p.{col_prev}, 0) END"
+    )
+
+
+def _mrk_sql() -> str:
+    """Unrolled integer value iteration, one chain carrying the FULL
+    chain and every single-channel-removed variant as parallel columns
+    (kcore discipline: AS MATERIALIZED per stage, fixed round count)."""
+    cols = ["v_full"] + [f"v_{c}" for c in _MRK_CHANNELS]
+    removed = [None] + list(_MRK_CHANNELS)
+    stages = [
+        "p0 AS MATERIALIZED (SELECT s, "
+        + ", ".join(f"CAST(0 AS BIGINT) AS {c}" for c in cols)
+        + " FROM ns)"
+    ]
+    for r in range(1, _MRK_ROUNDS + 1):
+        upd = ",\n    ".join(
+            f"CAST(SUM((c.n * ({_mrk_pval(col, rm)})) // t.tot) AS BIGINT)"
+            f" AS {col}"
+            for col, rm in zip(cols, removed)
+        )
+        stages.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT c.s,
+    {upd}
+  FROM cnt c JOIN ns t ON c.s = t.s
+  LEFT JOIN p{r - 1} p ON c.s2 = p.s
+  GROUP BY c.s)"""
+        )
+    finals = ",\n  ".join(
+        f"('{c}', (SELECT v_{c} FROM p{_MRK_ROUNDS} WHERE s = '__start__'))"
+        for c in _MRK_CHANNELS
+    )
+    return (
+        "WITH "
+        + _MRK_TRANS_SQL
+        + ",\n"
+        + ",\n".join(stages)
+        + f""",
+base AS (SELECT v_full FROM p{_MRK_ROUNDS} WHERE s = '__start__'),
+rem(channel, v) AS (VALUES
+  {finals})
+SELECT channel,
+       FLOOR(CAST(base.v_full AS DOUBLE) / {_MRK_Q} * 1000000000 + 0.5)
+         / 1000000000 AS p_conversion,
+       FLOOR(CAST(rem.v AS DOUBLE) / {_MRK_Q} * 1000000000 + 0.5)
+         / 1000000000 AS p_without,
+       CASE WHEN base.v_full = 0 THEN NULL
+            ELSE FLOOR((1.0 - CAST(rem.v AS DOUBLE) / base.v_full)
+                       * 1000000 + 0.5) / 1000000 END AS removal_effect
+FROM rem CROSS JOIN base
+"""
+    )
+
+
+@register(
+    "markov_removal_effect",
+    oracle=_mrk_sql(),
+    survey=["attribution", "markov-chain", "removal-effect", "behavioral"],
+)
+def markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven multi-touch attribution by Markov removal effects
+    (Anderl et al.): model user episodes as an absorbing chain
+    (start -> events -> conversion | drop-off), then for each channel
+    measure how much conversion probability is lost when every
+    transition INTO that channel is redirected to the drop-off
+    absorber -- the standard upgrade over last-touch
+    (events_attribution) that credits assisting channels.
+
+    Engine-exactness: absorption probabilities are value-iterated in
+    PURE INTEGER 1e-9 units with per-term floor division ((n * v) DIV
+    tot, positive operands) over a FIXED {rounds}-round schedule, so
+    the full chain and all {nch} removal variants are bit-identical on
+    both engines (no float sum ordering anywhere). The oracle runs the
+    same schedule as unrolled MATERIALIZED stages with the removal
+    variants as parallel columns.
+
+    Scale shape: the corpus-sized work is ONE pass -- episode-keyed
+    windows (user-partitioned) and a map-combinable transition count
+    onto the (states+2)^2 bounded domain; the chain solve is driver
+    arithmetic over <= ~30 integer matrix entries (model_channel-
+    bounded: the fellegi_sunter_em precedent)."""
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("t"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == _MRK_CONV, 1).otherwise(0)
+            ).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("ep"),
+    )
+    we = Window.partitionBy("user_id", "ep").orderBy("ts", "event_id")
+    seq = e.select(
+        "t",
+        F.row_number().over(we).alias("rn"),
+        F.lead("t").over(we).alias("nt"),
+    )
+    conv_case = F.when(F.col("t") == _MRK_CONV, "__conv__").otherwise(
+        F.col("t")
+    )
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit("__start__").alias("s"), conv_case.alias("s2")
+    )
+    steps = seq.filter(F.col("t") != _MRK_CONV).select(
+        F.col("t").alias("s"),
+        F.when(F.col("nt").isNull(), "__null__")
+        .when(F.col("nt") == _MRK_CONV, "__conv__")
+        .otherwise(F.col("nt"))
+        .alias("s2"),
+    )
+    cnt = (
+        starts.unionAll(steps)
+        .groupBy("s", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    n_states = len(_MRK_CHANNELS) + 1  # transient states incl. __start__
+    rows = model_channel(
+        cnt,
+        (n_states + 1) * (n_states + 2),
+        "transition counts: (states+1) x (states+2) bounded domain",
+    )
+    trans: dict[str, list[tuple[str, int]]] = {}
+    tot: dict[str, int] = {}
+    for r in rows:
+        trans.setdefault(r["s"], []).append((r["s2"], int(r["n"])))
+        tot[r["s"]] = tot.get(r["s"], 0) + int(r["n"])
+
+    def _solve(removed: str | None) -> int:
+        p = {s: 0 for s in tot}
+        for _ in range(_MRK_ROUNDS):
+            nxt = {}
+            for s, outs in trans.items():
+                acc = 0
+                for s2, n in outs:
+                    if s2 == "__conv__":
+                        v = _MRK_Q
+                    elif s2 == "__null__" or s2 == removed:
+                        v = 0
+                    else:
+                        v = p.get(s2, 0)
+                    acc += (n * v) // tot[s]
+                nxt[s] = acc
+            p = nxt
+        return p.get("__start__", 0)
+
+    import math
+
+    base = _solve(None)
+    out = []
+    for c in _MRK_CHANNELS:
+        v = _solve(c)
+        eff = (
+            None
+            if base == 0
+            else math.floor((1.0 - v / base) * 1000000 + 0.5) / 1000000
+        )
+        out.append(
+            (
+                c,
+                math.floor(base / _MRK_Q * 1000000000 + 0.5) / 1000000000,
+                math.floor(v / _MRK_Q * 1000000000 + 0.5) / 1000000000,
+                eff,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "channel STRING, p_conversion DOUBLE, p_without DOUBLE, "
+        "removal_effect DOUBLE",
+    )
+
+
+markov_removal_effect.__doc__ = markov_removal_effect.__doc__.format(
+    rounds=_MRK_ROUNDS, nch=len(_MRK_CHANNELS)
 )

@@ -217,3 +217,18 @@ def test_loso_deltas_are_consistent_with_shares(spark):
             assert r["delta"] < 0
         elif src_share < full:
             assert r["delta"] > 0
+
+
+def test_markov_removal_effects_are_probabilities_and_ordered(spark):
+    """Removal effects must be valid probabilities: 0 <= p_without <=
+    p_conversion <= 1 (removing a channel can never ADD conversions in
+    an absorbing chain), removal_effect in [0, 1], and the identity
+    removal_effect = 1 - p_without/p_conversion must hold at the
+    quantization scale."""
+    rows = _q(spark, "markov_removal_effect").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0.0 <= r["p_without"] <= r["p_conversion"] <= 1.0
+        assert 0.0 <= r["removal_effect"] <= 1.0
+        want = 1.0 - r["p_without"] / r["p_conversion"]
+        assert abs(r["removal_effect"] - want) < 2e-6
