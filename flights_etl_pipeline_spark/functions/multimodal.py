@@ -692,3 +692,67 @@ def decode_vppm_features(
                 "max_byte": pd.Series(mx, dtype="int32"),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation (round 10)
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 80  # samples per analysis frame (5 ms @ 16 kHz)
+VAD_THRESHOLD = 16384 * VAD_FRAME  # mean-|amp| energy gate per full frame
+VAD_SCHEMA = (
+    "doc_id LONG, seg_idx INT, start_frame INT, end_frame INT, "
+    "n_frames INT, is_voiced BOOLEAN, energy LONG"
+)
+
+
+def vad_segments(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas VAD stage: parse each WAV, frame the DECODED samples
+    ({frame} samples per frame, last frame partial), gate each frame on
+    summed |amplitude| >= threshold, and collapse consecutive
+    same-state frames into segments (gaps-and-islands on the voiced
+    flag) -- the silence-split preprocessing an ASR corpus pipeline
+    runs before chunking audio for training."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "seg_idx", "start_frame", "end_frame",
+                "n_frames", "is_voiced", "energy",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, samples = parse_wav(payload)
+            a = np.abs(samples.astype(np.int64))
+            n_frames = (len(a) + VAD_FRAME - 1) // VAD_FRAME
+            if n_frames == 0:
+                continue
+            pad = n_frames * VAD_FRAME - len(a)
+            padded = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+            energy = padded.reshape(n_frames, VAD_FRAME).sum(axis=1)
+            voiced = energy >= VAD_THRESHOLD
+            change = np.flatnonzero(np.diff(voiced)) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [n_frames]])
+            for si, (s, e) in enumerate(zip(starts, ends)):
+                out["doc_id"].append(int(doc_id))
+                out["seg_idx"].append(si)
+                out["start_frame"].append(int(s))
+                out["end_frame"].append(int(e))
+                out["n_frames"].append(int(e - s))
+                out["is_voiced"].append(bool(voiced[s]))
+                out["energy"].append(int(energy[s:e].sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "seg_idx": pd.Series(out["seg_idx"], dtype="int32"),
+                "start_frame": pd.Series(out["start_frame"], dtype="int32"),
+                "end_frame": pd.Series(out["end_frame"], dtype="int32"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                "is_voiced": pd.Series(out["is_voiced"], dtype="bool"),
+                "energy": pd.Series(out["energy"], dtype="int64"),
+            }
+        )
+
+
+vad_segments.__doc__ = vad_segments.__doc__.format(frame=VAD_FRAME)

@@ -4139,6 +4139,7 @@ GROUP BY true_lang, pred_lang
     "naive_bayes_lang_classifier",
     oracle=NB_CLASSIFIER_SQL,
     survey=["naive-bayes", "text-classification", "train-apply", "lang-id"],
+    bench=True,
 )
 def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes trained AND applied distributed: learn

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.multimodal import (
     FEATURE_SCHEMA,
+    VAD_FRAME,
+    VAD_THRESHOLD,
     FRAME_SCHEMA,
     blob_features_checked,
     decode_wav_features,
@@ -481,3 +483,75 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup_groups"),
         F.min("keeper_doc_id").alias("min_keeper_doc_id"),
     )
+
+
+@register(
+    "audio_vad_segments",
+    oracle=f"""
+WITH audio AS (
+  SELECT doc_id, 160 + doc_id % 320 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT a.doc_id, t.i // {VAD_FRAME} AS f,
+         ABS(((a.doc_id * 31 + t.i * 7) % 65536) - 32768) AS amp
+  FROM audio a JOIN range(0, 480) t(i) ON t.i < a.n
+),
+fr AS (
+  SELECT doc_id, CAST(f AS INT) AS f, CAST(SUM(amp) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, f
+),
+flg AS (
+  SELECT doc_id, f, energy, energy >= {VAD_THRESHOLD} AS voiced,
+         LAG(energy >= {VAD_THRESHOLD})
+           OVER (PARTITION BY doc_id ORDER BY f) AS pv
+  FROM fr
+),
+isl AS (
+  SELECT doc_id, f, energy, voiced,
+         SUM(CASE WHEN pv IS NULL OR pv != voiced THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY f) AS seg
+  FROM flg
+)
+SELECT doc_id, CAST(seg - 1 AS INT) AS seg_idx,
+       CAST(MIN(f) AS INT) AS start_frame,
+       CAST(MAX(f) + 1 AS INT) AS end_frame,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       BOOL_AND(voiced) AS is_voiced,
+       CAST(SUM(energy) AS BIGINT) AS energy
+FROM isl GROUP BY doc_id, seg
+""",
+    survey=["multimodal", "vad", "audio-segmentation", "mapInPandas"],
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL decoded audio: the WAV
+    ingest + chunk-parse path of audio_decode_stats, then per-frame
+    |amplitude| energies gated at a fixed threshold and collapsed into
+    voiced/silence segments (gaps-and-islands on the frame flags) --
+    the silence-split an ASR training pipeline runs before chunking
+    audio, here end-to-end on actual container bytes.
+
+    The oracle re-derives every SAMPLE arithmetically in SQL and runs
+    the same framing/threshold/islands construction, so a parser bug,
+    an off-by-one in the frame boundary, or a wrong partial-last-frame
+    rule fails the hash.
+
+    Scale shape: both mapInPandas stages are Arrow-batched and
+    row-local (zero shuffle; numpy reshape+sum per payload); a real
+    VAD (webrtcvad/silero) swaps only the energy gate inside
+    vad_segments."""
+    from flights_etl_pipeline_spark.functions.multimodal import (
+        VAD_SCHEMA,
+        vad_segments,
+        wav_payloads,
+    )
+
+    audio = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+    wavs = audio.mapInPandas(
+        wav_payloads, schema="doc_id LONG, payload BINARY"
+    )
+    return wavs.mapInPandas(vad_segments, schema=VAD_SCHEMA)

@@ -2733,6 +2733,7 @@ FROM rer WHERE rank <= {_BH_K}
     "ann_binary_hamming_topk",
     oracle=BINARY_HAMMING_SQL,
     survey=["binary-quantization", "hamming", "ann", "simsearch"],
+    bench=True,
 )
 def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary sign quantization serving: each 64-dim embedding collapses
