@@ -3453,3 +3453,174 @@ def markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 markov_removal_effect.__doc__ = markov_removal_effect.__doc__.format(
     rounds=_MRK_ROUNDS, nch=len(_MRK_CHANNELS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Stratified-matching ATT readout (round 10)
+# ---------------------------------------------------------------------------
+
+ATT_SQL = """
+WITH fe AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS treated
+  FROM (SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+  WHERE rn = 1
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y_milli
+  FROM events GROUP BY user_id
+),
+u AS (
+  SELECT a.user_id, a.n_events, f.treated, a.y_milli
+  FROM agg a JOIN fe f ON a.user_id = f.user_id
+),
+b AS (
+  SELECT CAST(FLOOR(LOG2(CAST(n_events AS DOUBLE))) AS BIGINT) AS bucket,
+         treated, y_milli
+  FROM u
+),
+g AS (
+  SELECT bucket,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(treated) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN treated = 1 THEN y_milli ELSE 0 END)
+              AS BIGINT) AS y_t,
+         CAST(SUM(CASE WHEN treated = 0 THEN y_milli ELSE 0 END)
+              AS BIGINT) AS y_c
+  FROM b GROUP BY bucket
+),
+d AS (
+  SELECT bucket, n_t, n_c,
+         FLOOR(CAST(y_t AS DOUBLE) / n_t / 1000 * 1000000 + 0.5)
+           / 1000000 AS mean_t,
+         FLOOR(CAST(y_c AS DOUBLE) / n_c / 1000 * 1000000 + 0.5)
+           / 1000000 AS mean_c,
+         CAST(FLOOR((CAST(y_t AS DOUBLE) / n_t
+                     - CAST(y_c AS DOUBLE) / n_c) / 1000 * n_t
+                    * 1000000 + 0.5) AS BIGINT) AS contrib_q
+  FROM g WHERE n_t > 0 AND n_c > 0
+),
+tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS nt_total,
+         CAST(SUM(contrib_q) AS BIGINT) AS att_q
+  FROM d
+)
+SELECT d.bucket, d.n_t, d.n_c, d.mean_t, d.mean_c,
+       FLOOR((d.mean_t - d.mean_c) * 1000000 + 0.5) / 1000000 AS diff,
+       FLOOR(CAST(tot.att_q AS DOUBLE) / tot.nt_total + 0.5)
+         / 1000000 AS att
+FROM d CROSS JOIN tot
+"""
+
+
+@register(
+    "events_stratified_att",
+    oracle=ATT_SQL,
+    survey=["matching", "att", "causal-readout", "stratification"],
+)
+def events_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-matching treatment-effect readout: users who ever
+    signed up (treated) vs those who never did, matched on activity
+    level (log2 event-count buckets -- a row-local propensity proxy,
+    no global NTILE window), with the ATT as the treated-weighted
+    average of within-bucket outcome differences over buckets where
+    BOTH groups exist -- the standard observational companion to the
+    randomized CUPED/DiD readouts: it answers the same question when
+    assignment wasn't randomized, by comparing like-for-like activity
+    strata.
+
+    Engine-exactness: outcomes are exact milli-cents integers; each
+    bucket's contribution is a fixed IEEE op sequence quantized to
+    integer 1e-6 units BEFORE the cross-bucket sum; LOG2 hits exact
+    powers of two exactly in both engines, so bucket edges agree.
+
+    Scale shape: one map-combinable per-user rollup, one aggregate
+    onto the ~log2(max activity) bucket domain (~10 groups), and a
+    broadcast totals row -- no window, no join on data-sized keys."""
+    ev = load(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fe = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(wf).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "signup", 1)
+            .otherwise(0)
+            .alias("treated"),
+        )
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y_milli"),
+    )
+    u = agg.join(fe, "user_id")
+    b = u.select(
+        F.floor(F.log2(F.col("n_events").cast("double")))
+        .cast("bigint")
+        .alias("bucket"),
+        "treated",
+        "y_milli",
+    )
+    g = b.groupBy("bucket").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y_milli")).otherwise(0))
+        .cast("bigint")
+        .alias("y_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y_milli")).otherwise(0))
+        .cast("bigint")
+        .alias("y_c"),
+    )
+    mt = F.col("y_t").cast("double") / F.col("n_t")
+    mc = F.col("y_c").cast("double") / F.col("n_c")
+    d = g.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "bucket",
+        "n_t",
+        "n_c",
+        (F.floor(mt / 1000 * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "mean_t"
+        ),
+        (F.floor(mc / 1000 * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "mean_c"
+        ),
+        F.floor((mt - mc) / 1000 * F.col("n_t") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("contrib_q"),
+    )
+    tot = d.agg(
+        F.sum("n_t").cast("bigint").alias("nt_total"),
+        F.sum("contrib_q").cast("bigint").alias("att_q"),
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "mean_t",
+        "mean_c",
+        (
+            F.floor((F.col("mean_t") - F.col("mean_c")) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("diff"),
+        (
+            F.floor(F.col("att_q").cast("double") / F.col("nt_total") + F.lit(0.5))
+            / 1000000
+        ).alias("att"),
+    )

@@ -17,6 +17,7 @@ from flights_etl_pipeline_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     normalize_text,
+    shingle_rows,
     stopword_score,
     tokenize,
 )
@@ -3177,3 +3178,98 @@ def corpus_provenance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_provenance_pipeline.__doc__ = corpus_provenance_pipeline.__doc__.format(
     z=_PROV_Z
 )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency smoothing / unseen-mass estimate (round 10)
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 5
+
+GOOD_TURING_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST({_TFIDF_SHINGLES_SQL}) AS tok FROM documents
+),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY tok),
+fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY r),
+tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM fof),
+n1 AS (SELECT COALESCE(MAX(n_r), 0) AS n_1 FROM fof WHERE r = 1)
+SELECT f.r, f.n_r,
+       CASE WHEN nx.n_r IS NOT NULL
+            THEN FLOOR(CAST((f.r + 1) * nx.n_r AS DOUBLE) / f.n_r
+                       * 1000000 + 0.5) / 1000000 END AS r_star,
+       FLOOR(CAST(n_1 AS DOUBLE) / n_tokens * 1000000000 + 0.5)
+         / 1000000000 AS p_unseen
+FROM fof f
+LEFT JOIN fof nx ON nx.r = f.r + 1
+CROSS JOIN tot CROSS JOIN n1
+WHERE f.r <= {_GT_MAX_R}
+"""
+
+
+@register(
+    "vocab_good_turing",
+    oracle=GOOD_TURING_SQL,
+    survey=["good-turing", "smoothing", "vocab", "lm-prep"],
+)
+def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing smoothing table for the corpus unigram model: the
+    frequency-of-frequencies spectrum N_r, the smoothed counts
+    r* = (r+1) N_(r+1) / N_r for the low-count bands (the only ones
+    smoothing materially changes), and the unseen-mass estimate
+    p0 = N_1 / N -- the quantity that tells an LM/tokenizer build how
+    much probability to reserve for out-of-vocabulary tokens
+    (vocab_coverage_table says what the vocab covers; this says what
+    it will NEVER see coming).
+
+    Counted over word-TRIGRAM shingles, not unigrams: the synthetic
+    corpus draws from a closed ~900-word vocabulary where every
+    unigram is frequent (the spectrum has no low-r band at all), while
+    trigram types keep the long singleton tail Good-Turing exists for
+    -- the same reason the dedup family shingles words.
+
+    Scale shape: one explode -> shingle-count aggregate
+    (map-combinable, the vocab_build scan), then everything runs on
+    the frequency-SPECTRUM domain (hundreds of distinct counts at any
+    corpus size -- the self-join for N_(r+1) is spectrum x spectrum,
+    corpus-independent)."""
+    toks = shingle_rows(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        ["doc_id"],
+    ).select(F.col("sh").alias("tok"))
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    fof = freq.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens")
+    )
+    n1 = fof.filter(F.col("r") == 1).agg(
+        F.coalesce(F.max("n_r"), F.lit(0)).alias("n_1")
+    )
+    nx = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    return (
+        fof.filter(F.col("r") <= _GT_MAX_R)
+        .join(nx, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("n_next").isNotNull(),
+                dround(
+                    ((F.col("r") + 1) * F.col("n_next")).cast("double")
+                    / F.col("n_r"),
+                    6,
+                ),
+            ).alias("r_star"),
+            dround(
+                F.col("n_1").cast("double") / F.col("n_tokens"), 9
+            ).alias("p_unseen"),
+        )
+    )

@@ -232,3 +232,37 @@ def test_markov_removal_effects_are_probabilities_and_ordered(spark):
         assert 0.0 <= r["removal_effect"] <= 1.0
         want = 1.0 - r["p_without"] / r["p_conversion"]
         assert abs(r["removal_effect"] - want) < 2e-6
+
+
+def test_good_turing_spectrum_identities(spark):
+    """N_r must be positive, r_star present wherever N_(r+1) exists,
+    and p_unseen = N_1 / total tokens exactly (recomputed from the
+    spectrum itself)."""
+    rows = sorted(_q(spark, "vocab_good_turing").collect(),
+                  key=lambda r: r["r"])
+    assert rows and rows[0]["r"] >= 1
+    n1 = next((r["n_r"] for r in rows if r["r"] == 1), 0)
+    assert n1 > 0, "trigram spectrum must have a singleton band"
+    p0 = rows[0]["p_unseen"]
+    assert all(r["p_unseen"] == p0 for r in rows)
+    assert 0 < p0 < 1
+    by_r = {r["r"]: r for r in rows}
+    for r in rows:
+        if (r["r"] + 1) in by_r:
+            want = (r["r"] + 1) * by_r[r["r"] + 1]["n_r"] / r["n_r"]
+            assert abs(r["r_star"] - want) < 1e-5
+
+
+def test_stratified_att_is_weighted_mean_of_diffs(spark):
+    """The ATT must be the treated-weighted mean of per-bucket diffs,
+    and every emitted bucket must have both groups."""
+    rows = _q(spark, "events_stratified_att").collect()
+    assert rows
+    att = rows[0]["att"]
+    assert all(r["att"] == att for r in rows)
+    nt = sum(r["n_t"] for r in rows)
+    want = sum(r["diff"] * r["n_t"] for r in rows) / nt
+    assert abs(att - want) < 1e-4
+    for r in rows:
+        assert r["n_t"] > 0 and r["n_c"] > 0
+        assert abs(r["diff"] - (r["mean_t"] - r["mean_c"])) < 2e-6
