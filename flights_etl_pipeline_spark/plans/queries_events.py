@@ -3624,3 +3624,112 @@ def events_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("att"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot / automation screen: inter-event timing regularity (round 10)
+# ---------------------------------------------------------------------------
+
+_BOT_MIN_GAPS = 20
+_BOT_CV_FLAG = 0.5  # humans are bursty (CV >~ 1); schedulers are regular
+
+BOT_SCREEN_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         SUM(CAST(gap AS HUGEINT) * gap) AS s2
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= {_BOT_MIN_GAPS}
+),
+m AS (
+  SELECT user_id, n_gaps,
+         CAST(s1 AS DOUBLE) / n_gaps AS mean_us,
+         CAST(s2 AS DOUBLE) / n_gaps
+           - (CAST(s1 AS DOUBLE) / n_gaps)
+             * (CAST(s1 AS DOUBLE) / n_gaps) AS var_us
+  FROM s
+)
+SELECT user_id, n_gaps,
+       FLOOR(mean_us / 1000000 * 10000 + 0.5) / 10000 AS mean_gap_sec,
+       CASE WHEN mean_us > 0
+            THEN FLOOR(SQRT(GREATEST(var_us, 0.0)) / mean_us
+                       * 1000000 + 0.5) / 1000000 END AS cv,
+       CASE WHEN mean_us > 0
+            THEN SQRT(GREATEST(var_us, 0.0)) / mean_us < {_BOT_CV_FLAG}
+            END AS is_bot_like
+FROM m
+"""
+
+
+@register(
+    "events_bot_screen",
+    oracle=BOT_SCREEN_SQL,
+    survey=["bot-detection", "timing-regularity", "data-quality"],
+)
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation screen on inter-event timing: per user, the
+    coefficient of variation of gaps between consecutive events --
+    human activity is bursty (CV near or above 1), schedulers and
+    scripts are metronomic (CV near 0) -- flagging users with
+    >= {min_gaps} gaps and CV < {flag}. The behavioral-data twin of the
+    corpus quality gates: training on event streams means screening
+    out machine traffic first.
+
+    Engine-exactness: gaps are exact microsecond integers; the
+    sum-of-squares promotes to DECIMAL(38)/HUGEINT on the respective
+    engines (gap^2 at day scale overflows int64 -- the zscore-stream
+    lesson, solved by widening instead of guarding since batch
+    aggregates support it), and both engines cast the same exact
+    integer to double before the identical mean/var/sqrt op sequence.
+
+    Scale shape: one key-partitioned lag window, one map-combinable
+    aggregate; no joins."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("s1"),
+            F.sum(
+                F.col("gap").cast("decimal(38,0)") * F.col("gap")
+            ).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= _BOT_MIN_GAPS)
+    )
+    mean_us = F.col("s1").cast("double") / F.col("n_gaps")
+    var_us = (
+        F.col("s2").cast("double") / F.col("n_gaps") - mean_us * mean_us
+    )
+    cv = F.sqrt(F.greatest(var_us, F.lit(0.0))) / mean_us
+    return s.select(
+        "user_id",
+        "n_gaps",
+        (F.floor(mean_us / 1000000 * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_gap_sec"
+        ),
+        F.when(
+            mean_us > 0,
+            F.floor(cv * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("cv"),
+        F.when(mean_us > 0, cv < _BOT_CV_FLAG).alias("is_bot_like"),
+    )
+
+
+events_bot_screen.__doc__ = events_bot_screen.__doc__.format(
+    min_gaps=_BOT_MIN_GAPS, flag=_BOT_CV_FLAG
+)

@@ -2832,3 +2832,142 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_binary_hamming_topk.__doc__ = ann_binary_hamming_topk.__doc__.format(
     cand=_BH_CAND
 )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k of the LSH index vs exact ranking (round 10)
+# ---------------------------------------------------------------------------
+
+_NDCG_Q = 10**9  # per-position discounted-gain quantization
+
+ANN_NDCG_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+  FROM b WHERE vec_id < {_RECALL_NQ}
+),
+scored AS (
+  SELECT q.qid, b.vec_id, b.bucket, q.qb,
+         GREATEST(FLOOR({sql_cosine('b.embedding', 'q.qv')}
+                        * 100000000 + 0.5) / 100000000, 0.0) AS gain
+  FROM b CROSS JOIN q
+),
+ideal AS (
+  SELECT qid,
+         CAST(SUM(CAST(FLOOR(gain / LOG2(r + 1.0) * {_NDCG_Q} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS idcg_q
+  FROM (SELECT qid, gain,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY gain DESC, vec_id) AS r
+        FROM scored)
+  WHERE r <= {_RECALL_K} GROUP BY qid
+),
+retrieved AS (
+  SELECT qid,
+         CAST(SUM(CAST(FLOOR(gain / LOG2(r + 1.0) * {_NDCG_Q} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS dcg_q
+  FROM (SELECT qid, gain,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY gain DESC, vec_id) AS r
+        FROM scored WHERE bucket = qb)
+  WHERE r <= {_RECALL_K} GROUP BY qid
+)
+SELECT i.qid,
+       FLOOR(CAST(COALESCE(r.dcg_q, 0) AS DOUBLE) / 1000 + 0.5) / 1000000
+         AS dcg,
+       FLOOR(CAST(i.idcg_q AS DOUBLE) / 1000 + 0.5) / 1000000 AS idcg,
+       CASE WHEN i.idcg_q = 0 THEN NULL
+            ELSE FLOOR(CAST(COALESCE(r.dcg_q, 0) AS DOUBLE) / i.idcg_q
+                       * 1000000 + 0.5) / 1000000 END AS ndcg
+FROM ideal i LEFT JOIN retrieved r ON i.qid = r.qid
+"""
+
+
+@register(
+    "ann_ndcg_eval",
+    oracle=ANN_NDCG_SQL,
+    survey=["simsearch-eval", "ndcg", "ranking-quality"],
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of the hyperplane-LSH index against the exact cosine
+    ranking, per query vector -- the GRADED companion to
+    ann_recall_eval: recall counts how many of the true top-{k} were
+    found, NDCG also charges the index for returning them in the wrong
+    ORDER and for padding with low-relevance hits (position-discounted
+    by 1/log2(rank+1), gains clipped at 0).
+
+    Engine-exactness: gains are 1e-8-quantized exact cosines; each
+    position's discounted gain is one divide by log2(rank+1) quantized
+    to integer 1e-9 units BEFORE the k-term sum (quantize-before-sum);
+    NDCG is one integer-ratio divide.
+
+    Scale shape: identical to ann_recall_eval -- one broadcast-query
+    corpus scan scores both sides; the LSH side prunes to the query's
+    bucket before ranking; all windows partition by qid."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        "embedding",
+        _bucket_col("embedding").alias("bucket"),
+        decimal_dot("embedding", "embedding").alias("enorm"),
+    )
+    q = b.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("enorm").alias("qnorm"),
+    )
+    scored = b.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        "bucket",
+        "qb",
+        F.greatest(
+            dround(
+                cosine_from_parts(
+                    decimal_dot("embedding", "qv"), "enorm", "qnorm"
+                ),
+                8,
+            ),
+            F.lit(0.0),
+        ).alias("gain"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("gain").desc(), "vec_id")
+    term_q = (
+        F.floor(
+            F.col("gain") / F.log2(F.col("r") + 1.0) * _NDCG_Q + F.lit(0.5)
+        ).cast("bigint")
+    )
+    ideal = (
+        scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _RECALL_K)
+        .groupBy("qid")
+        .agg(F.sum(term_q).cast("bigint").alias("idcg_q"))
+    )
+    retrieved = (
+        scored.filter(F.col("bucket") == F.col("qb"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _RECALL_K)
+        .groupBy("qid")
+        .agg(F.sum(term_q).cast("bigint").alias("dcg_q"))
+    )
+    dcg = F.coalesce(F.col("dcg_q"), F.lit(0)).cast("double")
+    return ideal.join(retrieved, "qid", "left").select(
+        "qid",
+        (F.floor(dcg / 1000 + F.lit(0.5)) / 1000000).alias("dcg"),
+        (
+            F.floor(F.col("idcg_q").cast("double") / 1000 + F.lit(0.5))
+            / 1000000
+        ).alias("idcg"),
+        F.when(F.col("idcg_q") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(dcg / F.col("idcg_q") * 1000000 + F.lit(0.5)) / 1000000
+        )
+        .alias("ndcg"),
+    )
+
+
+ann_ndcg_eval.__doc__ = ann_ndcg_eval.__doc__.format(k=_RECALL_K)

@@ -266,3 +266,31 @@ def test_stratified_att_is_weighted_mean_of_diffs(spark):
     for r in rows:
         assert r["n_t"] > 0 and r["n_c"] > 0
         assert abs(r["diff"] - (r["mean_t"] - r["mean_c"])) < 2e-6
+
+
+def test_ndcg_bounds_and_recall_consistency(spark):
+    """NDCG must be in [0, 1]; a query whose LSH bucket contains the
+    entire true top-k (recall 1.0 with identical ordering) would score
+    ndcg 1.0 -- in general ndcg <= 1 with equality iff dcg == idcg."""
+    rows = _q(spark, "ann_ndcg_eval").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r["dcg"] <= r["idcg"] + 1e-9
+        assert r["ndcg"] is None or 0.0 <= r["ndcg"] <= 1.0
+        if r["ndcg"] == 1.0:
+            assert abs(r["dcg"] - r["idcg"]) < 2e-6
+
+
+def test_bot_screen_flags_match_cv_rule(spark):
+    from flights_etl_pipeline_spark.plans.queries_events import (
+        _BOT_CV_FLAG,
+        _BOT_MIN_GAPS,
+    )
+
+    rows = _q(spark, "events_bot_screen").collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] >= _BOT_MIN_GAPS
+        assert r["mean_gap_sec"] > 0
+        if r["cv"] is not None:
+            assert r["is_bot_like"] == (r["cv"] < _BOT_CV_FLAG)
