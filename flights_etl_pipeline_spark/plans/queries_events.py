@@ -3733,3 +3733,111 @@ def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_bot_screen.__doc__ = events_bot_screen.__doc__.format(
     min_gaps=_BOT_MIN_GAPS, flag=_BOT_CV_FLAG
 )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed frequency (trending score, round 10)
+# ---------------------------------------------------------------------------
+
+_DECAY = 0.9  # per-day retention
+_DECAY_Q = 10**12  # per-age weight quantization
+
+DECAYED_FREQ_SQL = f"""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+a AS (
+  SELECT event_type,
+         DATE_DIFF('day', CAST(ts AS DATE), d0) AS age,
+         COUNT(*) AS n
+  FROM events CROSS JOIN mx
+  GROUP BY event_type, age
+),
+w AS (
+  SELECT event_type, age, n,
+         CAST(FLOOR(EXP(age * LN({_DECAY})) * {_DECAY_Q} + 0.5)
+              AS BIGINT) AS w_q
+  FROM a
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(n * w_q) AS BIGINT) AS score_q
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_total,
+       FLOOR(CAST(score_q AS DOUBLE) / {_DECAY_Q} * 10000 + 0.5) / 10000
+         AS decayed_score,
+       FLOOR(CAST(score_q AS DOUBLE) / {_DECAY_Q} / n_total
+             * 1000000 + 0.5) / 1000000 AS freshness
+FROM s
+"""
+
+
+@register(
+    "events_decayed_frequency",
+    oracle=DECAYED_FREQ_SQL,
+    survey=["decayed-frequency", "trending", "time-weighting"],
+)
+def events_decayed_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed frequency per event type (retention
+    {decay}/day, anchored at the corpus max date): the trending score a
+    feed/monitoring system ranks by -- raw counts answer 'what is
+    common', decayed counts answer 'what is common NOW'; ``freshness``
+    (decayed/raw) separates a recently-active type from a historically
+    heavy one at the same volume.
+
+    Engine-exactness: rows aggregate onto the BOUNDED (type x age-days)
+    domain first, so the only transcendental (exp(age*ln {decay})) is
+    evaluated once per age cell and quantized to integer 1e-12 units --
+    the decayed sum is then exact integer arithmetic, never an
+    order-dependent float fold over events.
+
+    Scale shape: one map-combinable (type, age) count; the weighting
+    and final rollup run on the calendar-bounded domain; the max-date
+    anchor broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("d0"))
+    a = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("d0"), F.col("ts").cast("date")).alias("age"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = a.withColumn(
+        "w_q",
+        F.floor(
+            F.exp(F.col("age") * F.log(F.lit(_DECAY))) * _DECAY_Q
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    s = w.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.col("n") * F.col("w_q")).cast("bigint").alias("score_q"),
+    )
+    return s.select(
+        "event_type",
+        "n_total",
+        (
+            F.floor(
+                F.col("score_q").cast("double") / _DECAY_Q * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("decayed_score"),
+        (
+            F.floor(
+                F.col("score_q").cast("double")
+                / _DECAY_Q
+                / F.col("n_total")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("freshness"),
+    )
+
+
+events_decayed_frequency.__doc__ = events_decayed_frequency.__doc__.format(
+    decay=_DECAY
+)

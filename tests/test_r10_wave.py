@@ -294,3 +294,15 @@ def test_bot_screen_flags_match_cv_rule(spark):
         assert r["mean_gap_sec"] > 0
         if r["cv"] is not None:
             assert r["is_bot_like"] == (r["cv"] < _BOT_CV_FLAG)
+
+
+def test_decayed_frequency_bounds(spark):
+    """decayed_score <= n_total (weights <= 1), freshness in (0, 1],
+    and a type whose events all landed on the anchor day would have
+    freshness 1 -- in general freshness strictly below 1 once any
+    event is older than the anchor."""
+    rows = _q(spark, "events_decayed_frequency").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["decayed_score"] <= r["n_total"] + 1e-9
+        assert 0 < r["freshness"] <= 1.0
