@@ -3841,3 +3841,117 @@ def events_decayed_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_decayed_frequency.__doc__ = events_decayed_frequency.__doc__.format(
     decay=_DECAY
 )
+
+
+# ---------------------------------------------------------------------------
+# Event-time disorder profile (watermark sizing, round 10)
+# ---------------------------------------------------------------------------
+
+_JITTER_MAX_US = 60_000_000  # simulated transport delay: 0..60 s
+
+DISORDER_SQL = f"""
+WITH arr AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           + CAST(concat('0x', substr(md5('jit|' ||
+               CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {_JITTER_MAX_US} AS arrival_us
+  FROM events
+),
+l AS (
+  SELECT user_id,
+         MAX(ts_us) OVER (PARTITION BY user_id
+           ORDER BY arrival_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ts_us AS late_us
+  FROM arr
+),
+b AS (
+  SELECT CASE WHEN late_us = 0 THEN -1
+              ELSE CAST(FLOOR(LOG2(CAST(late_us AS DOUBLE))) AS BIGINT)
+         END AS bucket,
+         COUNT(*) AS n
+  FROM l GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       FLOOR(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 1000000
+         AS share,
+       FLOOR(CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE) / total
+             * 1000000 + 0.5) / 1000000 AS cum_share
+FROM b CROSS JOIN t
+"""
+
+
+@register(
+    "events_disorder_profile",
+    oracle=DISORDER_SQL,
+    survey=["watermark-sizing", "disorder", "streaming-design"],
+)
+def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder histogram: per event, how far its timestamp
+    lags the per-user running maximum in ARRIVAL order, in
+    log2-microsecond buckets with cumulative share -- the table that
+    answers 'what watermark delay keeps X% of late data' BEFORE
+    deploying a streaming job (bucket -1 = perfectly in-order; the
+    smallest bucket whose cum_share clears the SLA is the delay to
+    configure). Sizes per-key watermarks, matching how the sessionize/
+    dedup jobs key their state. The fixture's event_ids arrive
+    time-ordered, so arrival order is simulated with a deterministic
+    md5 transport jitter of 0..60 s per event -- the documented model,
+    identical on both engines.
+
+    Engine-exactness: lateness is exact integer microseconds; LOG2
+    hits powers of two exactly in both engines (log2-bucket
+    precedent); shares are one divide each, and the cumulative runs
+    over the ~45-bucket bounded spine.
+
+    Scale shape: one key-partitioned running-max window (arrival
+    order), one map-combinable bucket aggregate; the cumulative window
+    sits on the bounded bucket-domain aggregate (sanctioned)."""
+    ev = load(spark, sf_dir, "events")
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("jit|"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _JITTER_MAX_US
+    )
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + jitter).alias("arrival_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        "arrival_us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    l = arr.select(
+        (F.max("ts_us").over(w) - F.col("ts_us")).alias("late_us")
+    )
+    b = l.groupBy(
+        F.when(F.col("late_us") == 0, F.lit(-1))
+        .otherwise(
+            F.floor(F.log2(F.col("late_us").cast("double"))).cast("bigint")
+        )
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = b.agg(F.sum("n").cast("bigint").alias("total"))
+    wc = Window.partitionBy().orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        F.col("n").cast("bigint").alias("n"),
+        dround(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        dround(
+            F.sum("n").over(wc).cast("double") / F.col("total"), 6
+        ).alias("cum_share"),
+    )

@@ -115,6 +115,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     # audit flagged. The vocab-sized rank is key-partitioned.
     "tokenizer_apply",  # composes vocab_build, inheriting its bounded
     # histogram prefix sum (the encode stages themselves are window-free)
+    "events_disorder_profile",  # cumulative share over the ~45-row
+    # log2 lateness-bucket aggregate — domain-bounded by construction;
+    # the corpus-sized pass is the keyed running-max window
     "quality_isotonic_calibration",  # prefix/minimax windows over the
     # 101-bucket probability aggregate — domain-bounded by construction;
     # the corpus-sized pass is the one window-free bucket aggregate

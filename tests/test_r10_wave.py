@@ -306,3 +306,16 @@ def test_decayed_frequency_bounds(spark):
     for r in rows:
         assert 0 < r["decayed_score"] <= r["n_total"] + 1e-9
         assert 0 < r["freshness"] <= 1.0
+
+
+def test_disorder_profile_is_a_cumulative_distribution(spark):
+    rows = sorted(_q(spark, "events_disorder_profile").collect(),
+                  key=lambda r: r["bucket"])
+    assert rows
+    total_share = sum(r["share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    prev = 0.0
+    for r in rows:
+        assert r["cum_share"] >= prev - 1e-9
+        prev = r["cum_share"]
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-6
