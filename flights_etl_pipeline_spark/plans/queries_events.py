@@ -3955,3 +3955,226 @@ def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(wc).cast("double") / F.col("total"), 6
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel step latency (round 10)
+# ---------------------------------------------------------------------------
+
+FUNNEL_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click, MIN(v.first_view)
+           AS first_view
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase, MIN(c.first_click)
+           AS first_click
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id
+),
+durs AS (
+  SELECT 'view_to_click' AS step, user_id,
+         epoch_us(first_click) - epoch_us(first_view) AS dur_us
+  FROM c
+  UNION ALL
+  SELECT 'click_to_purchase' AS step, user_id,
+         epoch_us(first_purchase) - epoch_us(first_click) AS dur_us
+  FROM p
+),
+r AS (
+  SELECT step, dur_us,
+         ROW_NUMBER() OVER (PARTITION BY step
+                            ORDER BY dur_us, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY step) AS n
+  FROM durs
+)
+SELECT step, CAST(MAX(n) AS BIGINT) AS n_users,
+       FLOOR(0.5 * (MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END)
+                    + MAX(CASE WHEN rn = n // 2 + 1 THEN dur_us END))
+             / 1000000 * 1000 + 0.5) / 1000 AS median_sec,
+       FLOOR(MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+                      THEN dur_us END)
+             / 1000000.0 * 1000 + 0.5) / 1000 AS p90_sec
+FROM r GROUP BY step
+"""
+
+
+@register(
+    "events_funnel_latency",
+    oracle=FUNNEL_LATENCY_SQL,
+    survey=["funnel-latency", "duration-quantiles", "rank-pick"],
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel step: for the strictly-ordered
+    view -> click -> purchase funnel (events_funnel's frontiers), the
+    median and p90 of the duration each converting user spent between
+    steps -- conversion COUNTS say where users drop, these say where
+    they STALL.
+
+    Determinism: durations are exact integer microseconds; the median
+    is the explicit two-middle-rank average and the p90 a single
+    rank-pick at floor(0.9*(n-1))+1 (never engine percentile
+    interpolation -- the theilsen discipline).
+
+    Scale shape: the funnel frontiers reuse events_funnel's
+    one-exchange user-keyed chain; the quantile windows partition by
+    STEP over one row per converted user (user-cardinality --
+    customer_rfm precedent, sanctioned; at extreme user counts the
+    swap is the two-pass fixed-precision histogram of
+    exact_percentiles_two_pass)."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_click"),
+            F.min("first_view").alias("first_view"),
+        )
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.min("first_click").alias("first_click"),
+        )
+    )
+    durs = c.select(
+        F.lit("view_to_click").alias("step"),
+        "user_id",
+        (
+            F.unix_micros("first_click") - F.unix_micros("first_view")
+        ).alias("dur_us"),
+    ).unionAll(
+        p.select(
+            F.lit("click_to_purchase").alias("step"),
+            "user_id",
+            (
+                F.unix_micros("first_purchase")
+                - F.unix_micros("first_click")
+            ).alias("dur_us"),
+        )
+    )
+    wr = Window.partitionBy("step").orderBy("dur_us", "user_id")
+    wn = Window.partitionBy("step")
+    r = durs.select(
+        "step",
+        "dur_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = 0.5 * (
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                F.col("dur_us"),
+            )
+        )
+        + F.max(
+            F.when(
+                F.col("rn") == F.floor(F.col("n") / 2) + 1, F.col("dur_us")
+            )
+        )
+    )
+    p90 = F.max(
+        F.when(
+            F.col("rn")
+            == F.floor(0.9 * (F.col("n") - 1)).cast("bigint") + 1,
+            F.col("dur_us"),
+        )
+    )
+    return r.groupBy("step").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        (F.floor(med / 1000000 * 1000 + F.lit(0.5)) / 1000).alias(
+            "median_sec"
+        ),
+        (F.floor(p90 / 1000000.0 * 1000 + F.lit(0.5)) / 1000).alias(
+            "p90_sec"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (round 10)
+# ---------------------------------------------------------------------------
+
+STICKINESS_SQL = """
+WITH d AS (
+  SELECT DATE_TRUNC('month', CAST(ts AS DATE)) AS month,
+         CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT DATE_TRUNC('month', CAST(ts AS DATE)) AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM d GROUP BY month
+)
+SELECT CAST(a.month AS DATE) AS month, a.n_days, a.dau_sum, m.mau,
+       FLOOR(CAST(a.dau_sum AS DOUBLE) / a.n_days / m.mau
+             * 1000000 + 0.5) / 1000000 AS stickiness
+FROM a JOIN m ON a.month = m.month
+"""
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle=STICKINESS_SQL,
+    survey=["stickiness", "dau-mau", "engagement", "G3"],
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month (mean daily actives over monthly
+    actives) -- the canonical engagement ratio: 1.0 means every monthly
+    user shows up every day, ~0.03 means once-a-month usage.
+
+    Scale shape: two count-distinct aggregates (day- and month-keyed
+    -- the heavy work, both map-combinable shuffles on bounded
+    calendar keys x user) and a calendar-bounded join; stickiness is
+    exact-integer division quantized at 1e-6."""
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    month = F.date_trunc("month", day).cast("date")
+    d = ev.groupBy(month.alias("month"), day.alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    m = ev.groupBy(month.alias("month")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("mau")
+    )
+    a = d.groupBy("month").agg(
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return a.join(m, "month").select(
+        "month",
+        "n_days",
+        "dau_sum",
+        "mau",
+        dround(
+            F.col("dau_sum").cast("double")
+            / F.col("n_days")
+            / F.col("mau"),
+            6,
+        ).alias("stickiness"),
+    )

@@ -1199,3 +1199,117 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier fulfillment SLA (round 10)
+# ---------------------------------------------------------------------------
+
+_SLA_LATE_DAYS = 90
+
+SLA_SQL = f"""
+WITH j AS (
+  SELECT l.l_suppkey AS suppkey,
+         DATE_DIFF('day', o.o_orderdate, l.l_shipdate) AS lead_days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+r AS (
+  SELECT suppkey, lead_days,
+         ROW_NUMBER() OVER (PARTITION BY suppkey
+           ORDER BY lead_days, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY suppkey) AS n
+  FROM j
+)
+SELECT suppkey, CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN lead_days > {_SLA_LATE_DAYS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       FLOOR(CAST(SUM(CASE WHEN lead_days > {_SLA_LATE_DAYS}
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n) * 1000000 + 0.5) / 1000000 AS late_rate,
+       0.5 * CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lead_days END)
+                  + MAX(CASE WHEN rn = n // 2 + 1 THEN lead_days END)
+                  AS DOUBLE) AS p50_lead_days,
+       MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
+                THEN lead_days END) AS p90_lead_days
+FROM r GROUP BY suppkey
+"""
+
+
+@register(
+    "supplier_fulfillment_sla",
+    oracle=SLA_SQL,
+    survey=["sla", "lead-time", "supplier-scorecard", "rank-pick"],
+)
+def supplier_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfillment scorecard: per supplier, order->ship lead
+    time p50/p90 (rank-picked) and the share of line items shipped
+    more than {late} days after the order -- the SLA table a
+    procurement dashboard keys on (q21 finds the single-supplier late
+    ORDERS; this profiles every supplier's latency distribution).
+
+    Determinism: lead times are exact day integers; median is the
+    two-middle-rank average, p90 a single rank-pick at
+    floor(0.9*(n-1))+1 with the full (lead, orderkey, linenumber)
+    tie-break -- no engine percentile interpolation.
+
+    Scale shape: one fact-fact join on the orderkey (AQE picks the
+    strategy; both sides prune to three columns); the quantile windows
+    partition by SUPPLIER (key-partitioned, never global); one
+    map-combinable final rollup per supplier."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("suppkey").orderBy(
+        "lead_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("suppkey")
+    r = j.select(
+        "suppkey",
+        "lead_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    late = F.sum(
+        F.when(F.col("lead_days") > _SLA_LATE_DAYS, 1).otherwise(0)
+    )
+    p50 = 0.5 * (
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                F.col("lead_days"),
+            )
+        )
+        + F.max(
+            F.when(
+                F.col("rn") == F.floor(F.col("n") / 2) + 1,
+                F.col("lead_days"),
+            )
+        )
+    )
+    p90 = F.max(
+        F.when(
+            F.col("rn")
+            == F.floor(0.9 * (F.col("n") - 1)).cast("bigint") + 1,
+            F.col("lead_days"),
+        )
+    )
+    return r.groupBy("suppkey").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        late.cast("bigint").alias("n_late"),
+        dround(late.cast("double") / F.max("n"), 6).alias("late_rate"),
+        p50.alias("p50_lead_days"),
+        p90.alias("p90_lead_days"),
+    )
+
+
+supplier_fulfillment_sla.__doc__ = supplier_fulfillment_sla.__doc__.format(
+    late=_SLA_LATE_DAYS
+)

@@ -319,3 +319,35 @@ def test_disorder_profile_is_a_cumulative_distribution(spark):
         assert r["cum_share"] >= prev - 1e-9
         prev = r["cum_share"]
     assert abs(rows[-1]["cum_share"] - 1.0) < 1e-6
+
+
+def test_funnel_latency_quantiles_are_ordered(spark):
+    rows = _q(spark, "events_funnel_latency").collect()
+    steps = {r["step"] for r in rows}
+    assert steps <= {"view_to_click", "click_to_purchase"}
+    for r in rows:
+        assert r["n_users"] > 0
+        assert 0 <= r["median_sec"] <= r["p90_sec"]
+
+
+def test_stickiness_bounds_and_identity(spark):
+    """1/n_days <= stickiness <= 1 (a monthly user is active on at
+    least one of the month's observed days), and dau_sum/mau must be
+    internally consistent."""
+    rows = _q(spark, "events_dau_mau_stickiness").collect()
+    assert rows
+    for r in rows:
+        assert r["mau"] > 0 and r["n_days"] > 0
+        lo = 1.0 / r["n_days"] - 1e-9
+        assert lo <= r["stickiness"] <= 1.0 + 1e-9
+        want = r["dau_sum"] / r["n_days"] / r["mau"]
+        assert abs(r["stickiness"] - want) < 1e-5
+
+
+def test_supplier_sla_quantiles_and_rates(spark):
+    rows = _q(spark, "supplier_fulfillment_sla").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_late"] <= r["n_lines"]
+        assert abs(r["late_rate"] - r["n_late"] / r["n_lines"]) < 1e-5
+        assert r["p50_lead_days"] <= r["p90_lead_days"]
