@@ -5052,3 +5052,90 @@ def interarrival_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(mean * mean / var * q6 + 0.5) / q6).alias("gamma_shape"),
         (F.floor(var / mean * q6 + 0.5) / q6).alias("gamma_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase curve (round 10)
+# ---------------------------------------------------------------------------
+
+REPEAT_CURVE_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+h AS (
+  SELECT LEAST(n_orders, 10) AS orders_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders_total
+  FROM c GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_customers) AS BIGINT) AS total_customers,
+         CAST(SUM(n_orders_total) AS BIGINT) AS total_orders
+  FROM h
+)
+SELECT orders_bucket, n_customers, n_orders_total,
+       FLOOR(CAST(n_customers AS DOUBLE) / total_customers
+             * 1000000 + 0.5) / 1000000 AS customer_share,
+       FLOOR(CAST(n_orders_total AS DOUBLE) / total_orders
+             * 1000000 + 0.5) / 1000000 AS order_share,
+       FLOOR(CAST(SUM(n_customers)
+                    OVER (ORDER BY orders_bucket DESC) AS DOUBLE)
+             / total_customers * 1000000 + 0.5) / 1000000
+         AS share_with_at_least
+FROM h CROSS JOIN t
+"""
+
+
+@register(
+    "orders_repeat_purchase_curve",
+    oracle=REPEAT_CURVE_SQL,
+    survey=["repeat-purchase", "retention-economics", "histogram"],
+)
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase curve: customers bucketed by lifetime order
+    count (capped at 10+), with each bucket's share of customers and
+    of ORDERS, plus the survival-style 'share with at least this many
+    orders' -- the retention-economics table behind LTV planning
+    (cohort_ltv_matrix shows value over time; this shows how order
+    volume concentrates in repeat buyers).
+
+    Scale shape: one map-combinable per-customer rollup, one aggregate
+    onto the 10-bucket capped domain; the cumulative window runs on
+    the bounded bucket spine (sanctioned)."""
+    c = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    h = c.groupBy(
+        F.least(F.col("n_orders"), F.lit(10).cast("bigint")).alias(
+            "orders_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders_total"),
+    )
+    t = h.agg(
+        F.sum("n_customers").cast("bigint").alias("total_customers"),
+        F.sum("n_orders_total").cast("bigint").alias("total_orders"),
+    )
+    wc = Window.partitionBy().orderBy(F.col("orders_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "orders_bucket",
+        "n_customers",
+        "n_orders_total",
+        dround(
+            F.col("n_customers").cast("double") / F.col("total_customers"),
+            6,
+        ).alias("customer_share"),
+        dround(
+            F.col("n_orders_total").cast("double") / F.col("total_orders"),
+            6,
+        ).alias("order_share"),
+        dround(
+            F.sum("n_customers").over(wc).cast("double")
+            / F.col("total_customers"),
+            6,
+        ).alias("share_with_at_least"),
+    )

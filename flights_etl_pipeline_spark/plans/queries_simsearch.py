@@ -2971,3 +2971,96 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_ndcg_eval.__doc__ = ann_ndcg_eval.__doc__.format(k=_RECALL_K)
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension health profile (round 10)
+# ---------------------------------------------------------------------------
+
+DIMS_PROFILE_SQL = """
+WITH e AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, 65)) AS r(i)
+),
+s AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s_micro,
+         SUM(CAST(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS q_micro,
+         MIN(x) AS mn, MAX(x) AS mx,
+         CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM e GROUP BY dim
+)
+SELECT dim, n,
+       FLOOR(CAST(s_micro AS DOUBLE) / n + 0.5) / 1000000 AS mean_val,
+       FLOOR((CAST(q_micro AS DOUBLE) / n
+              - (CAST(s_micro AS DOUBLE) / n)
+                * (CAST(s_micro AS DOUBLE) / n))
+             / 1000000 + 0.5) / 1000000 AS var_val,
+       FLOOR(mn * 1000000 + 0.5) / 1000000 AS min_val,
+       FLOOR(mx * 1000000 + 0.5) / 1000000 AS max_val,
+       FLOOR(CAST(n_zero AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         AS zero_share
+FROM s
+"""
+
+
+@register(
+    "embedding_dims_profile",
+    oracle=DIMS_PROFILE_SQL,
+    survey=["embedding-health", "dimension-profile", "index-prep"],
+)
+def embedding_dims_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile: mean/variance/min/max
+    and exact-zero share for each of the 64 dimensions -- the audit an
+    ANN index build runs first (a dead or near-constant dimension
+    wastes a PQ subspace and skews hyperplane LSH; badly unbalanced
+    scales argue for per-dim normalization before training the
+    quantizer).
+
+    Engine-exactness: values are quantized to integer 1e-6 micro-units
+    at birth, so sums are exact (the square sum widens to
+    DECIMAL(38)/HUGEINT -- 1e6-scale micro values square past int64 at
+    corpus size); mean/var are the fixed q/n - (s/n)^2 sequence on the
+    same exact-int-cast doubles.
+
+    Scale shape: one posexplode -> one map-combinable aggregate onto
+    the 64-dim bounded domain; nothing downstream scales with rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    xm = F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    e = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xm).cast("bigint").alias("s_micro"),
+        F.sum(xm.cast("decimal(38,0)") * xm).alias("q_micro"),
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    mean_micro = F.col("s_micro").cast("double") / F.col("n")
+    var_micro = (
+        F.col("q_micro").cast("double") / F.col("n")
+        - mean_micro * mean_micro
+    )
+    return s.select(
+        "dim",
+        "n",
+        (F.floor(mean_micro + F.lit(0.5)) / 1000000).alias("mean_val"),
+        (F.floor(var_micro / 1000000 + F.lit(0.5)) / 1000000).alias(
+            "var_val"
+        ),
+        (F.floor(F.col("mn") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "min_val"
+        ),
+        (F.floor(F.col("mx") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "max_val"
+        ),
+        dround(F.col("n_zero").cast("double") / F.col("n"), 6).alias(
+            "zero_share"
+        ),
+    )

@@ -115,6 +115,9 @@ _SINGLE_PARTITION_SANCTIONED = {
     # audit flagged. The vocab-sized rank is key-partitioned.
     "tokenizer_apply",  # composes vocab_build, inheriting its bounded
     # histogram prefix sum (the encode stages themselves are window-free)
+    "orders_repeat_purchase_curve",  # survival cumulation over the
+    # 10-bucket capped order-count aggregate — domain-bounded by
+    # construction; the corpus-sized pass is the window-free rollup
     "events_disorder_profile",  # cumulative share over the ~45-row
     # log2 lateness-bucket aggregate — domain-bounded by construction;
     # the corpus-sized pass is the keyed running-max window

@@ -351,3 +351,28 @@ def test_supplier_sla_quantiles_and_rates(spark):
         assert 0 <= r["n_late"] <= r["n_lines"]
         assert abs(r["late_rate"] - r["n_late"] / r["n_lines"]) < 1e-5
         assert r["p50_lead_days"] <= r["p90_lead_days"]
+
+
+def test_dims_profile_covers_all_dimensions(spark):
+    rows = _q(spark, "embedding_dims_profile").collect()
+    assert sorted(r["dim"] for r in rows) == list(range(64))
+    for r in rows:
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+        assert r["var_val"] >= 0
+        assert 0 <= r["zero_share"] <= 1
+
+
+def test_repeat_curve_is_a_survival_distribution(spark):
+    rows = sorted(_q(spark, "orders_repeat_purchase_curve").collect(),
+                  key=lambda r: r["orders_bucket"])
+    assert rows
+    assert abs(sum(r["customer_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["order_share"] for r in rows) - 1.0) < 1e-4
+    # share_with_at_least is non-increasing in the bucket and hits 1.0
+    # at the smallest bucket
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r["share_with_at_least"] <= prev + 1e-9
+        prev = r["share_with_at_least"]
+    assert abs(rows[0]["share_with_at_least"] - 1.0) < 1e-6
