@@ -3997,8 +3997,9 @@ r AS (
   FROM durs
 )
 SELECT step, CAST(MAX(n) AS BIGINT) AS n_users,
-       FLOOR(0.5 * (MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END)
-                    + MAX(CASE WHEN rn = n // 2 + 1 THEN dur_us END))
+       FLOOR(0.5 * CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END)
+                        + MAX(CASE WHEN rn = n // 2 + 1 THEN dur_us END)
+                        AS DOUBLE)
              / 1000000 * 1000 + 0.5) / 1000 AS median_sec,
        FLOOR(MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1
                       THEN dur_us END)

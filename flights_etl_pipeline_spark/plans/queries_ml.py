@@ -4281,7 +4281,8 @@ wgt AS (
 tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS tw FROM wgt),
 alloc AS (
   SELECT source, n_h, w_q,
-         LEAST(({_NEY_BUDGET} * w_q) // tw, n_h) AS n_alloc
+         LEAST(CASE WHEN tw = 0 THEN 0
+                    ELSE ({_NEY_BUDGET} * w_q) // tw END, n_h) AS n_alloc
   FROM wgt CROSS JOIN tot
 ),
 ranked AS (
@@ -4359,7 +4360,13 @@ def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_h",
             "w_q",
             F.least(
-                F.expr(f"({_NEY_BUDGET} * w_q) DIV tw"), F.col("n_h")
+                # tw = 0 iff every stratum is constant (all w_q = 0):
+                # DuckDB's // errors on 0 while Spark's DIV returns
+                # NULL -- allocate 0 on both engines (ADVICE r10)
+                F.when(F.col("tw") == 0, F.lit(0).cast("bigint")).otherwise(
+                    F.expr(f"({_NEY_BUDGET} * w_q) DIV tw")
+                ),
+                F.col("n_h"),
             ).alias("n_alloc"),
         )
     )

@@ -692,14 +692,31 @@ def test_no_naked_collects_in_plans():
         "'# naked-collect-ok: <reason>' comment:\n" + "\n".join(offenders)
     )
 
-    # registry.py itself must contain exactly the helper's collect
-    reg = open(os.path.join(plans_dir, "registry.py")).read()
-    code_hits = [
-        ln for ln in reg.splitlines()
-        if ".collect()" in ln and not ln.lstrip().startswith(("#", "A"))
-        and '``' not in ln
+    # registry.py itself must contain exactly the helper's collect,
+    # INSIDE model_channel's body. AST-based (ADVICE r10): the old
+    # line-prefix heuristic could be flipped by a comment/docstring
+    # mentioning .collect() -- Call nodes can't.
+    import ast
+
+    tree = ast.parse(open(os.path.join(plans_dir, "registry.py")).read())
+    hits = [
+        node.lineno
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == "collect"
     ]
-    assert len(code_hits) == 1, code_hits
+    mc = next(
+        n
+        for n in ast.walk(tree)
+        if isinstance(n, ast.FunctionDef) and n.name == "model_channel"
+    )
+    inside = [ln for ln in hits if mc.lineno <= ln <= mc.end_lineno]
+    outside = [ln for ln in hits if not (mc.lineno <= ln <= mc.end_lineno)]
+    assert len(inside) == 1 and not outside, (
+        f"registry.py collect() calls: {len(inside)} in model_channel "
+        f"(want exactly 1), {outside} outside (want none)"
+    )
 
 
 def test_model_channel_raises_on_bound_breach(spark):
