@@ -85,12 +85,27 @@ _SF1_SPOT = (
     # like the LSH spots)
     "ann_batch_serve",
     "cdc_chunk_dedup",
+    # r10 post-close hand-measured candidates, promoted (VERDICT r11
+    # item 3): the binary-Hamming serving tier (expect FLAT -- the
+    # bounded histogram cut leaves only the row-local popcount scan
+    # corpus-sized) and the NB train+apply pass (honest-linear; the
+    # replicated fixture multiplies df but not model breadth)
+    "ann_binary_hamming_topk",
+    "naive_bayes_lang_classifier",
+    # the bench's most expensive query finally gets its own slope
+    # (VERDICT r10 item 4): customer replicas shift c_nationkey by its
+    # domain, so the SymSpell canopy blocks -- keyed on (nation,
+    # variant) -- are disjoint per replica and the pair graph is 10
+    # disjoint copies of the base graph (copurchase scheme-v2
+    # precedent). Expected ~linear pair work + log-ish propagation
+    # rounds (components are near-cliques, round count stays 2-3).
+    "fuzzy_customer_clusters",
 )
 _SF1_REPLICAS = 10
 # Bump when the replication rule below changes in ANY way: the tag is
 # folded into the /tmp cache fingerprint, so a scheme change can never
 # silently reuse a fixture built under the previous rule (ADVICE r6).
-_SF1_SCHEME_VERSION = 2
+_SF1_SCHEME_VERSION = 3
 # table -> list of (column, key-domain source) shifts. Each replica
 # shifts every listed column by rep * domain (max key + 1 — equals row
 # count for the dense doc/vec ids), so id uniqueness and id-derived
@@ -106,6 +121,13 @@ _SF1_TABLES = {
     "embeddings": [("vec_id", None)],
     "orders": [("o_orderkey", None), ("o_custkey", None)],
     "lineitem": [("l_orderkey", ("orders", "o_orderkey")), ("l_suppkey", None)],
+    # c_nationkey shifts by its own domain so the fuzzy-match canopy
+    # blocks (keyed on nation + deletion variant) are disjoint across
+    # replicas: names repeat verbatim between replicas, but no
+    # cross-replica pair can form, so the entity graph is 10 disjoint
+    # copies of the base graph — a genuine 10x workload for the
+    # propagation loop, not a replicas^2 clique blow-up.
+    "customer": [("c_custkey", None), ("c_nationkey", None)],
 }
 
 # Every query (headline and sf1 spot) runs _N_RUNS times and reports
@@ -274,6 +296,23 @@ def _sf1_vocab_docs_dir(spark, sf_dir: str) -> str:
         return out
     src = spark.read.parquet(p)
     n = src.count()
+    # Disjointness precondition (ADVICE r10): a BASE word already
+    # ending in zr<digits> would equal another replica's suffixed form
+    # and silently break the exact df-histogram preservation this
+    # fixture exists to provide. Fail loudly instead of measuring a
+    # corrupted slope.
+    collide = (
+        src.filter(
+            F.expr("exists(split(text, ' '), w -> w rlike 'zr[0-9]+$')")
+        )
+        .limit(1)
+        .count()
+    )
+    if collide:
+        raise AssertionError(
+            "vocab fixture: base corpus contains a word ending in "
+            "zr<digits>; replica vocabularies would not be disjoint"
+        )
     reps = spark.range(_SF1_REPLICAS).select(F.col("id").alias("rep"))
     suffixed = F.expr(
         "concat_ws(' ', transform(split(text, ' '), "
@@ -318,58 +357,72 @@ def _timed(spark, fn, sf_dir: str) -> float:
     return round(runs[len(runs) // 2], 3)
 
 
-def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
+def _spot_entry(
+    spark, qs, timings: dict[str, float], sf_dir: str, name: str,
+    data_dir: str,
+) -> dict:
+    """One spot measurement: _N_PAIRS_SPOT interleaved (base, 10x)
+    pairs for query `name`, base at sf_dir, 10x at data_dir."""
+    ratios, bigs, bases = [], [], []
+    for _ in range(_N_PAIRS_SPOT):
+        base = _timed_runs(spark, qs[name], sf_dir, 1)[0]
+        big = _timed_runs(spark, qs[name], data_dir, 1)[0]
+        bases.append(base)
+        bigs.append(big)
+        if base:
+            ratios.append(big / base)
+    ratios.sort()
+    bigs.sort()
+    bases.sort()
+    band = (
+        [round(ratios[0], 2), round(ratios[len(ratios) // 2], 2),
+         round(ratios[-1], 2)]
+        if ratios
+        else None
+    )
+    return {
+        "sec": round(bigs[len(bigs) // 2], 3),
+        # base re-timed AT SPOT TIME (interleaved with the 10x
+        # runs), not the headline-phase number from minutes
+        # earlier — see the _N_PAIRS_SPOT drift note
+        "sec_base": round(bases[len(bases) // 2], 3),
+        "sec_base_headline": timings[name],
+        # median paired ratio (the headline slope) + [floor,
+        # median, max] band of per-pair ratios; regression checks
+        # belong on the FLOOR (SCALE.md reading guide)
+        "scaleup": band[1] if band else None,
+        "scaleup_band": band,
+    }
+
+
+def _sf1_spot(
+    spark, sf_dir: str, timings: dict[str, float]
+) -> tuple[dict, dict[str, tuple[str, str]]]:
     """Time the spot queries on the 10x fixture; scaleup is the wall
     ratio vs the same query's sf0.1 number this run (1.0 = pure fixed
-    cost, ~10 = linear in data, >>10 = superlinear slope)."""
+    cost, ~10 = linear in data, >>10 = superlinear slope).
+
+    Also returns {spot_key: (query_name, data_dir)} so a drift-flagged
+    spot can be re-measured in isolation at the end of the run."""
     big_dir = _sf1_docs_dir(spark, sf_dir)
     qs = bench_queries()
 
-    def _spot_entry(name: str, data_dir: str) -> dict:
-        ratios, bigs, bases = [], [], []
-        for _ in range(_N_PAIRS_SPOT):
-            base = _timed_runs(spark, qs[name], sf_dir, 1)[0]
-            big = _timed_runs(spark, qs[name], data_dir, 1)[0]
-            bases.append(base)
-            bigs.append(big)
-            if base:
-                ratios.append(big / base)
-        ratios.sort()
-        bigs.sort()
-        bases.sort()
-        band = (
-            [round(ratios[0], 2), round(ratios[len(ratios) // 2], 2),
-             round(ratios[-1], 2)]
-            if ratios
-            else None
-        )
-        return {
-            "sec": round(bigs[len(bigs) // 2], 3),
-            # base re-timed AT SPOT TIME (interleaved with the 10x
-            # runs), not the headline-phase number from minutes
-            # earlier — see the _N_PAIRS_SPOT drift note
-            "sec_base": round(bases[len(bases) // 2], 3),
-            "sec_base_headline": timings[name],
-            # median paired ratio (the headline slope) + [floor,
-            # median, max] band of per-pair ratios; regression checks
-            # belong on the FLOOR (SCALE.md reading guide)
-            "scaleup": band[1] if band else None,
-            "scaleup_band": band,
-        }
-
     out = {}
+    sources: dict[str, tuple[str, str]] = {}
     for name in _SF1_SPOT:
         if name not in qs or name not in timings:
             continue
-        out[name] = _spot_entry(name, big_dir)
+        sources[name] = (name, big_dir)
+        out[name] = _spot_entry(spark, qs, timings, sf_dir, name, big_dir)
     # Organic 10x slope for the LSH query: same data volume as the
     # replicated fixture but with the base corpus's natural dup-rate
     # (round-4 verdict item 5 -- separates the adversarial replicas^2
     # candidate growth from the organic scaling exponent).
     if "minhash_lsh_pairs" in qs and "minhash_lsh_pairs" in timings:
         org_dir = _sf1_organic_docs_dir(spark, sf_dir)
+        sources["minhash_lsh_pairs_organic"] = ("minhash_lsh_pairs", org_dir)
         out["minhash_lsh_pairs_organic"] = _spot_entry(
-            "minhash_lsh_pairs", org_dir
+            spark, qs, timings, sf_dir, "minhash_lsh_pairs", org_dir
         )
     # Organic 10x slope for the DF-capped TF-IDF pair query: disjoint
     # per-replica vocabulary preserves the df distribution, so the cap
@@ -378,10 +431,11 @@ def _sf1_spot(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     # _sf1_vocab_docs_dir; VERDICT r9 item 3).
     if "tfidf_cosine_topk" in qs and "tfidf_cosine_topk" in timings:
         voc_dir = _sf1_vocab_docs_dir(spark, sf_dir)
+        sources["tfidf_cosine_topk_organic"] = ("tfidf_cosine_topk", voc_dir)
         out["tfidf_cosine_topk_organic"] = _spot_entry(
-            "tfidf_cosine_topk", voc_dir
+            spark, qs, timings, sf_dir, "tfidf_cosine_topk", voc_dir
         )
-    return {"data_ratio": _SF1_REPLICAS, "queries": out}
+    return {"data_ratio": _SF1_REPLICAS, "queries": out}, sources
 
 
 def main() -> None:
@@ -397,11 +451,40 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    qs = bench_queries()
     timings: dict[str, float] = {}
-    for name, fn in sorted(bench_queries().items()):
+    for name, fn in sorted(qs.items()):
         timings[name] = _timed(spark, fn, sf_dir)
 
-    spot = _sf1_spot(spark, sf_dir, timings)
+    spot, spot_sources = _sf1_spot(spark, sf_dir, timings)
+    # Output order matters: the driver records only a ~2 KB TAIL of the
+    # combined stdout+stderr, so the delta report (stderr, long) goes
+    # first, the full JSON second, and a compact summary line LAST --
+    # the compact line always survives truncation and stays parseable
+    # (BENCH_r02-r04 all recorded parsed=null because the full JSON's
+    # head fell off the tail).
+    flagged, drifted = _report_deltas(timings, spot)
+    # Self-adjudication (VERDICT r10 item 2): any flagged reading gets
+    # an isolated re-measure at the END of the same run, recorded next
+    # to the in-run number — a machine-state episode shows up as
+    # isolated << run and no longer needs a judge to hand-re-measure.
+    episode: dict[str, dict] = {}
+    for name in flagged:
+        episode[name] = {
+            "run": timings[name],
+            "isolated": _timed(spark, qs[name], sf_dir),
+        }
+    for key in drifted:
+        if key not in spot_sources:
+            continue
+        qname, data_dir = spot_sources[key]
+        iso = _spot_entry(spark, qs, timings, sf_dir, qname, data_dir)
+        episode[key] = {
+            "run": spot["queries"][key]["scaleup_band"],
+            "isolated": iso["scaleup_band"],
+        }
+    if episode:
+        print(f"episode re-measures: {json.dumps(episode)}", file=sys.stderr)
     full = {
         "metric": "bench_total",
         "value": round(sum(timings.values()), 3),
@@ -410,18 +493,11 @@ def main() -> None:
         "sf": float(sf),
         "sf1_spot": spot,
     }
-    # Output order matters: the driver records only a ~2 KB TAIL of the
-    # combined stdout+stderr, so the delta report (stderr, long) goes
-    # first, the full JSON second, and a compact summary line LAST --
-    # the compact line always survives truncation and stays parseable
-    # (BENCH_r02-r04 all recorded parsed=null because the full JSON's
-    # head fell off the tail).
-    _report_deltas(timings, spot)
+    if episode:
+        full["episode"] = episode
     sys.stderr.flush()
     print(json.dumps(full))
-    worst3 = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:3]
-    )
+    worst3 = _worst3(timings)
     print(
         json.dumps(
             {
@@ -437,10 +513,33 @@ def main() -> None:
                     k: v.get("scaleup_band") or v.get("scaleup")
                     for k, v in spot.get("queries", {}).items()
                 },
+                # present only when a flag fired: {name: {run,
+                # isolated}} — the machine-episode adjudication lives
+                # IN the driver-visible record (VERDICT r10 item 2).
+                # Capped at 3 entries so a whole-run episode (r10's
+                # shape: EVERY spot drifts) can't push the compact
+                # line past the driver's ~2 KB stdout tail; the full
+                # dict is in the full record and the stderr report.
+                **(
+                    {
+                        "episode": dict(list(episode.items())[:3]),
+                        "episode_n": len(episode),
+                    }
+                    if episode
+                    else {}
+                ),
             }
         )
     )
     sys.stdout.flush()
+
+
+def _worst3(timings: dict[str, float]) -> dict[str, float]:
+    """Slowest three queries; equal timings tie-break by name so
+    round-over-round worst3 diffs are stable (VERDICT r10 item 6:
+    ann_pq_codes/pca_projection both reported 2.985 and the selection
+    was dict-order-dependent)."""
+    return dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
 
 
 def _baseline() -> tuple[int, dict[str, float]] | None:
@@ -556,14 +655,22 @@ def _baseline_slopes() -> tuple[int, dict[str, list[float]]] | None:
     return (best[0], best[2]) if best else None
 
 
-def _report_deltas(timings: dict[str, float], spot: dict | None = None) -> None:
+def _report_deltas(
+    timings: dict[str, float], spot: dict | None = None
+) -> tuple[list[str], list[str]]:
     """Per-query regression report vs the latest recorded round, plus a
     slope-band MEDIAN drift check vs the latest committed band record
-    (stderr only -- stdout stays the single JSON line)."""
+    (stderr only -- stdout stays the single JSON line).
+
+    Returns (headline queries flagged >2x, spot keys with slope-band
+    median drift beyond _SLOPE_DRIFT_BAR) so the caller can re-measure
+    them in isolation and record both readings (VERDICT r10 item 2:
+    two judges in a row had to hand-adjudicate machine episodes the
+    committed record carried without a marker)."""
+    flagged: list[str] = []
     base = _baseline()
     if base is not None:
         rnd, prev = base
-        flagged = []
         for name, sec in sorted(timings.items()):
             p = prev.get(name)
             if p is None:
@@ -583,13 +690,13 @@ def _report_deltas(timings: dict[str, float], spot: dict | None = None) -> None:
                 flagged.append(name)
         if flagged:
             print(f"bench-delta r{rnd}: FLAGGED {flagged}", file=sys.stderr)
+    drifted: list[str] = []
     if spot is None:
-        return
+        return flagged, drifted
     slopes = _baseline_slopes()
     if slopes is None:
-        return
+        return flagged, drifted
     srnd, prev_bands = slopes
-    drifted = []
     for name, entry in sorted((spot.get("queries") or {}).items()):
         band = entry.get("scaleup_band") if isinstance(entry, dict) else None
         pband = prev_bands.get(name)
@@ -617,6 +724,7 @@ def _report_deltas(timings: dict[str, float], spot: dict | None = None) -> None:
             f"quiet machine before attributing to code",
             file=sys.stderr,
         )
+    return flagged, drifted
 
 
 if __name__ == "__main__":

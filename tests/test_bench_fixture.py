@@ -132,11 +132,36 @@ def test_slope_drift_report_flags_median_drift(capsys, tmp_path, monkeypatch):
         "q_a": {"scaleup_band": [1.6, 1.7, 1.8]},   # 1.7/1.5 = 1.13 -> drift
         "q_b": {"scaleup_band": [0.95, 1.05, 1.1]},  # 1.05 -> within bar
     }}
-    b._report_deltas({}, spot)
+    flagged, drifted = b._report_deltas({}, spot)
     err = capsys.readouterr().err
     assert "SLOPE DRIFT" in err and "q_a" in err
     assert "DRIFTED ['q_a']" in err
     assert "q_b" in err and "DRIFTED ['q_a', 'q_b']" not in err
+    # the return value drives the end-of-run isolated re-measure
+    # (VERDICT r10 item 2): drifted spots come back to the caller
+    assert flagged == [] and drifted == ["q_a"]
+
+    # a >2x headline regression is returned too (baseline r43 carries
+    # per-query timings but no bands, so the slope baseline stays r42)
+    (tmp_path / "BENCH_r43.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q_a": 1.0}}}
+    ))
+    flagged, _ = b._report_deltas({"q_a": 2.5}, None)
+    err = capsys.readouterr().err
+    assert "REGRESSION >2x" in err
+    assert flagged == ["q_a"]
+
+
+def test_worst3_tie_breaks_by_name():
+    """Equal timings must select and order deterministically by name
+    (VERDICT r10 item 6: a 2.985s tie made worst3 order-dependent)."""
+    import bench as b
+
+    t = {"zeta": 2.985, "alpha": 2.985, "mid": 3.5, "tiny": 0.1}
+    assert list(b._worst3(t)) == ["mid", "alpha", "zeta"]
+    # insertion order must not matter
+    t2 = dict(reversed(list(t.items())))
+    assert list(b._worst3(t2)) == ["mid", "alpha", "zeta"]
 
 
 def test_vocab_fixture_preserves_df_distribution(spark):
