@@ -941,3 +941,163 @@ def forget_user_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev.unionAll(od).unionAll(cu)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-style snapshot-isolation read (round 11)
+# ---------------------------------------------------------------------------
+
+# Three deterministic commit generations over the customer dimension,
+# every row derived from the base table so both engines construct the
+# identical log. Each generation touches each key at most once (the
+# moduli are made disjoint within a generation), so "latest wins" is a
+# total order on (key, gen):
+#   gen 0  the initial commit: every base row as an insert
+#   gen 1  the _CHANGELOG_SQL batch (update %7, delete %13, insert %97)
+#   gen 2  update-after-update (%5, minus the %11/%13 keys this gen
+#          deletes/skips), delete-after-update (%11), and
+#          insert-after-delete (%13 keys divisible by 3 come BACK)
+_SNAPSHOT_IDS = (1, 2)
+
+SNAPSHOT_ISOLATION_SQL = f"""
+WITH log AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, 0 AS gen, 'I' AS op
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100.0, 'UPDATED', 1, 'U'
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + {_INSERT_OFFSET}, 0.0, 'NEW', 1, 'I'
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), 1, 'D'
+  FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 200.0, 'UPDATED2', 2, 'U'
+  FROM customer
+  WHERE c_custkey % 5 = 0 AND c_custkey % 11 <> 0 AND c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), 2, 'D'
+  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey, 50.0, 'RESTORED', 2, 'I'
+  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 3 = 0
+),
+snaps AS (SELECT UNNEST([{", ".join(str(s) for s in _SNAPSHOT_IDS)}])
+          AS snapshot_id),
+pinned AS (
+  SELECT s.snapshot_id, l.c_custkey, l.c_acctbal, l.c_mktsegment,
+         l.gen, l.op,
+         ROW_NUMBER() OVER (PARTITION BY s.snapshot_id, l.c_custkey
+                            ORDER BY l.gen DESC) AS rn
+  FROM log l CROSS JOIN snaps s
+  WHERE l.gen <= s.snapshot_id
+)
+SELECT snapshot_id, c_custkey, c_acctbal, c_mktsegment,
+       gen AS version, op AS last_op
+FROM pinned WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "snapshot_isolation_read",
+    oracle=SNAPSHOT_ISOLATION_SQL,
+    survey=["snapshot-isolation", "time-travel", "cdc-log", "incremental"],
+)
+def snapshot_isolation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg/Delta-style snapshot-isolation read over a multi-commit
+    CDC log: two readers pinned at snapshot 1 and snapshot 2 each see
+    the EXACT table state their snapshot committed — latest row image
+    per key with generation <= snapshot, delete tombstones excluded.
+    One result, tagged by snapshot_id, covers the isolation guarantee
+    (the same key shows different values/absence across snapshots) and
+    all four CDC shapes: update-after-update (gen-2 'UPDATED2'
+    overrides gen-1 'UPDATED'), delete-after-update, insert-after-
+    delete (a %39 key deleted at snapshot 1 is 'RESTORED' at 2), and
+    plain pass-through ('I' from the initial commit).
+
+    The merge family (merge_apply_changelog, scd2_with_deletes) applies
+    ONE batch against the current state; this is the read-side
+    complement — reconstructing ANY committed state from the immutable
+    log, Iceberg's `VERSION AS OF` on public-API Spark.
+
+    Scale shape: each commit's delta is delta-sized and appended, never
+    rewritten; the reconstruction is one hash shuffle keyed on
+    (snapshot, key) with a per-key rank over at most gen-many rows (a
+    real table format prunes by manifest first — the latest-wins rank
+    is what MERGE-on-read does per file group). The snapshot spine is
+    a {n}-row broadcast constant side; output partitions by the same
+    key the shuffle already produced."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+
+    def _commit(rows: DataFrame, bal, seg, gen: int, op: str) -> DataFrame:
+        return rows.select(
+            "c_custkey",
+            bal.alias("c_acctbal"),
+            seg.alias("c_mktsegment"),
+            F.lit(gen).alias("gen"),
+            F.lit(op).alias("op"),
+        )
+
+    null_bal = F.lit(None).cast("double")
+    null_seg = F.lit(None).cast("string")
+    log = (
+        _commit(cust, F.col("c_acctbal"), F.col("c_mktsegment"), 0, "I")
+        .unionAll(_commit(
+            cust.filter((k % 7 == 0) & (k % 13 != 0)),
+            F.col("c_acctbal") + 100.0, F.lit("UPDATED"), 1, "U",
+        ))
+        .unionAll(
+            cust.filter(k % 97 == 0).select(
+                (k + _INSERT_OFFSET).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(1).alias("gen"),
+                F.lit("I").alias("op"),
+            )
+        )
+        .unionAll(_commit(
+            cust.filter(k % 13 == 0), null_bal, null_seg, 1, "D",
+        ))
+        .unionAll(_commit(
+            cust.filter((k % 5 == 0) & (k % 11 != 0) & (k % 13 != 0)),
+            F.col("c_acctbal") + 200.0, F.lit("UPDATED2"), 2, "U",
+        ))
+        .unionAll(_commit(
+            cust.filter((k % 11 == 0) & (k % 13 != 0)),
+            null_bal, null_seg, 2, "D",
+        ))
+        .unionAll(_commit(
+            cust.filter((k % 13 == 0) & (k % 3 == 0)),
+            F.lit(50.0), F.lit("RESTORED"), 2, "I",
+        ))
+    )
+    snaps = spark.range(_SNAPSHOT_IDS[0], _SNAPSHOT_IDS[-1] + 1).select(
+        F.col("id").cast("int").alias("snapshot_id")
+    )
+    pinned = log.crossJoin(F.broadcast(snaps)).filter(
+        F.col("gen") <= F.col("snapshot_id")
+    )
+    w = Window.partitionBy("snapshot_id", "c_custkey").orderBy(
+        F.col("gen").desc()
+    )
+    return (
+        pinned.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "snapshot_id",
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.col("gen").alias("version"),
+            F.col("op").alias("last_op"),
+        )
+    )
+
+
+snapshot_isolation_read.__doc__ = snapshot_isolation_read.__doc__.format(
+    n=len(_SNAPSHOT_IDS)
+)

@@ -2335,6 +2335,13 @@ QUALIFY ROW_NUMBER() OVER (
     bench=True,
 )
 def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _batch_serve_topk(spark, sf_dir, _BATCH_K)
+
+
+ann_batch_serve.__doc__ = None  # set below from the helper's docstring
+
+
+def _batch_serve_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """EXACT cosine top-{k} for a BATCH of {q} queries in two corpus
     passes, with no corpus-wide sort, no per-query re-scan, and no
     corpus-wide exact-decimal fold — the serving shape for "answer this
@@ -2423,7 +2430,7 @@ def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b, n in sorted(by_q.get(qi, []), reverse=True):
             cum += n
             floor_b = b
-            if cum >= _BATCH_K:
+            if cum >= k:
                 break
         if floor_b is None:
             raise ValueError(f"query {qi} scored no rows")
@@ -2467,13 +2474,150 @@ def ann_batch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .filter(F.col("rn") <= _BATCH_K)
+        .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine")
     )
     return ranked
 
 
-ann_batch_serve.__doc__ = ann_batch_serve.__doc__.format(k=_BATCH_K, q=_BATCH_Q)
+_BATCH_SERVE_DOC = _batch_serve_topk.__doc__
+_batch_serve_topk.__doc__ = _BATCH_SERVE_DOC.format(k="k", q=_BATCH_Q)
+ann_batch_serve.__doc__ = _BATCH_SERVE_DOC.format(k=_BATCH_K, q=_BATCH_Q)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage rerank: vector retrieval -> lexical cross-scoring (round 11)
+# ---------------------------------------------------------------------------
+
+_RERANK_POOL = 20  # stage-1 candidates per query (exact cosine top-pool)
+_RERANK_K = 5  # final picks per query after the cross-score
+_RERANK_ALPHA = 0.7  # vector relevance weight
+# Computed ONCE in Python double arithmetic and interpolated at full
+# repr precision with an explicit DOUBLE cast on both engines — the
+# _MMR_MU discipline (a 0.3 SQL literal lands one ulp away and a
+# near-tie rank flip diverges the engines).
+_RERANK_BETA = 1 - _RERANK_ALPHA
+
+_RERANK_NORM_SQL = "TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+
+ANN_TWO_STAGE_RERANK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {_BATCH_Q}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         FLOOR({sql_cosine('e.embedding', 'q.qv')} * 100000000 + 0.5)
+           / 100000000 AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+pool AS (
+  SELECT qid, vec_id, cosine FROM scored
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id
+  ) <= {_RERANK_POOL}
+),
+toks AS (
+  SELECT doc_id,
+         LIST_DISTINCT(string_split({_RERANK_NORM_SQL}, ' ')) AS t
+  FROM documents
+),
+feat AS (
+  SELECT p.qid, p.vec_id, p.cosine,
+         FLOOR(CAST(LEN(LIST_INTERSECT(ct.t, qt.t)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(ct.t, qt.t)))
+               * 100000000 + 0.5) / 100000000 AS lex_jaccard
+  FROM pool p
+  JOIN toks ct ON ct.doc_id = p.vec_id
+  JOIN toks qt ON qt.doc_id = p.qid
+  WHERE p.vec_id <> p.qid
+)
+SELECT qid, vec_id, cosine, lex_jaccard,
+       FLOOR((CAST({_RERANK_ALPHA!r} AS DOUBLE) * cosine
+              + CAST({_RERANK_BETA!r} AS DOUBLE) * lex_jaccard)
+             * 100000000 + 0.5) / 100000000 AS rerank_score
+FROM feat
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY qid ORDER BY rerank_score DESC, vec_id
+) <= {_RERANK_K}
+"""
+
+
+@register(
+    "ann_two_stage_rerank",
+    oracle=ANN_TWO_STAGE_RERANK_SQL,
+    survey=[
+        "two-stage-rerank", "cross-scoring", "serving-composition",
+        "hybrid-retrieval",
+    ],
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval-then-rerank, the cross-encoder serving
+    pattern: stage 1 retrieves each query's exact cosine top-{pool}
+    candidate pool with the audited two-pass batch-serve machinery
+    (`_batch_serve_topk` -- one double-fold histogram scan + one
+    threshold-refined exact rescore, domain-bounded driver channels);
+    stage 2 pays the EXPENSIVE cross-feature -- token-set Jaccard
+    between the query document's text and each candidate's text, the
+    stand-in for a cross-encoder forward pass -- only on the Q x
+    {pool} pool, and blends it with the vector score
+    ({alpha} * cosine + {beta} * jaccard) for the final top-{k}.
+    Self-matches are excluded before reranking.
+
+    Engine-exactness: stage 1 is bit-identical to the QUALIFY oracle
+    (proven by ann_batch_serve); the Jaccard is integer set sizes and
+    ONE IEEE divide, quantized at 1e-8; the blend multiplies
+    1e-8-quantized doubles by repr-interpolated DOUBLE constants
+    (shared-constant _MMR_MU discipline) and re-quantizes before the
+    rank, so every comparison the window makes is on identical bits.
+
+    Scale shape: stage 1 escalates like the serve path (swap the full
+    scan for IVF-probed cells at 100 TB; thresholds unchanged); stage
+    2's joins put the pool (Q x {pool} rows, corpus-size-INDEPENDENT)
+    on the broadcast side of one documents scan, so the lexical
+    cross-scoring never touches more than pool-many text pairs -- the
+    entire reason serving tiers are two-stage. The final window
+    partitions by qid over pool-sized groups."""
+    pool = _batch_serve_topk(spark, sf_dir, _RERANK_POOL).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(norm, " ")).alias("t")
+    )
+    qtoks = toks.filter(F.col("doc_id") < _BATCH_Q).select(
+        F.col("doc_id").alias("qdoc"), F.col("t").alias("qt")
+    )
+    cand = toks.join(
+        F.broadcast(pool), toks["doc_id"] == pool["vec_id"]
+    ).join(F.broadcast(qtoks), F.col("qid") == F.col("qdoc"))
+    inter = F.size(F.array_intersect("t", "qt"))
+    union = F.size(F.array_union("t", "qt"))
+    feat = cand.select(
+        "qid",
+        "vec_id",
+        "cosine",
+        dround(inter.cast("double") / union, 8).alias("lex_jaccard"),
+    )
+    score = dround(
+        F.lit(_RERANK_ALPHA) * F.col("cosine")
+        + F.lit(_RERANK_BETA) * F.col("lex_jaccard"),
+        8,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rerank_score").desc(), "vec_id"
+    )
+    return (
+        feat.withColumn("rerank_score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RERANK_K)
+        .select("qid", "vec_id", "cosine", "lex_jaccard", "rerank_score")
+    )
+
+
+ann_two_stage_rerank.__doc__ = ann_two_stage_rerank.__doc__.format(
+    pool=_RERANK_POOL, k=_RERANK_K, alpha=_RERANK_ALPHA, beta=_RERANK_BETA
+)
 
 
 # ---------------------------------------------------------------------------
