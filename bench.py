@@ -543,22 +543,31 @@ def _worst3(timings: dict[str, float]) -> dict[str, float]:
 
 
 def _baseline() -> tuple[int, dict[str, float]] | None:
-    """Latest usable (round, per-query timings) from the driver-recorded
-    BENCH_r{N}.json files at the repo root — the internal ``best``
-    candidate carries a third ranking-tier element that is dropped
-    before returning.
+    """Latest usable (round, per-query timings) from the recorded
+    BENCH_r{N}.json / BENCH_LOCAL_r{N}.json files at the repo root —
+    the internal ``best`` candidate carries extra ranking elements
+    that are dropped before returning.
+
+    A committed BENCH_LOCAL record (tools/round_close.py's full
+    quiet-machine record) outranks the driver record for the same
+    round: the driver record can carry machine-episode walls (r10:
+    kmeans 11.8 s vs 2.95 s quiet), and comparing a new run against
+    episode numbers hides genuine >2x regressions — and genuine
+    episodes (r11 cycle 1 went unflagged against r10's episode
+    baseline).
 
     The driver sometimes records ``parsed: null`` with the JSON line
     only inside the truncated ``tail`` string (BENCH_r03 did); fall
     back to extracting the queries object from the tail so deltas
     compare against the latest round, not a stale earlier one."""
     here = os.path.dirname(os.path.abspath(__file__))
-    # (round, queries, usable-size tier); tier 1 means the recovered dict
-    # carries at least _MIN_BASELINE_QUERIES entries, so the newest round
-    # wins only when it actually has a comparable query set.
-    best: tuple[int, dict[str, float], int] | None = None
+    # (round, queries, usable-size tier, local-pref); tier 1 means the
+    # recovered dict carries at least _MIN_BASELINE_QUERIES entries, so
+    # the newest round wins only when it actually has a comparable
+    # query set.
+    best: tuple[int, dict[str, float], int, int] | None = None
     for f in os.listdir(here):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        m = re.fullmatch(r"BENCH(_LOCAL)?_r(\d+)\.json", f)
         if not m:
             continue
         try:
@@ -566,11 +575,13 @@ def _baseline() -> tuple[int, dict[str, float]] | None:
         except Exception:
             continue
         qs = None
-        parsed = doc.get("parsed")
-        if isinstance(parsed, dict) and isinstance(
-            parsed.get("queries"), dict
+        if m.group(1):  # full local record: queries at top level
+            if isinstance(doc.get("queries"), dict):
+                qs = doc["queries"]
+        elif isinstance(doc.get("parsed"), dict) and isinstance(
+            doc["parsed"].get("queries"), dict
         ):
-            qs = parsed["queries"]
+            qs = doc["parsed"]["queries"]
         else:
             tail = doc.get("tail") or ""
             jm = re.search(r'\{"metric":.*', tail)
@@ -598,14 +609,15 @@ def _baseline() -> tuple[int, dict[str, float]] | None:
                 qs = recovered or None
         if qs is None:
             continue
-        rnd = int(m.group(1))
+        rnd = int(m.group(2))
+        pref = 1 if m.group(1) else 0  # quiet local record outranks
         # a heavily-truncated recovery (r3's tail yields 1 pair) is a
         # worse baseline than an older complete one: rank by
-        # (usable-size tier, round) so the newest round wins only when
-        # it actually carries a comparable query set
+        # (usable-size tier, round, local-pref) so the newest round
+        # wins only when it actually carries a comparable query set
         tier = 1 if len(qs) >= _MIN_BASELINE_QUERIES else 0
-        if best is None or (tier, rnd) > (best[2], best[0]):
-            best = (rnd, qs, tier)
+        if best is None or (tier, rnd, pref) > (best[2], best[0], best[3]):
+            best = (rnd, qs, tier, pref)
     return (best[0], best[1]) if best else None
 
 

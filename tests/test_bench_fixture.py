@@ -151,6 +151,22 @@ def test_slope_drift_report_flags_median_drift(capsys, tmp_path, monkeypatch):
     assert "REGRESSION >2x" in err
     assert flagged == ["q_a"]
 
+    # for the same round, the committed quiet local record outranks the
+    # driver record — driver records can carry machine-episode walls
+    # that would mask genuine regressions (r11 close cycle 1)
+    (tmp_path / "BENCH_r44.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q_a": 3.0, "q_b": 1.0, "q_c": 1.0,
+                                "q_d": 1.0, "q_e": 1.0}}}
+    ))
+    (tmp_path / "BENCH_LOCAL_r44.json").write_text(json.dumps(
+        {"queries": {"q_a": 1.0, "q_b": 1.0, "q_c": 1.0,
+                     "q_d": 1.0, "q_e": 1.0}}
+    ))
+    rnd, prev = b._baseline()
+    assert rnd == 44 and prev["q_a"] == 1.0, (
+        "quiet local record must outrank the driver record"
+    )
+
 
 def test_worst3_tie_breaks_by_name():
     """Equal timings must select and order deterministically by name
