@@ -646,6 +646,44 @@ def test_ann_batch_serve_two_pass_shape(spark):
     assert "decimal(38,14)" not in scan_to_filter
 
 
+def test_two_stage_rerank_pool_sized_stage2(spark):
+    """ann_two_stage_rerank's scale contract: stage 2's joins put the
+    pool and the query-token rows on the BROADCAST side of the
+    documents scan (a shuffle join would drag the corpus through an
+    exchange for Q x pool rows), the only shuffle exchanges are the
+    two qid-keyed ones (stage-1 survivor rank + final rerank window),
+    and both rank windows are WindowGroupLimit-bounded."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        ann_two_stage_rerank,
+    )
+
+    plan = plan_str(ann_two_stage_rerank(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("hashpartitioning(qid") == 2
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_isolation_read_single_shuffle(spark):
+    """snapshot_isolation_read's scale contract: the reconstruction is
+    ONE hash exchange keyed (snapshot_id, c_custkey) with a
+    WindowGroupLimit rank; the snapshot spine rides a broadcast
+    nested-loop cross join (2-row constant side), never a shuffle."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        snapshot_isolation_read,
+    )
+
+    plan = plan_str(snapshot_isolation_read(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(snapshot_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an
