@@ -85,7 +85,7 @@ _SF1_SPOT = (
     # like the LSH spots)
     "ann_batch_serve",
     "cdc_chunk_dedup",
-    # r10 post-close hand-measured candidates, promoted (VERDICT r11
+    # r10 post-close hand-measured candidates, promoted (VERDICT r10
     # item 3): the binary-Hamming serving tier (expect FLAT -- the
     # bounded histogram cut leaves only the row-local popcount scan
     # corpus-sized) and the NB train+apply pass (honest-linear; the
@@ -97,8 +97,9 @@ _SF1_SPOT = (
     # domain, so the SymSpell canopy blocks -- keyed on (nation,
     # variant) -- are disjoint per replica and the pair graph is 10
     # disjoint copies of the base graph (copurchase scheme-v2
-    # precedent). Expected ~linear pair work + log-ish propagation
-    # rounds (components are near-cliques, round count stays 2-3).
+    # precedent). Measured r11: band ~[2.9, 3.3] with the propagation
+    # ROUND COUNT invariant at 4 for base and 10x (SCALE.md) — the
+    # slope is per-round linear edge work, not extra iterations.
     "fuzzy_customer_clusters",
 )
 _SF1_REPLICAS = 10
@@ -438,6 +439,40 @@ def _sf1_spot(
     return {"data_ratio": _SF1_REPLICAS, "queries": out}, sources
 
 
+def _episode_remeasure(
+    spark,
+    qs,
+    sf_dir: str,
+    timings: dict[str, float],
+    spot: dict,
+    spot_sources: dict[str, tuple[str, str]],
+    flagged: list[str],
+    drifted: list[str],
+) -> dict[str, dict]:
+    """Self-adjudication (VERDICT r10 item 2): every flagged reading
+    gets an isolated re-measure at the END of the same run, recorded
+    next to the in-run number — a machine-state episode shows up as
+    isolated << run and no longer needs a judge to hand-re-measure.
+    Headline flags re-time the sf wall (floats); drifted spots re-run
+    a fresh interleaved pair set on their own fixture (bands)."""
+    episode: dict[str, dict] = {}
+    for name in flagged:
+        episode[name] = {
+            "run": timings[name],
+            "isolated": _timed(spark, qs[name], sf_dir),
+        }
+    for key in drifted:
+        if key not in spot_sources:
+            continue
+        qname, data_dir = spot_sources[key]
+        iso = _spot_entry(spark, qs, timings, sf_dir, qname, data_dir)
+        episode[key] = {
+            "run": spot["queries"][key]["scaleup_band"],
+            "isolated": iso["scaleup_band"],
+        }
+    return episode
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -464,25 +499,9 @@ def main() -> None:
     # (BENCH_r02-r04 all recorded parsed=null because the full JSON's
     # head fell off the tail).
     flagged, drifted = _report_deltas(timings, spot)
-    # Self-adjudication (VERDICT r10 item 2): any flagged reading gets
-    # an isolated re-measure at the END of the same run, recorded next
-    # to the in-run number — a machine-state episode shows up as
-    # isolated << run and no longer needs a judge to hand-re-measure.
-    episode: dict[str, dict] = {}
-    for name in flagged:
-        episode[name] = {
-            "run": timings[name],
-            "isolated": _timed(spark, qs[name], sf_dir),
-        }
-    for key in drifted:
-        if key not in spot_sources:
-            continue
-        qname, data_dir = spot_sources[key]
-        iso = _spot_entry(spark, qs, timings, sf_dir, qname, data_dir)
-        episode[key] = {
-            "run": spot["queries"][key]["scaleup_band"],
-            "isolated": iso["scaleup_band"],
-        }
+    episode = _episode_remeasure(
+        spark, qs, sf_dir, timings, spot, spot_sources, flagged, drifted
+    )
     if episode:
         print(f"episode re-measures: {json.dumps(episode)}", file=sys.stderr)
     full = {

@@ -168,6 +168,52 @@ def test_slope_drift_report_flags_median_drift(capsys, tmp_path, monkeypatch):
     )
 
 
+def test_episode_remeasure_shapes():
+    """The end-of-run self-adjudication must emit {run, isolated} with
+    a float pair for headline flags and a band pair for drifted spots,
+    and skip drift keys it has no fixture source for (defensive: a
+    future organic-variant rename must not crash the bench tail)."""
+    import bench as b
+
+    class _W:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self):
+            pass
+
+    class _DF:
+        write = _W()
+
+    class _Cat:
+        def clearCache(self):
+            pass
+
+    class _Spark:
+        catalog = _Cat()
+
+    def fake_query(spark, sf_dir):
+        return _DF()
+
+    qs = {"q_head": fake_query, "q_spot": fake_query}
+    timings = {"q_head": 2.5, "q_spot": 1.0}
+    spot = {"queries": {"q_spot_organic": {"scaleup_band": [3.0, 3.1, 3.2]}}}
+    sources = {"q_spot_organic": ("q_spot", "/unused/by/fake")}
+    ep = b._episode_remeasure(
+        _Spark(), qs, "/unused", timings, spot, sources,
+        flagged=["q_head"], drifted=["q_spot_organic", "renamed_key"],
+    )
+    assert set(ep) == {"q_head", "q_spot_organic"}
+    assert ep["q_head"]["run"] == 2.5
+    assert isinstance(ep["q_head"]["isolated"], float)
+    assert ep["q_spot_organic"]["run"] == [3.0, 3.1, 3.2]
+    iso = ep["q_spot_organic"]["isolated"]
+    assert isinstance(iso, list) and len(iso) == 3
+
+
 def test_worst3_tie_breaks_by_name():
     """Equal timings must select and order deterministically by name
     (VERDICT r10 item 6: a 2.985s tie made worst3 order-dependent)."""
