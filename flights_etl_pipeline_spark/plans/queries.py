@@ -72,6 +72,16 @@ from flights_etl_pipeline_spark.plans.registry import REGISTRY
 
 _FPRINT_FILE = "QUERY_FPRINTS.json"
 
+# Fingerprint formula version. v1 hashed only the query function's
+# source, so an ORACLE-ONLY edit kept stale driver-green evidence
+# ranked valid (round 11's events_funnel_latency CAST fix needed a
+# manual --mark-stale). v2 folds the oracle SQL and the check mode
+# (hash-checked vs rows-only) into the hash, so any oracle edit
+# auto-voids the snapshot. Bumping this voids every stored snapshot;
+# tools/update_fingerprints.py restamps them at round open (the one
+# window where current tree == driver-verified tree).
+_FP_VERSION = 2
+
 
 def _repo_root() -> str:
     import os
@@ -81,20 +91,26 @@ def _repo_root() -> str:
     )
 
 
-def _source_fingerprint(fn) -> str:
-    """md5 of the query function's source text, the rewrite detector
-    (VERDICT r7 item 1). Stable across runs; changes whenever the
-    function body is edited. Helper-only rewrites are not captured —
+def _source_fingerprint(spec) -> str:
+    """md5 of the query's verification surface — the rewrite detector
+    (VERDICT r7 item 1; formula v2 per VERDICT r11 item 2). The hash
+    covers (a) the query function's source text, (b) the oracle SQL
+    (or an explicit rows-only marker when ``oracle is None``), so BOTH
+    a Spark-side rewrite and an oracle-side edit void stored evidence.
+    Helper-only rewrites are still not captured —
     tools/update_fingerprints.py --mark-stale covers those manually.
     """
     import hashlib
     import inspect
 
     try:
-        src = inspect.getsource(fn)
+        src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
         return "nosource"
-    return hashlib.md5(src.encode()).hexdigest()
+    oracle = spec.oracle if spec.oracle is not None else "<rows-only-check>"
+    return hashlib.md5(
+        src.encode() + b"\x00" + oracle.encode()
+    ).hexdigest()
 
 
 def _stored_fingerprints() -> dict[str, dict]:
@@ -162,8 +178,9 @@ def _driver_green(latest: bool = False) -> dict[str, int]:
 
 
 def _rewritten(green: dict[str, int]) -> set[str]:
-    """Green queries whose implementation changed since their last
-    driver-green row: the current source fingerprint differs from the
+    """Green queries whose verification surface changed since their
+    last driver-green row: the current fingerprint (fn source + oracle
+    SQL + check mode, see _source_fingerprint) differs from the
     fingerprint stored in QUERY_FPRINTS.json at the time of that green
     (VERDICT r7 item 1 — their evidence predates the rewrite, so it is
     void for sampling purposes and they must re-enter the queue)."""
@@ -173,7 +190,7 @@ def _rewritten(green: dict[str, int]) -> set[str]:
         if n not in REGISTRY:
             continue
         rec = stored.get(n)
-        if not rec or rec.get("fp") != _source_fingerprint(REGISTRY[n].fn):
+        if not rec or rec.get("fp") != _source_fingerprint(REGISTRY[n]):
             out.add(n)
     return out
 

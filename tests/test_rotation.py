@@ -93,16 +93,59 @@ def test_checked_ordered_oldest_evidence_first():
 
 
 def test_fingerprint_detects_source_edit():
-    """The rewrite signal: same fn -> same fp; different source -> a
+    """The rewrite signal: same spec -> same fp; different source -> a
     different fp; an edited fn must land in the rewritten set."""
+    from flights_etl_pipeline_spark.plans.registry import QuerySpec
+
     name = next(iter(REGISTRY))
-    fn = REGISTRY[name].fn
-    assert _source_fingerprint(fn) == _source_fingerprint(fn)
+    spec = REGISTRY[name]
+    assert _source_fingerprint(spec) == _source_fingerprint(spec)
 
     def other(spark, sf_dir):  # distinct source text
         return None
 
-    assert _source_fingerprint(fn) != _source_fingerprint(other)
+    assert _source_fingerprint(spec) != _source_fingerprint(
+        QuerySpec(fn=other, oracle=spec.oracle)
+    )
+
+
+def test_fingerprint_detects_oracle_edit():
+    """VERDICT r11 item 2, reproducing the round-11 funnel scenario:
+    an ORACLE-ONLY edit (fn source unchanged) must change the
+    fingerprint, so stale driver-green evidence is auto-voided and the
+    query re-enters the verification queue without a manual
+    --mark-stale. Switching a query between hash-checked and rows-only
+    mode must likewise void the snapshot."""
+    from flights_etl_pipeline_spark.plans.registry import QuerySpec
+
+    def fn(spark, sf_dir):
+        return None
+
+    a = QuerySpec(fn=fn, oracle="SELECT 1 AS x")
+    edited = QuerySpec(fn=fn, oracle="SELECT CAST(1 AS DOUBLE) AS x")
+    rows_only = QuerySpec(fn=fn, oracle=None)
+    assert _source_fingerprint(a) != _source_fingerprint(edited)
+    assert _source_fingerprint(a) != _source_fingerprint(rows_only)
+
+
+def test_oracle_edit_invalidates_snapshot_end_to_end(monkeypatch):
+    """The full round-11 funnel path, mechanized: a query with a
+    stored at-green snapshot whose ORACLE is then edited must be
+    reported rewritten by _rewritten() with no manual intervention."""
+    from dataclasses import replace
+
+    import flights_etl_pipeline_spark.plans.queries as q
+
+    name = next(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+    spec = REGISTRY[name]
+    snapshot = {name: {"fp": _source_fingerprint(spec), "round": 11,
+                       "v": q._FP_VERSION}}
+    monkeypatch.setattr(q, "_stored_fingerprints", lambda: snapshot)
+    assert name not in q._rewritten({name: 11})
+
+    edited = replace(spec, oracle=spec.oracle + " -- oracle-only edit")
+    monkeypatch.setitem(REGISTRY, name, edited)
+    assert name in q._rewritten({name: 11})
 
 
 def test_stored_fingerprints_cover_all_green_queries():
@@ -162,16 +205,19 @@ def test_update_fingerprints_rules(tmp_path, monkeypatch):
 
     tool = importlib.import_module("tools.update_fingerprints")
 
-    names = list(REGISTRY)[:2]
-    a, b = names[0], names[1]
+    names = list(REGISTRY)[:3]
+    a, b, c = names[0], names[1], names[2]
     fpath = tmp_path / "QUERY_FPRINTS.json"
     fpath.write_text(json.dumps({
         a: {"fp": "stale-old-evidence", "round": 7},
-        b: {"fp": "kept-snapshot", "round": 8},
+        b: {"fp": "kept-snapshot", "round": 8, "v": q._FP_VERSION},
+        # c: current round but PRE-v2 record (no "v") -> the formula
+        # migration restamps it (VERDICT r11 item 2 rollout path)
+        c: {"fp": "v1-formula-hash", "round": 8},
     }))
     monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
     monkeypatch.setattr(
-        q, "_driver_green", lambda latest=False: {a: 8, b: 8}
+        q, "_driver_green", lambda latest=False: {a: 8, b: 8, c: 8}
     )
     monkeypatch.setattr(tool, "_tree_state", lambda repo: ("abc1234", False))
     monkeypatch.setattr(sys, "argv", ["update_fingerprints.py"])
@@ -180,12 +226,20 @@ def test_update_fingerprints_rules(tmp_path, monkeypatch):
     # a: new green round (8 > stored 7) -> refreshed to current fp,
     # stamped with the commit the evidence describes (ADVICE r8)
     assert out[a] == {
-        "fp": q._source_fingerprint(REGISTRY[a].fn),
+        "fp": q._source_fingerprint(REGISTRY[a]),
         "round": 8,
         "commit": "abc1234",
+        "v": q._FP_VERSION,
     }
-    # b: evidence round unchanged -> stored snapshot kept verbatim
-    assert out[b] == {"fp": "kept-snapshot", "round": 8}
+    # b: evidence round unchanged, current formula -> kept verbatim
+    assert out[b] == {"fp": "kept-snapshot", "round": 8, "v": q._FP_VERSION}
+    # c: evidence round unchanged but old formula -> restamped
+    assert out[c] == {
+        "fp": q._source_fingerprint(REGISTRY[c]),
+        "round": 8,
+        "commit": "abc1234",
+        "v": q._FP_VERSION,
+    }
 
     monkeypatch.setattr(
         sys, "argv", ["update_fingerprints.py", "--mark-stale", b]
@@ -193,7 +247,14 @@ def test_update_fingerprints_rules(tmp_path, monkeypatch):
     tool.main()
     out = json.loads(fpath.read_text())
     assert out[b]["fp"] == "voided-by-mark-stale"
-    assert out[a]["fp"] == q._source_fingerprint(REGISTRY[a].fn)
+    assert out[a]["fp"] == q._source_fingerprint(REGISTRY[a])
+
+    # a voided sentinel survives subsequent re-runs until newer green
+    # evidence lands (restamping would erase the staleness mark)
+    monkeypatch.setattr(sys, "argv", ["update_fingerprints.py"])
+    tool.main()
+    out = json.loads(fpath.read_text())
+    assert out[b]["fp"] == "voided-by-mark-stale"
 
 
 def test_update_fingerprints_refuses_dirty_tree(tmp_path, monkeypatch):

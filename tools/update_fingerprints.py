@@ -8,12 +8,19 @@ gathered against").
 
 Rules per registry query:
 - latest driver-green round G (from CORRECTNESS_r*.json) exists and is
-  newer than the stored snapshot round -> record the CURRENT source
-  fingerprint with round G (the new evidence supersedes the old
-  snapshot; it was gathered against this code).
-- stored snapshot is current (round == G) -> keep it verbatim, even if
-  the live fingerprint differs (that difference IS the rewrite signal
-  plans/queries._reorder_registry promotes on).
+  newer than the stored snapshot round -> record the CURRENT
+  fingerprint (fn source + oracle SQL + check mode, formula v2) with
+  round G (the new evidence supersedes the old snapshot; it was
+  gathered against this code).
+- stored snapshot is current (round == G, same formula version) ->
+  keep it verbatim, even if the live fingerprint differs (that
+  difference IS the rewrite signal plans/queries._reorder_registry
+  promotes on). A voided sentinel ("voided-by-mark-stale") is likewise
+  kept until newer green evidence supersedes it — restamping it would
+  silently erase the staleness mark.
+- stored snapshot predates the current fingerprint FORMULA version ->
+  restamp with the current fingerprint. Only valid at round open
+  (tree == driver-verified tree), which the dirty-tree guard enforces.
 - never green -> no entry (the never-green tier already leads).
 
 --mark-stale a,b,c  force-voids the stored fingerprint for the named
@@ -101,14 +108,18 @@ def main() -> None:
         if g is None:
             continue
         rec = stored.get(name)
-        if rec and rec.get("round") == g:
+        same_round = bool(rec) and rec.get("round") == g
+        voided = bool(rec) and rec.get("fp") == "voided-by-mark-stale"
+        current_formula = bool(rec) and rec.get("v") == q._FP_VERSION
+        if same_round and (current_formula or voided):
             out[name] = rec
             kept += 1
         else:
             out[name] = {
-                "fp": q._source_fingerprint(REGISTRY[name].fn),
+                "fp": q._source_fingerprint(REGISTRY[name]),
                 "round": g,
                 "commit": head,
+                "v": q._FP_VERSION,
             }
             updated += 1
     for name in filter(None, args.mark_stale.split(",")):
