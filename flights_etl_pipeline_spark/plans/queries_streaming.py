@@ -122,7 +122,10 @@ UNREGISTERED: dict[str, tuple[str, str, list[str]]] = {}
 if not _HAS_PROTOBUF:
     UNREGISTERED["events_user_stats_stream"] = (
         "needs google.protobuf (transformWithStateInPandas state "
-        "protocol); registers on any standard cluster",
+        "protocol); registers on any standard cluster. Probed at r12 "
+        "open: `import google.protobuf` -> ModuleNotFoundError, and "
+        "the sandbox contract forbids pip/apt installs, so the gate "
+        "is environmental, not assumed",
         "streaming/jobs.py::events_user_stats_stream",
         ["streaming", "transformWithState", "stateful"],
     )
