@@ -101,6 +101,13 @@ _SF1_SPOT = (
     # ROUND COUNT invariant at 4 for base and 10x (SCALE.md) — the
     # slope is per-round linear edge work, not extra iterations.
     "fuzzy_customer_clusters",
+    # r11 post-close hand-measured candidates, promoted (VERDICT r11
+    # item 4): two-stage rerank (hand band [0.5, 1.04, 1.08], expect
+    # FLAT — stage 2 cross-scoring is pool-sized, corpus-independent)
+    # and the snapshot-isolation read (hand band [1.73, 2.11, 2.57],
+    # honest-linear behind the loop's fixed scheduling floor).
+    "ann_two_stage_rerank",
+    "snapshot_isolation_read",
 )
 _SF1_REPLICAS = 10
 # Bump when the replication rule below changes in ANY way: the tag is
@@ -454,10 +461,13 @@ def _episode_remeasure(
     next to the in-run number — a machine-state episode shows up as
     isolated << run and no longer needs a judge to hand-re-measure.
     Headline flags re-time the sf wall (floats); drifted spots re-run
-    a fresh interleaved pair set on their own fixture (bands)."""
+    a fresh interleaved pair set on their own fixture (bands). Keys
+    are namespaced ``name:wall`` / ``key:slope`` so a query that is
+    BOTH headline-flagged and slope-drifted keeps both adjudication
+    entries instead of one overwriting the other (ADVICE r11)."""
     episode: dict[str, dict] = {}
     for name in flagged:
-        episode[name] = {
+        episode[f"{name}:wall"] = {
             "run": timings[name],
             "isolated": _timed(spark, qs[name], sf_dir),
         }
@@ -466,11 +476,46 @@ def _episode_remeasure(
             continue
         qname, data_dir = spot_sources[key]
         iso = _spot_entry(spark, qs, timings, sf_dir, qname, data_dir)
-        episode[key] = {
+        episode[f"{key}:slope"] = {
             "run": spot["queries"][key]["scaleup_band"],
             "isolated": iso["scaleup_band"],
         }
     return episode
+
+
+def _quiet_ref(worst3: dict[str, float]) -> dict | None:
+    """The latest committed quiet-machine record (BENCH_LOCAL_r{N}.json,
+    written by tools/round_close.py): its headline total + its walls
+    for THIS run's worst3 queries. Emitted in both output records so a
+    judge can read hot-vs-quiet from BENCH_r{N}.json alone (VERDICT
+    r11 item 3 — driver runs can carry machine-episode walls, and a
+    naive round-over-round diff of driver records shows phantom
+    swings the committed quiet records already adjudicate)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", f)
+        if not m:
+            continue
+        try:
+            doc = json.load(open(os.path.join(here, f)))
+        except Exception:
+            continue
+        if not isinstance(doc.get("queries"), dict):
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, doc)
+    if best is None:
+        return None
+    rnd, doc = best
+    return {
+        "total": doc.get("value"),
+        "source": f"BENCH_LOCAL_r{rnd}",
+        "worst3": {
+            k: doc["queries"][k] for k in worst3 if k in doc["queries"]
+        },
+    }
 
 
 def main() -> None:
@@ -504,6 +549,8 @@ def main() -> None:
     )
     if episode:
         print(f"episode re-measures: {json.dumps(episode)}", file=sys.stderr)
+    worst3 = _worst3(timings)
+    quiet = _quiet_ref(worst3)
     full = {
         "metric": "bench_total",
         "value": round(sum(timings.values()), 3),
@@ -514,9 +561,10 @@ def main() -> None:
     }
     if episode:
         full["episode"] = episode
+    if quiet:
+        full["quiet_ref"] = quiet
     sys.stderr.flush()
     print(json.dumps(full))
-    worst3 = _worst3(timings)
     print(
         json.dumps(
             {
@@ -526,6 +574,10 @@ def main() -> None:
                 "sf": full["sf"],
                 "n_queries": len(timings),
                 "worst3": worst3,
+                # the committed quiet-machine reference (total + quiet
+                # walls for this run's worst3): hot-vs-quiet readable
+                # from this record alone (VERDICT r11 item 3)
+                **({"quiet_ref": quiet} if quiet else {}),
                 # [floor, median, max] slope band per spot query; assert
                 # regressions on the FLOOR (spikes only push walls up)
                 "sf1_scaleup": {

@@ -2498,7 +2498,18 @@ _RERANK_ALPHA = 0.7  # vector relevance weight
 # near-tie rank flip diverges the engines).
 _RERANK_BETA = 1 - _RERANK_ALPHA
 
-_RERANK_NORM_SQL = "TRIM(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+# Explicit whitespace class instead of \s (ADVICE r11): Java's \s
+# includes vertical tab U+000B while RE2's (DuckDB) does not, so a
+# document containing \x0B would tokenize differently across engines
+# and could flip a near-tie rerank. The explicit class is identical
+# under both regex dialects. (The pre-existing \s+ idiom elsewhere in
+# the repo stays: the fixture vocabulary contains no \x0B, and editing
+# 40+ driver-green queries would void their evidence for a latent
+# cosmetic divergence; new queries should use this class.)
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+_RERANK_NORM_SQL = (
+    f"TRIM(LOWER(REGEXP_REPLACE(text, '{_WS_CLASS}+', ' ', 'g')))"
+)
 
 ANN_TWO_STAGE_RERANK_SQL = f"""
 WITH q AS (
@@ -2581,7 +2592,8 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = _batch_serve_topk(spark, sf_dir, _RERANK_POOL).filter(
         F.col("vec_id") != F.col("qid")
     )
-    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    # _WS_CLASS, not \s: Java \s includes \x0B, RE2's does not
+    norm = F.trim(F.lower(F.regexp_replace("text", _WS_CLASS + "+", " ")))
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(norm, " ")).alias("t")
     )

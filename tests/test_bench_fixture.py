@@ -206,12 +206,92 @@ def test_episode_remeasure_shapes():
         _Spark(), qs, "/unused", timings, spot, sources,
         flagged=["q_head"], drifted=["q_spot_organic", "renamed_key"],
     )
-    assert set(ep) == {"q_head", "q_spot_organic"}
-    assert ep["q_head"]["run"] == 2.5
-    assert isinstance(ep["q_head"]["isolated"], float)
-    assert ep["q_spot_organic"]["run"] == [3.0, 3.1, 3.2]
-    iso = ep["q_spot_organic"]["isolated"]
+    assert set(ep) == {"q_head:wall", "q_spot_organic:slope"}
+    assert ep["q_head:wall"]["run"] == 2.5
+    assert isinstance(ep["q_head:wall"]["isolated"], float)
+    assert ep["q_spot_organic:slope"]["run"] == [3.0, 3.1, 3.2]
+    iso = ep["q_spot_organic:slope"]["isolated"]
     assert isinstance(iso, list) and len(iso) == 3
+
+
+def test_episode_keys_dont_collide_for_dual_flagged_query():
+    """ADVICE r11: a query that is both headline-flagged (>2x wall)
+    and slope-drifted (spot key == query name, e.g. cdc_chunk_dedup)
+    must keep BOTH adjudication entries — the namespaced keys prevent
+    the drifted band pair from overwriting the headline wall pair."""
+    import bench as b
+
+    class _W:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def save(self):
+            pass
+
+    class _DF:
+        write = _W()
+
+    class _Cat:
+        def clearCache(self):
+            pass
+
+    class _Spark:
+        catalog = _Cat()
+
+    def fake_query(spark, sf_dir):
+        return _DF()
+
+    qs = {"q_dual": fake_query}
+    timings = {"q_dual": 2.5}
+    spot = {"queries": {"q_dual": {"scaleup_band": [3.0, 3.1, 3.2]}}}
+    sources = {"q_dual": ("q_dual", "/unused/by/fake")}
+    ep = b._episode_remeasure(
+        _Spark(), qs, "/unused", timings, spot, sources,
+        flagged=["q_dual"], drifted=["q_dual"],
+    )
+    assert set(ep) == {"q_dual:wall", "q_dual:slope"}
+    assert ep["q_dual:wall"]["run"] == 2.5
+    assert ep["q_dual:slope"]["run"] == [3.0, 3.1, 3.2]
+
+
+def test_quiet_ref_reads_latest_local_record(tmp_path, monkeypatch):
+    """VERDICT r11 item 3: the emitted quiet_ref must carry the LATEST
+    committed BENCH_LOCAL total plus that record's walls for this
+    run's worst3 (missing names simply dropped), and be None when no
+    quiet record exists (fresh clone)."""
+    import json
+
+    import bench as b
+
+    (tmp_path / "BENCH_LOCAL_r10.json").write_text(json.dumps(
+        {"value": 48.8, "queries": {"q_a": 1.0, "q_b": 2.0}}
+    ))
+    (tmp_path / "BENCH_LOCAL_r11.json").write_text(json.dumps(
+        {"value": 52.9, "queries": {"q_a": 1.1, "q_b": 2.2}}
+    ))
+    # driver records must NOT be eligible (they can carry episode walls)
+    (tmp_path / "BENCH_r12.json").write_text(json.dumps(
+        {"parsed": {"value": 99.0, "queries": {"q_a": 9.0}}}
+    ))
+    monkeypatch.setattr(
+        b.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    ref = b._quiet_ref({"q_b": 3.0, "q_a": 2.0, "q_gone": 1.5})
+    assert ref == {
+        "total": 52.9,
+        "source": "BENCH_LOCAL_r11",
+        "worst3": {"q_b": 2.2, "q_a": 1.1},
+    }
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    monkeypatch.setattr(
+        b.os.path, "abspath", lambda p: str(empty / "bench.py")
+    )
+    assert b._quiet_ref({"q_a": 1.0}) is None
 
 
 def test_worst3_tie_breaks_by_name():
