@@ -1003,6 +1003,7 @@ FROM pinned WHERE rn = 1 AND op <> 'D'
     "snapshot_isolation_read",
     oracle=SNAPSHOT_ISOLATION_SQL,
     survey=["snapshot-isolation", "time-travel", "cdc-log", "incremental"],
+    bench=True,  # r12: promoted into the headline + _SF1_SPOT sets
 )
 def snapshot_isolation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg/Delta-style snapshot-isolation read over a multi-commit

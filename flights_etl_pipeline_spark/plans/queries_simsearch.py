@@ -2561,6 +2561,7 @@ QUALIFY ROW_NUMBER() OVER (
         "two-stage-rerank", "cross-scoring", "serving-composition",
         "hybrid-retrieval",
     ],
+    bench=True,  # r12: promoted into the headline + _SF1_SPOT sets
 )
 def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval-then-rerank, the cross-encoder serving
