@@ -959,8 +959,63 @@ def forget_user_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          insert-after-delete (%13 keys divisible by 3 come BACK)
 _SNAPSHOT_IDS = (1, 2)
 
-SNAPSHOT_ISOLATION_SQL = f"""
-WITH log AS (
+def _snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 7-commit CDC log over the customer dimension
+    (see the generation map above), shared by snapshot_isolation_read
+    and snapshot_expire — the Spark twin of _SNAPSHOT_LOG_SQL."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+
+    def _commit(rows: DataFrame, bal, seg, gen: int, op: str) -> DataFrame:
+        return rows.select(
+            "c_custkey",
+            bal.alias("c_acctbal"),
+            seg.alias("c_mktsegment"),
+            F.lit(gen).alias("gen"),
+            F.lit(op).alias("op"),
+        )
+
+    null_bal = F.lit(None).cast("double")
+    null_seg = F.lit(None).cast("string")
+    return (
+        _commit(cust, F.col("c_acctbal"), F.col("c_mktsegment"), 0, "I")
+        .unionAll(_commit(
+            cust.filter((k % 7 == 0) & (k % 13 != 0)),
+            F.col("c_acctbal") + 100.0, F.lit("UPDATED"), 1, "U",
+        ))
+        .unionAll(
+            cust.filter(k % 97 == 0).select(
+                (k + _INSERT_OFFSET).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(1).alias("gen"),
+                F.lit("I").alias("op"),
+            )
+        )
+        .unionAll(_commit(
+            cust.filter(k % 13 == 0), null_bal, null_seg, 1, "D",
+        ))
+        .unionAll(_commit(
+            cust.filter((k % 5 == 0) & (k % 11 != 0) & (k % 13 != 0)),
+            F.col("c_acctbal") + 200.0, F.lit("UPDATED2"), 2, "U",
+        ))
+        .unionAll(_commit(
+            cust.filter((k % 11 == 0) & (k % 13 != 0)),
+            null_bal, null_seg, 2, "D",
+        ))
+        .unionAll(_commit(
+            cust.filter((k % 13 == 0) & (k % 3 == 0)),
+            F.lit(50.0), F.lit("RESTORED"), 2, "I",
+        ))
+    )
+
+
+# The commit log as a standalone SQL fragment so the expire/compaction
+# twin (snapshot_expire, r12) composes the SAME log; the interpolation
+# keeps SNAPSHOT_ISOLATION_SQL byte-identical to its r11 form.
+_SNAPSHOT_LOG_SQL = f"""
   SELECT c_custkey, c_acctbal, c_mktsegment, 0 AS gen, 'I' AS op
   FROM customer
   UNION ALL
@@ -982,7 +1037,10 @@ WITH log AS (
   UNION ALL
   SELECT c_custkey, 50.0, 'RESTORED', 2, 'I'
   FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 3 = 0
-),
+"""
+
+SNAPSHOT_ISOLATION_SQL = f"""
+WITH log AS ({_SNAPSHOT_LOG_SQL}),
 snaps AS (SELECT UNNEST([{", ".join(str(s) for s in _SNAPSHOT_IDS)}])
           AS snapshot_id),
 pinned AS (
@@ -1029,53 +1087,7 @@ def snapshot_isolation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what MERGE-on-read does per file group). The snapshot spine is
     a {n}-row broadcast constant side; output partitions by the same
     key the shuffle already produced."""
-    cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
-    )
-    k = F.col("c_custkey")
-
-    def _commit(rows: DataFrame, bal, seg, gen: int, op: str) -> DataFrame:
-        return rows.select(
-            "c_custkey",
-            bal.alias("c_acctbal"),
-            seg.alias("c_mktsegment"),
-            F.lit(gen).alias("gen"),
-            F.lit(op).alias("op"),
-        )
-
-    null_bal = F.lit(None).cast("double")
-    null_seg = F.lit(None).cast("string")
-    log = (
-        _commit(cust, F.col("c_acctbal"), F.col("c_mktsegment"), 0, "I")
-        .unionAll(_commit(
-            cust.filter((k % 7 == 0) & (k % 13 != 0)),
-            F.col("c_acctbal") + 100.0, F.lit("UPDATED"), 1, "U",
-        ))
-        .unionAll(
-            cust.filter(k % 97 == 0).select(
-                (k + _INSERT_OFFSET).alias("c_custkey"),
-                F.lit(0.0).alias("c_acctbal"),
-                F.lit("NEW").alias("c_mktsegment"),
-                F.lit(1).alias("gen"),
-                F.lit("I").alias("op"),
-            )
-        )
-        .unionAll(_commit(
-            cust.filter(k % 13 == 0), null_bal, null_seg, 1, "D",
-        ))
-        .unionAll(_commit(
-            cust.filter((k % 5 == 0) & (k % 11 != 0) & (k % 13 != 0)),
-            F.col("c_acctbal") + 200.0, F.lit("UPDATED2"), 2, "U",
-        ))
-        .unionAll(_commit(
-            cust.filter((k % 11 == 0) & (k % 13 != 0)),
-            null_bal, null_seg, 2, "D",
-        ))
-        .unionAll(_commit(
-            cust.filter((k % 13 == 0) & (k % 3 == 0)),
-            F.lit(50.0), F.lit("RESTORED"), 2, "I",
-        ))
-    )
+    log = _snapshot_log(spark, sf_dir)
     snaps = spark.range(_SNAPSHOT_IDS[0], _SNAPSHOT_IDS[-1] + 1).select(
         F.col("id").cast("int").alias("snapshot_id")
     )
@@ -1101,4 +1113,139 @@ def snapshot_isolation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 snapshot_isolation_read.__doc__ = snapshot_isolation_read.__doc__.format(
     n=len(_SNAPSHOT_IDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-style snapshot expiry + manifest compaction (round 12)
+# ---------------------------------------------------------------------------
+
+# Oldest snapshot still retained after expiry. Snapshots below it (the
+# implicit snapshot 0 = the initial commit) are expired: history that
+# only those snapshots could see is reclaimable. Time travel to
+# snapshots >= the floor must keep working, so entries with
+# gen > floor are never touched.
+_EXPIRE_FLOOR = 1
+
+SNAPSHOT_EXPIRE_SQL = f"""
+WITH log AS ({_SNAPSHOT_LOG_SQL}),
+manifest AS (
+  SELECT c_custkey,
+         CAST(COUNT(*) AS BIGINT) AS versions_total,
+         CAST(SUM(CASE WHEN gen <= {_EXPIRE_FLOOR} THEN 1 ELSE 0 END)
+              AS BIGINT) AS base_versions,
+         MAX(CASE WHEN gen <= {_EXPIRE_FLOOR} THEN gen END) AS base_gen,
+         CAST(SUM(CASE WHEN gen > {_EXPIRE_FLOOR} THEN 1 ELSE 0 END)
+              AS BIGINT) AS tail_versions
+  FROM log
+  GROUP BY c_custkey
+)
+SELECT m.c_custkey,
+       m.versions_total,
+       CAST(CASE WHEN m.base_versions = 0 THEN 0
+                 WHEN l.op = 'D' THEN m.base_versions
+                 ELSE m.base_versions - 1 END AS BIGINT)
+         AS versions_reclaimed,
+       (m.base_versions > 0 AND l.op <> 'D') AS base_live,
+       m.base_gen,
+       l.c_acctbal AS base_acctbal,
+       l.c_mktsegment AS base_mktsegment,
+       m.tail_versions
+FROM manifest m
+LEFT JOIN log l
+  ON l.c_custkey = m.c_custkey AND l.gen = m.base_gen
+"""
+
+
+@register(
+    "snapshot_expire",
+    oracle=SNAPSHOT_EXPIRE_SQL,
+    survey=[
+        "snapshot-expire", "manifest-compaction", "cdc-log", "incremental",
+    ],
+)
+def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style `expire_snapshots` + manifest compaction over the
+    same multi-commit CDC log as snapshot_isolation_read (its write-
+    side twin): snapshots below generation {floor} are expired, so per
+    key everything at gen <= {floor} squashes to its single latest
+    entry (the compacted base — exactly the state snapshot {floor}
+    committed) and the shadowed older entries are RECLAIMED. A base
+    tombstone reclaims itself too (a deleted key simply isn't in the
+    compacted base); entries newer than the floor are untouched — time
+    travel to every retained snapshot still works. The output is the
+    per-key compaction ledger: total log entries, entries reclaimed,
+    the surviving base image (gen/op/values; absent for keys born
+    after the floor), and the retained tail length.
+
+    Where snapshot_isolation_read reconstructs state with a per-key
+    rank WINDOW, the compaction ledger needs no sort at all: one
+    map-side-combinable aggregate (COUNT + conditional SUM/MAX over
+    the bounded gen domain) elects the base generation, and one
+    join-back on (key, base_gen) fetches its image — the join reuses
+    the aggregate's hash partitioning, so the whole plan is ONE
+    key-keyed exchange plus an AQE-reused join. That is the manifest
+    pattern: stats first, then touch only elected entries.
+
+    Scale shape: at 100 TB each commit's delta is delta-sized; the
+    ledger aggregate partial-combines per map task (gen domain is
+    O(commits), values are counters), and the reclaim decision is
+    per-key local — no global sort, no window, no skew (keys are
+    unique per log entry per generation by construction). A real
+    table format runs exactly this per file group and deletes the
+    reclaimed data files; the ledger is the audit record it emits.
+
+    Reference parity: the reference has no table-format maintenance
+    at all (its warehouse is overwrite-only hive tables,
+    loadToWarehouse.py) — this extends the incremental family the
+    same way snapshot_isolation_read did on the read side."""
+    log = _snapshot_log(spark, sf_dir)
+    floor = F.lit(_EXPIRE_FLOOR)
+    manifest = log.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("versions_total"),
+        F.sum(
+            F.when(F.col("gen") <= floor, 1).otherwise(0)
+        ).alias("base_versions"),
+        F.max(F.when(F.col("gen") <= floor, F.col("gen"))).alias(
+            "base_gen"
+        ),
+        F.sum(
+            F.when(F.col("gen") > floor, 1).otherwise(0)
+        ).alias("tail_versions"),
+    )
+    # base_gen <= floor by construction, so the explicit filter is a
+    # no-op semantically but lets Catalyst drop the post-floor commit
+    # branches from the join side's union before they are ever scanned
+    base = log.filter(F.col("gen") <= floor).select(
+        "c_custkey",
+        F.col("gen").alias("base_gen"),
+        F.col("c_acctbal").alias("base_acctbal"),
+        F.col("c_mktsegment").alias("base_mktsegment"),
+        "op",
+    )
+    reclaimed = (
+        F.when(F.col("base_versions") == 0, F.lit(0))
+        .when(F.col("op") == "D", F.col("base_versions"))
+        .otherwise(F.col("base_versions") - 1)
+        .cast("long")
+    )
+    return (
+        manifest.join(base, ["c_custkey", "base_gen"], "left")
+        .select(
+            "c_custkey",
+            "versions_total",
+            reclaimed.alias("versions_reclaimed"),
+            (
+                (F.col("base_versions") > 0) & (F.col("op") != "D")
+            ).alias("base_live"),
+            "base_gen",
+            "base_acctbal",
+            "base_mktsegment",
+            "tail_versions",
+        )
+    )
+
+
+snapshot_expire.__doc__ = snapshot_expire.__doc__.format(
+    floor=_EXPIRE_FLOOR
 )
