@@ -2828,6 +2828,22 @@ _BH_Q = 4  # query vectors: vec_id < 4
 _BH_CAND = 200  # Hamming-threshold candidate budget per query
 _BH_K = 10  # final exact top-k per query
 
+def _sign_mask(d_hi: int, d_lo: int) -> F.Column:
+    """MSB-first binary sign fold over ``embedding`` dims [d_lo, d_hi]
+    (acc*2 + bit): dim d maps to bit (d-1) of the lo word / (d-33) of
+    the hi word — the same mapping as the oracle's shift-left list
+    sum, without a column-typed shift count. Shared by the Hamming
+    tier and the cascade (r12)."""
+    return F.aggregate(
+        F.sequence(F.lit(d_hi), F.lit(d_lo), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc * 2
+        + F.when(F.element_at("embedding", d) > 0, 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+
+
 _BH_MASK_LO_SQL = (
     "CAST(LIST_SUM(LIST_TRANSFORM(range(0, 32), "
     "i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) "
@@ -2916,21 +2932,8 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. No corpus-sized sort, window, or shuffle anywhere
     except the bounded-key histogram."""
     emb = load(spark, sf_dir, "embeddings")
-    # MSB-first binary fold (acc*2 + bit): dim d maps to bit (d-1) of
-    # the lo word / (d-33) of the hi word — the same mapping as the
-    # oracle's shift-left list sum, without a column-typed shift count
-    def _mask(d_hi: int, d_lo: int):
-        return F.aggregate(
-            F.sequence(F.lit(d_hi), F.lit(d_lo), F.lit(-1)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc * 2
-            + F.when(F.element_at("embedding", d) > 0, 1)
-            .otherwise(0)
-            .cast("long"),
-        )
-
-    lo = _mask(32, 1)
-    hi = _mask(64, 33)
+    lo = _sign_mask(32, 1)
+    hi = _sign_mask(64, 33)
     m = emb.select(
         "vec_id", "embedding", lo.alias("w_lo"), hi.alias("w_hi")
     )
@@ -2988,6 +2991,297 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ann_binary_hamming_topk.__doc__ = ann_binary_hamming_topk.__doc__.format(
     cand=_BH_CAND
+)
+
+
+# ---------------------------------------------------------------------------
+# Cascaded three-tier ANN serve: Hamming -> IVF probes -> PQ-ADC -> exact
+# (round 12)
+# ---------------------------------------------------------------------------
+
+_CSC_Q = 4  # query vectors: vec_id < 4 (each < K_CENTROIDS, so frozen)
+_CSC_HAM = 400  # tier-0 Hamming candidate budget per query
+_CSC_SHORTLIST = 50  # tier-2 ADC shortlist per query
+_CSC_K = 10  # final exact top-k per query
+
+ANN_CASCADE_SQL = f"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         {_BH_MASK_LO_SQL} AS w_lo,
+         {_BH_MASK_HI_SQL} AS w_hi
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, w_lo AS qlo, w_hi AS qhi
+  FROM m WHERE vec_id < {_CSC_Q}
+),
+h AS (
+  SELECT q.qid, m.vec_id, m.embedding,
+         CAST(bit_count(xor(m.w_lo, q.qlo))
+              + bit_count(xor(m.w_hi, q.qhi)) AS BIGINT) AS ham
+  FROM m CROSS JOIN q
+),
+hist AS (SELECT qid, ham, COUNT(*) AS n FROM h GROUP BY qid, ham),
+thr AS (
+  SELECT qid, MIN(ham) AS hstar
+  FROM (SELECT qid, ham,
+               SUM(n) OVER (PARTITION BY qid ORDER BY ham) AS cum
+        FROM hist)
+  WHERE cum >= {_CSC_HAM} GROUP BY qid
+),
+cand0 AS (
+  SELECT h.qid, h.vec_id, h.embedding, h.ham
+  FROM h LEFT JOIN thr ON h.qid = thr.qid
+  WHERE thr.hstar IS NULL OR h.ham <= thr.hstar
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < {K_CENTROIDS}
+),
+assigned AS (
+  SELECT qid, vec_id, embedding, ham, cid AS ivf_cid FROM (
+    SELECT c0.qid, c0.vec_id, c0.embedding, c0.ham, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY c0.qid, c0.vec_id
+             ORDER BY {sql_cosine('c0.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM cand0 c0 CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {sql_cosine('c.cvec', 'q.qv')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT a.qid, a.vec_id, a.embedding, a.ham
+  FROM assigned a JOIN probes p ON a.qid = p.qid AND a.ivf_cid = p.cid
+),
+sub AS (
+  SELECT qid, vec_id, ham, mm.m AS m,
+         embedding[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS sv
+  FROM cand, {_PQ_M_SQL} mm
+),
+cb AS (
+  SELECT vec_id AS cid, mm.m AS m,
+         embedding[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS cv
+  FROM embeddings, {_PQ_M_SQL} mm
+  WHERE vec_id < {PQ_K}
+),
+best AS (
+  SELECT qid, vec_id, ham, m, cid FROM (
+    SELECT s.qid, s.vec_id, s.ham, s.m, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.qid, s.vec_id, s.m
+             ORDER BY {_pq_dist_sql('s.sv', 'c.cv')}, c.cid) AS rn
+    FROM sub s JOIN cb c ON s.m = c.m
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT qid, mm.m AS m,
+         qv[(mm.m * {PQ_SUB} + 1):(mm.m * {PQ_SUB} + {PQ_SUB})] AS qsv
+  FROM q, {_PQ_M_SQL} mm
+),
+adc AS (
+  SELECT qs.qid, c.m, c.cid, {sql_decimal_dot('qs.qsv', 'c.cv')} AS d
+  FROM cb c JOIN qsub qs ON c.m = qs.m
+),
+approx AS (
+  SELECT b.qid, b.vec_id, MIN(b.ham) AS ham,
+         FLOOR(CAST(SUM(CAST(a.d AS DECIMAL(28,14))) AS DOUBLE)
+               * 100000000 + 0.5) / 100000000 AS approx_dot
+  FROM best b
+  JOIN adc a ON a.qid = b.qid AND a.m = b.m AND a.cid = b.cid
+  GROUP BY b.qid, b.vec_id
+),
+shortlist AS (
+  SELECT qid, vec_id, ham, approx_dot FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY approx_dot DESC, vec_id) AS rn
+    FROM approx
+  ) WHERE rn <= {_CSC_SHORTLIST}
+),
+rer AS (
+  SELECT s.qid, s.vec_id, s.ham, s.approx_dot,
+         FLOOR({sql_cosine('e.embedding', 'q.qv')} * 100000000 + 0.5)
+           / 100000000 AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.qid
+           ORDER BY FLOOR({sql_cosine('e.embedding', 'q.qv')}
+                          * 100000000 + 0.5) DESC, s.vec_id) AS rank
+  FROM shortlist s
+  JOIN embeddings e ON s.vec_id = e.vec_id
+  JOIN q ON s.qid = q.qid
+)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id, ham, approx_dot, cosine
+FROM rer WHERE rank <= {_CSC_K}
+"""
+
+
+@register(
+    "ann_cascade_topk",
+    oracle=ANN_CASCADE_SQL,
+    survey=[
+        "ann-cascade", "binary-quantization", "simsearch-ivf",
+        "simsearch-pq", "serving-composition",
+    ],
+)
+def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded three-tier ANN serve — the staged-escalation pattern a
+    production vector store runs per request, composing the repo's
+    three audited index tiers cheapest-first: tier 0 prunes the corpus
+    with 64-bit sign masks and the exactly-bounded Hamming histogram
+    cut (ann_binary_hamming_topk's machinery, budget {ham}/query);
+    tier 1 keeps only survivors whose frozen IVF cell is among the
+    query's {np} probed cells (ann_ivf_topk's row-local assignment);
+    tier 2 scores survivors by PQ asymmetric distance — {m} table
+    lookups per row against the query's frozen ADC table
+    (ann_ivfpq_topk's encode) — and keeps the top-{sl} shortlist; only
+    the shortlist pays the exact decimal-cosine rerank for the final
+    top-{k}. Each tier's budget bounds the next tier's input, so the
+    expensive math touches ~{sl} rows per query no matter the corpus.
+
+    Engine-exactness: every tier reuses an already-audited exact
+    construction — the shift-left mask fold, the bounded histogram
+    threshold (ties all survive), the (cs DESC, cid) assignment
+    argmax, the (dist, cid) PQ argmin, the DECIMAL(28,14) ADC sum with
+    one double cast, and (value DESC, vec_id) ranks — so both engines
+    walk bit-identical candidate sets through all four stages.
+
+    Scale shape: masks, centroids, PQ codebook, probe lists, and the
+    Q x {m} x {pk} ADC table are all frozen-model constants (the
+    _centroids/_pq_codebook/_probe_select channels; queries are
+    themselves centroids here, so no extra channel); at ingest the
+    masks/cells/codes are materialized columns, making tiers 0-2 pure
+    row-local scan work behind the ONE bounded (qid x 65) histogram
+    exchange; the only other exchanges are the two qid-keyed
+    pool-sized ranks (shortlist + final). Nothing corpus-sized ever
+    sorts or shuffles.
+
+    Reference parity: the reference has no vector serving at all; this
+    completes the serving family begun by ann_batch_serve (r9),
+    ann_binary_hamming_topk (r10), and ann_two_stage_rerank (r11)."""
+    emb = load(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "embedding",
+        _sign_mask(32, 1).alias("w_lo"),
+        _sign_mask(64, 33).alias("w_hi"),
+    )
+    q = m.filter(F.col("vec_id") < _CSC_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("w_lo").alias("qlo"),
+        F.col("w_hi").alias("qhi"),
+    )
+    h = m.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        "embedding",
+        (
+            F.bit_count(F.expr("w_lo ^ qlo"))
+            + F.bit_count(F.expr("w_hi ^ qhi"))
+        )
+        .cast("bigint")
+        .alias("ham"),
+    )
+    hist = h.groupBy("qid", "ham").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.partitionBy("qid").orderBy("ham").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    thr = (
+        hist.select("qid", "ham", F.sum("n").over(wcum).alias("cum"))
+        .filter(F.col("cum") >= _CSC_HAM)
+        .groupBy("qid")
+        .agg(F.min("ham").alias("hstar"))
+    )
+    cand0 = h.join(F.broadcast(thr), "qid", "left").filter(
+        F.col("hstar").isNull() | (F.col("ham") <= F.col("hstar"))
+    )
+    # frozen model: coarse centroids, PQ codebook, per-query probe
+    # lists and ADC tables (the queries are centroids, so their exact
+    # vectors already sit in the _centroids channel)
+    cents_lit = _centroids(spark, sf_dir)
+    cbook = _pq_codebook(spark, sf_dir)
+    for mi in range(PQ_M):
+        cids = [c for c, _cv, _cn in cbook[mi]]
+        if cids != list(range(PQ_K)):
+            raise ValueError(
+                f"ADC positional lookup needs dense codebook cids "
+                f"0..{PQ_K - 1} for subvector {mi}, got {cids}"
+            )
+    probes = [
+        _probe_select(spark, sf_dir, cents_lit, q_vec_id=i)[0]
+        for i in range(_CSC_Q)
+    ]
+    by_cid = {cid: vec for cid, vec, _n in cents_lit}
+    adc = [
+        [
+            [
+                py_decimal_dot(
+                    by_cid[qid][mi * PQ_SUB:(mi + 1) * PQ_SUB], cv
+                )
+                for _cid, cv, _cn in cbook[mi]
+            ]
+            for mi in range(PQ_M)
+        ]
+        for qid in range(_CSC_Q)
+    ]
+    qid1 = F.col("qid").cast("int") + 1
+    probed = cand0.withColumn("ivf_cid", _nearest_cid(cents_lit)).filter(
+        F.array_contains(
+            F.element_at(F.lit(probes), qid1), F.col("ivf_cid")
+        )
+    )
+    bests = [_pq_best_rowlocal(cbook[mi], mi) for mi in range(PQ_M)]
+    adc_sum = None
+    for mi in range(PQ_M):
+        table_m = F.lit([adc[qid][mi] for qid in range(_CSC_Q)])
+        term = F.element_at(
+            F.element_at(table_m, qid1), bests[mi]["cid"].cast("int") + 1
+        ).cast("decimal(28,14)")
+        adc_sum = term if adc_sum is None else adc_sum + term
+    approx_dot = (
+        F.floor(adc_sum.cast("double") * 100000000 + F.lit(0.5)) / 100000000
+    )
+    scored = probed.select(
+        "qid", "vec_id", "embedding", "ham", approx_dot.alias("approx_dot")
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("approx_dot").desc(), "vec_id"
+    )
+    shortlist = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _CSC_SHORTLIST)
+        .drop("srn")
+    )
+    qn = q.select("qid", "qv", decimal_dot("qv", "qv").alias("qnorm"))
+    exact = cosine_from_parts(
+        decimal_dot("embedding", "qv"),
+        decimal_dot("embedding", "embedding"),
+        "qnorm",
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        shortlist.join(F.broadcast(qn), "qid")
+        .select(
+            "qid", "vec_id", "ham", "approx_dot",
+            dround(exact, 8).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _CSC_K)
+        .select("qid", "rank", "vec_id", "ham", "approx_dot", "cosine")
+    )
+
+
+ann_cascade_topk.__doc__ = ann_cascade_topk.__doc__.format(
+    ham=_CSC_HAM, np=N_PROBE, m=PQ_M, pk=PQ_K, sl=_CSC_SHORTLIST, k=_CSC_K
 )
 
 

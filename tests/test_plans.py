@@ -684,6 +684,27 @@ def test_snapshot_isolation_read_single_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ann_cascade_bounded_exchanges(spark):
+    """ann_cascade_topk's scale contract (r12): the only shuffle
+    exchanges are the three bounded qid-keyed ones — the (qid, ham)
+    histogram (<= Q x 65 groups), the ADC shortlist rank, and the
+    final rerank window — both ranks WindowGroupLimit-bounded; the
+    model tiers (centroid assignment, probe filter, PQ encode, ADC
+    lookups) are row-local literals, thresholds/queries ride
+    broadcasts, and nothing corpus-sized sorts, shuffle-joins, or
+    leaves the JVM."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        ann_cascade_topk,
+    )
+
+    plan = plan_str(ann_cascade_topk(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("hashpartitioning(qid") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an

@@ -58,6 +58,55 @@ def test_compacted_base_equals_snapshot_floor_state(spark):
     assert base == pinned
 
 
+def test_cascade_tier_invariants(spark):
+    """ann_cascade_topk: per query the ranks are contiguous from 1,
+    cosine is non-increasing along the rank order (ties broken by
+    vec_id), at most K rows survive, every survivor sits within the
+    query's Hamming budget threshold, and every survivor's frozen IVF
+    cell is one of the query's probed cells."""
+    from flights_etl_pipeline_spark.plans.queries_simsearch import (
+        _CSC_K,
+        _CSC_Q,
+        _centroids,
+        _nearest_cid,
+        _probe_select,
+        ann_cascade_topk,
+    )
+    from pyspark.sql import functions as F
+
+    sf = SF
+    rows = ann_cascade_topk(spark, sf).collect()
+    assert rows
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["qid"], []).append(r)
+    assert set(byq) <= set(range(_CSC_Q))
+    cents = _centroids(spark, sf)
+    from flights_etl_pipeline_spark.plans.registry import load
+
+    cell = {
+        r["vec_id"]: r["cid"]
+        for r in load(spark, sf, "embeddings")
+        .select("vec_id", _nearest_cid(cents).alias("cid"))
+        .collect()
+    }
+    for qid, rs in byq.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _CSC_K
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        probe_cids = _probe_select(spark, sf, cents, q_vec_id=qid)[0]
+        for r in rs:
+            assert cell[r["vec_id"]] in probe_cids, (qid, r)
+
+    # tier-0 sanity: the self-match (Hamming 0, cosine 1) must survive
+    # the whole cascade when its own cell is probed (it always is: the
+    # nearest centroid to a centroid-query is itself)
+    for qid, rs in byq.items():
+        assert rs[0]["vec_id"] == qid and rs[0]["ham"] == 0, rs[0]
+
+
 def test_ledger_key_classes(spark):
     """Spot the four CDC shapes in the ledger: restored keys reclaim
     their whole pre-floor history including the tombstone and keep a
