@@ -1249,3 +1249,264 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 snapshot_expire.__doc__ = snapshot_expire.__doc__.format(
     floor=_EXPIRE_FLOOR
 )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-to-snapshot changefeed (round 12): Iceberg table_changes /
+# Delta CDF between two committed versions of the same CDC log
+# ---------------------------------------------------------------------------
+
+_CHANGES_FROM = 1  # changefeed window: (from, to] over committed snapshots
+_CHANGES_TO = 2
+
+SNAPSHOT_CHANGES_SQL = f"""
+WITH log AS ({_SNAPSHOT_LOG_SQL}),
+latest AS (
+  SELECT c_custkey,
+         MAX(CASE WHEN gen <= {_CHANGES_FROM} THEN gen END) AS gen_from,
+         MAX(CASE WHEN gen <= {_CHANGES_TO} THEN gen END) AS gen_to
+  FROM log
+  GROUP BY c_custkey
+),
+states AS (
+  SELECT l.c_custkey,
+         (f.gen IS NOT NULL AND f.op <> 'D') AS live_from,
+         (t.op <> 'D') AS live_to,
+         l.gen_from, l.gen_to,
+         f.c_acctbal AS old_acctbal, f.c_mktsegment AS old_mktsegment,
+         t.c_acctbal AS new_acctbal, t.c_mktsegment AS new_mktsegment
+  FROM latest l
+  LEFT JOIN log f
+    ON f.c_custkey = l.c_custkey AND f.gen = l.gen_from
+  JOIN log t
+    ON t.c_custkey = l.c_custkey AND t.gen = l.gen_to
+)
+SELECT c_custkey,
+       CASE WHEN NOT live_from THEN 'insert'
+            WHEN NOT live_to THEN 'delete'
+            ELSE 'update' END AS change_op,
+       CASE WHEN live_from THEN old_acctbal END AS old_acctbal,
+       CASE WHEN live_from THEN old_mktsegment END AS old_mktsegment,
+       CASE WHEN live_to THEN new_acctbal END AS new_acctbal,
+       CASE WHEN live_to THEN new_mktsegment END AS new_mktsegment,
+       gen_from, gen_to
+FROM states
+WHERE gen_to > COALESCE(gen_from, -1)
+  AND (live_from OR live_to)
+"""
+
+
+@register(
+    "snapshot_changes",
+    oracle=SNAPSHOT_CHANGES_SQL,
+    survey=["changefeed", "cdf", "table-changes", "cdc-log", "incremental"],
+)
+def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg `table_changes` / Delta Change Data Feed between two
+    committed snapshots of the same CDC log the read/expire twins use:
+    the NET per-key change over the window (snapshot {f}, snapshot
+    {t}] — a key deleted-then-restored inside the window nets to an
+    update, one born inside it to an insert, one whose latest entry
+    precedes the window to nothing. Emits the classified change_op
+    with both row images (old absent for inserts, new absent for
+    deletes) and the generation endpoints.
+
+    One pass elects BOTH endpoint generations per key (two conditional
+    MAXes in the same map-side-combinable aggregate — the
+    snapshot_expire pattern, doubled), then two join-backs on
+    (key, gen) fetch the endpoint images; keys with no entry inside
+    the window (gen_to == gen_from) and dead-to-dead keys drop out.
+    Completes the snapshot family: read (state AT a version), expire
+    (history BELOW a floor), changes (delta BETWEEN versions).
+
+    Scale shape: at 100 TB a changefeed consumer reads only the
+    window's delta files after manifest pruning; this plan's aggregate
+    partial-combines per map task over O(commits)-sized per-key
+    groups, both join-backs reuse the aggregate's key partitioning,
+    and nothing sorts or windows — the same no-sort compaction shape
+    as snapshot_expire, applied to the read side of downstream
+    incremental sync (the consumer of merge_apply_changelog's
+    write side)."""
+    log = _snapshot_log(spark, sf_dir)
+    latest = log.groupBy("c_custkey").agg(
+        F.max(
+            F.when(F.col("gen") <= _CHANGES_FROM, F.col("gen"))
+        ).alias("gen_from"),
+        F.max(
+            F.when(F.col("gen") <= _CHANGES_TO, F.col("gen"))
+        ).alias("gen_to"),
+    )
+    f_img = log.select(
+        "c_custkey",
+        F.col("gen").alias("gen_from"),
+        F.col("c_acctbal").alias("old_acctbal"),
+        F.col("c_mktsegment").alias("old_mktsegment"),
+        F.col("op").alias("op_from"),
+    ).filter(F.col("gen_from") <= _CHANGES_FROM)
+    t_img = log.select(
+        "c_custkey",
+        F.col("gen").alias("gen_to"),
+        F.col("c_acctbal").alias("new_acctbal"),
+        F.col("c_mktsegment").alias("new_mktsegment"),
+        F.col("op").alias("op_to"),
+    )
+    live_from = F.col("gen_from").isNotNull() & (F.col("op_from") != "D")
+    live_to = F.col("op_to") != "D"
+    change = (
+        F.when(~live_from, F.lit("insert"))
+        .when(~live_to, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        latest.join(f_img, ["c_custkey", "gen_from"], "left")
+        .join(t_img, ["c_custkey", "gen_to"])
+        .filter(
+            (F.col("gen_to") > F.coalesce(F.col("gen_from"), F.lit(-1)))
+            & (live_from | live_to)
+        )
+        .select(
+            "c_custkey",
+            change.alias("change_op"),
+            F.when(live_from, F.col("old_acctbal")).alias("old_acctbal"),
+            F.when(live_from, F.col("old_mktsegment")).alias(
+                "old_mktsegment"
+            ),
+            F.when(live_to, F.col("new_acctbal")).alias("new_acctbal"),
+            F.when(live_to, F.col("new_mktsegment")).alias(
+                "new_mktsegment"
+            ),
+            "gen_from",
+            "gen_to",
+        )
+    )
+
+
+snapshot_changes.__doc__ = snapshot_changes.__doc__.format(
+    f=_CHANGES_FROM, t=_CHANGES_TO
+)
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware incremental view maintenance from the changefeed
+# (round 12): the downstream consumer of snapshot_changes
+# ---------------------------------------------------------------------------
+
+IVM_CHANGEFEED_SQL = f"""
+WITH log AS ({_SNAPSHOT_LOG_SQL}),
+s2 AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, op,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY gen DESC) AS rn
+  FROM log
+  WHERE gen <= {_CHANGES_TO}
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM s2
+WHERE rn = 1 AND op <> 'D'
+GROUP BY 1
+"""
+
+
+@register(
+    "ivm_maintain_changefeed",
+    oracle=IVM_CHANGEFEED_SQL,
+    survey=[
+        "incremental-view-maintenance", "changefeed", "retraction",
+        "G3-family", "incremental",
+    ],
+)
+def ivm_maintain_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental view maintenance: a standing
+    per-segment aggregate (customer count + exact balance cents) is
+    DELTA-MAINTAINED from snapshot {f} to snapshot {t} by applying the
+    net changefeed — never recomputed. `ivm_revenue_by_month` merges
+    append-only partials; this handles the full CDC delta algebra:
+    an update RETRACTS the old image from its (possibly different)
+    segment group and inserts the new one, a delete retracts only, an
+    insert adds only, and a group whose maintained count nets to zero
+    leaves the view (the GROUP-delete rule). The oracle recomputes the
+    snapshot-{t} state from scratch, so the hash check is the
+    maintenance theorem: view(s{f}) + delta(changefeed) == view(s{t}).
+
+    Composition: the standing view is the latest-wins aggregate at
+    snapshot {f}, built with the expire ledger's no-sort shape (plain
+    MAX elects the base generation per key, a keyed join-back fetches
+    the image; Catalyst prunes the post-{f} union branches before
+    they are scanned) — in a real deployment this side is the STORED
+    materialized view, read not computed. The delta side reuses the
+    snapshot_changes plan ONCE: each change row explodes row-locally
+    into its retract (old image, count/cents negated) and insert (new
+    image) contributions, so one segment-keyed aggregate absorbs both
+    signs; a coalescing sum then merges standing + delta partials on
+    the group key.
+
+    Scale shape: at 100 TB the maintained side is view-sized (group
+    cardinality, not corpus), the delta side is changefeed-sized and
+    scanned exactly once, and the signed-contribution aggregate
+    partial-combines map-side before the tiny group-key exchange —
+    the nightly-rollup absorb pattern with deletes and group
+    migrations, which the append-only IVM cannot express. COUNT and
+    exact-integer SUM are self-maintainable under retraction; no sort,
+    window, or object aggregate appears anywhere on the maintain
+    path."""
+
+    def cents(col):
+        return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+
+    log = _snapshot_log(spark, sf_dir)
+    base = log.filter(F.col("gen") <= _CHANGES_FROM)
+    elect = base.groupBy("c_custkey").agg(F.max("gen").alias("gen"))
+    standing = (
+        elect.join(base, ["c_custkey", "gen"])
+        .filter(F.col("op") != "D")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).alias("bal_cents"),
+        )
+    )
+    feed = snapshot_changes(spark, sf_dir)
+    contrib = F.array(
+        F.when(
+            F.col("change_op").isin("update", "delete"),
+            F.struct(
+                F.col("old_mktsegment").alias("segment"),
+                F.lit(-1).cast("bigint").alias("dn"),
+                (-cents(F.col("old_acctbal"))).alias("dc"),
+            ),
+        ),
+        F.when(
+            F.col("change_op").isin("update", "insert"),
+            F.struct(
+                F.col("new_mktsegment").alias("segment"),
+                F.lit(1).cast("bigint").alias("dn"),
+                cents(F.col("new_acctbal")).alias("dc"),
+            ),
+        ),
+    )
+    delta = (
+        feed.select(F.explode(contrib).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .groupBy(F.col("c.segment").alias("segment"))
+        .agg(
+            F.sum("c.dn").alias("n_customers"),
+            F.sum("c.dc").alias("bal_cents"),
+        )
+    )
+    return (
+        standing.unionAll(delta)
+        .groupBy("segment")
+        .agg(
+            F.sum("n_customers").alias("n_customers"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+        .filter(F.col("n_customers") > 0)
+    )
+
+
+ivm_maintain_changefeed.__doc__ = ivm_maintain_changefeed.__doc__.format(
+    f=_CHANGES_FROM, t=_CHANGES_TO
+)

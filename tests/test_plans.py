@@ -705,6 +705,63 @@ def test_ann_cascade_bounded_exchanges(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_snapshot_expire_no_sort_ledger(spark):
+    """snapshot_expire's scale contract (r12): the compaction ledger is
+    ONE c_custkey-keyed hash exchange (the manifest aggregate); the
+    base-image join-back broadcasts, and — unlike the read path's
+    window rank — NO sort, window, or object aggregate exists
+    anywhere."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        snapshot_expire,
+    )
+
+    plan = plan_str(snapshot_expire(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("hashpartitioning(c_custkey") == 1
+    assert "SortMergeJoin" not in plan and "SortAggregate" not in plan
+    assert "Sort " not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_changes_single_election_exchange(spark):
+    """snapshot_changes' scale contract (r12): BOTH window endpoints
+    are elected in one c_custkey-keyed map-combinable aggregate (two
+    conditional MAXes — the only hash exchange); the two endpoint
+    image fetches are (key, gen) equi-joins with no sort-merge, and no
+    sort or window appears anywhere."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        snapshot_changes,
+    )
+
+    plan = plan_str(snapshot_changes(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("hashpartitioning(c_custkey") == 1
+    assert "SortMergeJoin" not in plan and "SortAggregate" not in plan
+    assert "Sort " not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivm_changefeed_one_feed_pass_no_sort(spark):
+    """ivm_maintain_changefeed's scale contract (r12): the changefeed
+    plan is instantiated ONCE (its endpoint election plus the standing
+    view's base election are the only two c_custkey-keyed exchanges —
+    a second feed copy would add a third), the signed retract/insert
+    split is a row-local explode, every remaining exchange is
+    group-key (view-)sized, and the maintain path has no sort, window,
+    or object aggregate."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        ivm_maintain_changefeed,
+    )
+
+    plan = plan_str(ivm_maintain_changefeed(spark, SF_DIR), mode="simple")
+    assert plan.count("hashpartitioning(c_custkey") == 2
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert plan.count("Generate explode") == 1
+    assert "SortMergeJoin" not in plan and "SortAggregate" not in plan
+    assert "Sort " not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an

@@ -58,6 +58,122 @@ def test_compacted_base_equals_snapshot_floor_state(spark):
     assert base == pinned
 
 
+def test_changefeed_replays_snapshot1_to_snapshot2(spark):
+    """The defining CDF property: applying snapshot_changes' net
+    changefeed to the snapshot-1 state (from snapshot_isolation_read)
+    must reproduce the snapshot-2 state EXACTLY — delete removes the
+    key, insert adds the new image, update replaces it."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        snapshot_changes,
+        snapshot_isolation_read,
+    )
+
+    states = {1: {}, 2: {}}
+    for r in snapshot_isolation_read(spark, SF).collect():
+        states[r["snapshot_id"]][r["c_custkey"]] = (
+            r["c_acctbal"], r["c_mktsegment"],
+        )
+    replayed = dict(states[1])
+    for r in snapshot_changes(spark, SF).collect():
+        k = r["c_custkey"]
+        if r["change_op"] == "delete":
+            assert k in replayed, r
+            assert (r["old_acctbal"], r["old_mktsegment"]) == replayed[k]
+            del replayed[k]
+        elif r["change_op"] == "insert":
+            assert k not in replayed, r
+            replayed[k] = (r["new_acctbal"], r["new_mktsegment"])
+        else:
+            assert k in replayed, r
+            assert (r["old_acctbal"], r["old_mktsegment"]) == replayed[k]
+            replayed[k] = (r["new_acctbal"], r["new_mktsegment"])
+    assert replayed == states[2]
+
+
+def test_changefeed_key_classes(spark):
+    """Window-net semantics: delete-then-restore inside the window is
+    an INSERT (the key was dead at the window start); a key untouched
+    inside the window emits nothing."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        snapshot_changes,
+    )
+
+    rows = {r["c_custkey"]: r for r in snapshot_changes(spark, SF).collect()}
+    restored = [
+        r for k, r in rows.items()
+        if k % 13 == 0 and k % 3 == 0 and k < 10_000_000
+    ]
+    assert restored
+    for r in restored:
+        assert r["change_op"] == "insert", r
+        assert r["old_acctbal"] is None and r["new_mktsegment"] == "RESTORED"
+    deleted = [
+        r for k, r in rows.items()
+        if k % 11 == 0 and k % 13 != 0 and k < 10_000_000
+    ]
+    assert deleted
+    for r in deleted:
+        assert r["change_op"] == "delete", r
+        assert r["new_acctbal"] is None and r["old_acctbal"] is not None
+    untouched = [
+        k for k in rows
+        if k < 10_000_000 and all(k % m for m in (3, 5, 11, 13))
+    ]
+    assert not untouched, untouched[:5]
+
+
+def test_ivm_maintained_view_equals_snapshot2_recompute(spark):
+    """The maintenance theorem, checked against the INDEPENDENT read
+    path: the delta-maintained per-segment aggregate must equal an
+    aggregate recomputed from snapshot_isolation_read's snapshot-2
+    rows — including groups born inside the window (UPDATED2 via
+    update, RESTORED via insert-after-delete) and exact negative-
+    retraction arithmetic on balance cents."""
+    import math
+
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        ivm_maintain_changefeed,
+        snapshot_isolation_read,
+    )
+
+    recomputed: dict[str, list[int]] = {}
+    for r in snapshot_isolation_read(spark, SF).collect():
+        if r["snapshot_id"] != 2:
+            continue
+        n, cts = recomputed.setdefault(r["c_mktsegment"], [0, 0])
+        recomputed[r["c_mktsegment"]] = [
+            n + 1, cts + math.floor(r["c_acctbal"] * 100 + 0.5),
+        ]
+    maintained = {
+        r["segment"]: [r["n_customers"], r["bal_cents"]]
+        for r in ivm_maintain_changefeed(spark, SF).collect()
+    }
+    assert maintained == recomputed
+    # the two window-born groups the append-only IVM could never emit
+    assert "UPDATED2" in maintained and "RESTORED" in maintained
+
+
+def test_ivm_retraction_actually_fires(spark):
+    """The delta algebra must RETRACT, not just add: segments that lose
+    members to gen-2 updates/deletes (the base TPC-H segments and gen-1
+    'UPDATED') must shrink vs the snapshot-1 standing view."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        ivm_maintain_changefeed,
+        snapshot_isolation_read,
+    )
+
+    view1: dict[str, int] = {}
+    for r in snapshot_isolation_read(spark, SF).collect():
+        if r["snapshot_id"] == 1:
+            view1[r["c_mktsegment"]] = view1.get(r["c_mktsegment"], 0) + 1
+    after = {
+        r["segment"]: r["n_customers"]
+        for r in ivm_maintain_changefeed(spark, SF).collect()
+    }
+    shrunk = [s for s in view1 if after.get(s, 0) < view1[s]]
+    assert "UPDATED" in shrunk and len(shrunk) >= 3, (view1, after)
+
+
 def test_cascade_tier_invariants(spark):
     """ann_cascade_topk: per query the ranks are contiguous from 1,
     cosine is non-increasing along the rank order (ties broken by
