@@ -1510,3 +1510,104 @@ def ivm_maintain_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ivm_maintain_changefeed.__doc__ = ivm_maintain_changefeed.__doc__.format(
     f=_CHANGES_FROM, t=_CHANGES_TO
 )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE-style compaction planning: bin-pack small files into
+# target-sized rewrite tasks (round 12)
+# ---------------------------------------------------------------------------
+
+# Target rewrite-task size in manifest "bytes". The synthetic manifest
+# derives one file per order (size = totalprice cents, ~1e3..5e7), so
+# 1e9 packs tens of files per task at every SF while every file stays
+# far below the target — the small-files regime OPTIMIZE exists for.
+_COMPACT_TARGET = 1_000_000_000
+
+COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS part_month,
+         o_orderkey AS file_id,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS size_bytes
+  FROM orders
+),
+packed AS (
+  SELECT part_month, file_id, size_bytes,
+         CAST(FLOOR(COALESCE(SUM(size_bytes) OVER (
+                PARTITION BY part_month ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) / {_COMPACT_TARGET}.0) AS BIGINT) AS task_id
+  FROM files
+)
+SELECT part_month, task_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS task_bytes,
+       MIN(file_id) AS first_file,
+       MAX(file_id) AS last_file,
+       (COUNT(*) > 1) AS needs_compaction
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "compaction_plan_binpack",
+    oracle=COMPACTION_PLAN_SQL,
+    survey=[
+        "compaction-plan", "bin-packing", "small-files", "optimize",
+        "manifest", "incremental",
+    ],
+)
+def compaction_plan_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/rewrite_data_files-style compaction planning: bin-pack
+    a partition's small files into target-sized rewrite tasks. The
+    deterministic manifest derives one "file" per order (partition =
+    order month, size = totalprice cents — every file far below the
+    target, the small-files regime compaction exists for); within each
+    partition, files pack in file_id order and a file's task is
+    FLOOR(exclusive-prefix-sum / target) — the streaming first-fit
+    approximation every SQL-planned compactor uses, which keeps each
+    task a CONTIGUOUS file range at least target-full before spilling
+    to the next. Emits per task the file count, byte total, covered
+    file-id range, and whether the task actually compacts (>1 file).
+
+    The metadata-plane twin of snapshot_expire: expire decides which
+    VERSIONS to drop, this decides which FILES to rewrite together —
+    together they are the table-maintenance loop.
+
+    Scale shape: the plan operates on the MANIFEST (one row per file),
+    which at 100 TB is metadata-sized — ~1e5-1e6 rows for million-file
+    tables, orders of magnitude under the data plane. The prefix-sum
+    window partitions by the table partition (bounded per-partition
+    sort of file entries, the same order OPTIMIZE scans a manifest),
+    the task aggregate reuses per-partition locality map-side, and
+    nothing in the plan touches data-plane rows at all — the planner's
+    output IS the rewrite job list."""
+    month = F.to_date(F.date_trunc("month", "o_orderdate")).alias(
+        "part_month"
+    )
+    files = load(spark, sf_dir, "orders").select(
+        month,
+        F.col("o_orderkey").alias("file_id"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("size_bytes"),
+    )
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "task_id",
+        F.floor(
+            F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+            / F.lit(float(_COMPACT_TARGET))
+        ),
+    )
+    return packed.groupBy("part_month", "task_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("task_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+        (F.count(F.lit(1)) > 1).alias("needs_compaction"),
+    )

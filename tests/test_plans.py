@@ -762,6 +762,28 @@ def test_ivm_changefeed_one_feed_pass_no_sort(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_compaction_plan_single_manifest_exchange(spark):
+    """compaction_plan_binpack's scale contract (r12): the whole plan
+    is manifest-plane — ONE part_month-keyed exchange feeds both the
+    prefix-sum window (bounded per-partition sort of file entries) and
+    the task aggregate, which reuses the same partitioning (its
+    grouping key is a superset) with no second exchange; the scan is
+    pruned to the three manifest columns."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        compaction_plan_binpack,
+    )
+
+    plan = plan_str(compaction_plan_binpack(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("hashpartitioning(part_month") == 1
+    assert "WindowGroupLimit" not in plan and plan.count("Window ") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    fplan = plan_str(compaction_plan_binpack(spark, SF_DIR))
+    read = fplan.split("ReadSchema")[1].splitlines()[0]
+    assert all(c in read for c in ("o_orderkey", "o_totalprice", "o_orderdate"))
+    assert "o_custkey" not in read
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an

@@ -174,6 +174,64 @@ def test_ivm_retraction_actually_fires(spark):
     assert "UPDATED" in shrunk and len(shrunk) >= 3, (view1, after)
 
 
+def test_compaction_plan_matches_pure_python_replay(spark):
+    """Third-implementation check: replay the bin-packing rule (task =
+    floor(exclusive prefix sum / target) over file_id order per
+    partition) in pure Python over the raw parquet and compare the
+    task table EXACTLY — counts, bytes, ranges, flags."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        _COMPACT_TARGET,
+        compaction_plan_binpack,
+    )
+
+    tbl = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate",
+                                         "o_totalprice"]
+    ).to_pylist()
+    per_part = collections.defaultdict(list)
+    for r in tbl:
+        d = r["o_orderdate"]
+        month = d.date() if hasattr(d, "date") else d
+        month = month.replace(day=1)
+        per_part[month].append(
+            (r["o_orderkey"], math.floor(r["o_totalprice"] * 100 + 0.5))
+        )
+    expected = {}
+    for month, fs in per_part.items():
+        fs.sort()
+        cum = 0
+        for fid, size in fs:
+            task = math.floor(cum / float(_COMPACT_TARGET))
+            key = (month, task)
+            n, b, lo, hi = expected.get(key, (0, 0, fid, fid))
+            expected[key] = (n + 1, b + size, min(lo, fid), max(hi, fid))
+            cum += size
+    got = {
+        (r["part_month"], r["task_id"]): (
+            r["n_files"], r["task_bytes"], r["first_file"], r["last_file"],
+        )
+        for r in compaction_plan_binpack(spark, SF).collect()
+    }
+    assert got == expected
+    # small-files regime: every file below target => per partition the
+    # task ids are contiguous from 0 and file ranges are disjoint
+    assert all(
+        s < _COMPACT_TARGET for fs in per_part.values() for _, s in fs
+    )
+    by_part = collections.defaultdict(list)
+    for (month, task), (n, b, lo, hi) in sorted(got.items()):
+        by_part[month].append((task, lo, hi))
+    for month, tasks in by_part.items():
+        assert [t for t, _, _ in tasks] == list(range(len(tasks))), month
+        for (_, _, hi), (_, lo2, _) in zip(tasks, tasks[1:]):
+            assert hi < lo2, month
+
+
 def test_cascade_tier_invariants(spark):
     """ann_cascade_topk: per query the ranks are contiguous from 1,
     cosine is non-increasing along the rank order (ties broken by
