@@ -1611,3 +1611,114 @@ def compaction_plan_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("file_id").alias("last_file"),
         (F.count(F.lit(1)) > 1).alias("needs_compaction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-v2 merge-on-read: sequence-scoped equality deletes +
+# positional deletes (round 12)
+# ---------------------------------------------------------------------------
+
+# Deterministic v2 layout derived from the customer table so both
+# engines construct identical inputs:
+#   data files   file_id = key % 8, row pos = key div 8 (unique per
+#                file), data sequence 1 for files 0-3 and 2 for 4-7
+#   eq-deletes   seq 2 deletes key % 7 == 0 (applies ONLY to rows with
+#                data_seq < 2, Iceberg's strictly-less scoping), seq 3
+#                deletes key % 13 == 0 (applies to every data row)
+#   pos-deletes  (file_id, pos) for files 1 and 5 where pos % 10 == 0
+#                (position-targeted, sequence-independent)
+_MOR_FILES = 8
+
+MOR_EQUALITY_DELETES_SQL = f"""
+WITH data AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         c_custkey % {_MOR_FILES} AS file_id,
+         c_custkey // {_MOR_FILES} AS pos,
+         CASE WHEN c_custkey % {_MOR_FILES} >= {_MOR_FILES // 2}
+              THEN 2 ELSE 1 END AS data_seq
+  FROM customer
+),
+live AS (
+  SELECT * FROM data d
+  WHERE NOT (d.c_custkey % 7 = 0 AND d.data_seq < 2)
+    AND NOT (d.c_custkey % 13 = 0)
+    AND NOT (d.file_id IN (1, 5) AND d.pos % 10 = 0)
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents,
+       CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files
+FROM live
+GROUP BY 1
+"""
+
+
+@register(
+    "mor_equality_deletes_read",
+    oracle=MOR_EQUALITY_DELETES_SQL,
+    survey=[
+        "merge-on-read", "equality-delete", "positional-delete",
+        "iceberg-v2", "incremental",
+    ],
+)
+def mor_equality_deletes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2 merge-on-read: reconstruct the live table by applying
+    EQUALITY-delete files (key predicates scoped to data rows whose
+    data sequence is STRICTLY LESS than the delete's sequence — a
+    later rewrite of the same key survives an older delete) and
+    POSITIONAL-delete files ((file, pos) pairs, sequence-independent)
+    to the data-file scan. This is the v2 delete mechanism proper,
+    distinct from the v1 latest-wins rank snapshot_isolation_read
+    models: no per-key history exists — deletes are separate small
+    files the reader anti-joins at scan time. Emits the per-segment
+    live aggregate plus the surviving file spread.
+
+    The delete sets are constructed as DataFrames and applied as
+    ANTI-JOINS (not inlined predicates), because that is the plan a
+    real v2 reader must run: delete files arrive as data, unknown at
+    planning time. The eq-delete join carries the sequence-scoping as
+    a join condition; the pos-delete join keys on (file_id, pos).
+
+    Scale shape: delete files are deltas — orders of magnitude smaller
+    than the data plane — so both anti-joins BROADCAST the delete side
+    and the scan never shuffles; at 100 TB this is exactly how Spark's
+    Iceberg reader executes MOR (broadcast the delete file contents,
+    stream the data files), with the final segment aggregate
+    partial-combining map-side. cite: reference has no table-format
+    layer; modeled on the public Iceberg v2 spec semantics."""
+    k = F.col("c_custkey")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        (k % _MOR_FILES).alias("file_id"),
+        F.expr(f"c_custkey div {_MOR_FILES}").alias("pos"),
+        F.when(k % _MOR_FILES >= _MOR_FILES // 2, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("data_seq"),
+    )
+    eq_deletes = (
+        cust.filter(k % 7 == 0)
+        .select("c_custkey", F.lit(2).alias("del_seq"))
+        .unionAll(
+            cust.filter(k % 13 == 0).select(
+                "c_custkey", F.lit(3).alias("del_seq")
+            )
+        )
+    )
+    pos_deletes = cust.filter(
+        F.col("file_id").isin(1, 5) & (F.col("pos") % 10 == 0)
+    ).select("file_id", "pos")
+    d, e = cust.alias("d"), eq_deletes.alias("e")
+    live = d.join(
+        F.broadcast(e),
+        (F.col("d.c_custkey") == F.col("e.c_custkey"))
+        & (F.col("d.data_seq") < F.col("e.del_seq")),
+        "left_anti",
+    ).join(F.broadcast(pos_deletes), ["file_id", "pos"], "left_anti")
+    return live.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("bal_cents"),
+        F.countDistinct("file_id").alias("n_files"),
+    )

@@ -784,6 +784,26 @@ def test_compaction_plan_single_manifest_exchange(spark):
     assert "o_custkey" not in read
 
 
+def test_mor_deletes_broadcast_anti_joins(spark):
+    """mor_equality_deletes_read's scale contract (r12): delete files
+    are deltas, so BOTH delete applications must be broadcast
+    anti-joins (the data scan never shuffles to meet them — exactly
+    how Spark's Iceberg reader executes v2 MOR); the only exchanges
+    are the segment-sized distinct-aggregate pair, and nothing
+    sorts."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        mor_equality_deletes_read,
+    )
+
+    plan = plan_str(mor_equality_deletes_read(spark, SF_DIR), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("LeftAnti") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Sort " not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an

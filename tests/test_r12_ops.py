@@ -232,6 +232,56 @@ def test_compaction_plan_matches_pure_python_replay(spark):
             assert hi < lo2, month
 
 
+def test_mor_read_matches_python_replay_and_seq_scoping(spark):
+    """Replay the v2 delete semantics in pure Python over the raw
+    parquet and match the per-segment aggregate exactly; additionally
+    prove the SEQUENCE SCOPING is load-bearing — a %7 key in a
+    data_seq-2 file survives the seq-2 equality delete while the same
+    key class in a data_seq-1 file dies."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        _MOR_FILES,
+        mor_equality_deletes_read,
+    )
+
+    rows = pq.read_table(
+        f"{SF}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    ).to_pylist()
+    expected: dict[str, list] = collections.defaultdict(lambda: [0, 0, set()])
+    survivors_by_scope = {1: 0, 2: 0}
+    for r in rows:
+        key = r["c_custkey"]
+        file_id, pos = key % _MOR_FILES, key // _MOR_FILES
+        data_seq = 2 if file_id >= _MOR_FILES // 2 else 1
+        if key % 7 == 0 and data_seq < 2:
+            continue
+        if key % 13 == 0:
+            continue
+        if file_id in (1, 5) and pos % 10 == 0:
+            continue
+        if key % 7 == 0:
+            survivors_by_scope[data_seq] += 1
+        agg = expected[r["c_mktsegment"]]
+        agg[0] += 1
+        agg[1] += math.floor(r["c_acctbal"] * 100 + 0.5)
+        agg[2].add(file_id)
+    got = {
+        r["segment"]: [r["n_live"], r["bal_cents"], r["n_files"]]
+        for r in mor_equality_deletes_read(spark, SF).collect()
+    }
+    assert got == {
+        s: [n, c, len(files)] for s, (n, c, files) in expected.items()
+    }
+    # scoping evidence: every surviving %7 key sits in a seq-2 file,
+    # and such survivors exist at all
+    assert survivors_by_scope[1] == 0 and survivors_by_scope[2] > 0
+
+
 def test_cascade_tier_invariants(spark):
     """ann_cascade_topk: per query the ranks are contiguous from 1,
     cosine is non-increasing along the rank order (ties broken by
