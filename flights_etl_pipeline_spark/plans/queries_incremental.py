@@ -1722,3 +1722,111 @@ def mor_equality_deletes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bal_cents"),
         F.countDistinct("file_id").alias("n_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-style partition evolution: one table, two partition specs,
+# one pruning pass (round 12)
+# ---------------------------------------------------------------------------
+
+# Files written before the spec change (keys % 10 < 7) are partitioned
+# by MONTH (spec 1); files written after are partitioned by DAY
+# (spec 2). The scan predicate is a literal date range; pruning uses
+# each file's own TRANSFORM bounds, so old coarse files over-select
+# while new fine files prune exactly — Iceberg's contract that
+# evolution never rewrites old files.
+_EVO_FROM = "1995-06-01"
+_EVO_TO = "1995-08-15"  # half-open [from, to)
+
+PARTITION_EVOLUTION_SQL = f"""
+WITH manifest AS (
+  SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1 ELSE 2 END AS spec_id,
+         CASE WHEN o_orderkey % 10 < 7
+              THEN CAST(DATE_TRUNC('month', o_orderdate) AS DATE)
+              ELSE CAST(o_orderdate AS DATE) END AS part_value,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders
+),
+files AS (
+  SELECT spec_id, part_value,
+         MIN(od) AS min_date, MAX(od) AS max_date,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN od >= DATE '{_EVO_FROM}'
+                        AND od <  DATE '{_EVO_TO}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_range
+  FROM manifest
+  GROUP BY 1, 2
+)
+SELECT spec_id, part_value, min_date, max_date, n_rows, rows_in_range,
+       (part_value < DATE '{_EVO_TO}'
+        AND (CASE WHEN spec_id = 1
+                  THEN part_value + INTERVAL 1 MONTH
+                  ELSE part_value + INTERVAL 1 DAY END)
+            > TIMESTAMP '{_EVO_FROM} 00:00:00') AS selected
+FROM files
+"""
+
+
+@register(
+    "partition_evolution_scan",
+    oracle=PARTITION_EVOLUTION_SQL,
+    survey=[
+        "partition-evolution", "partition-pruning", "manifest",
+        "iceberg-spec", "incremental",
+    ],
+)
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition evolution: ONE table whose older files
+    were written under a month-partitioned spec and whose newer files
+    under a day-partitioned spec, planned in ONE pruning pass. Each
+    manifest entry keeps the spec it was written under; the scan
+    predicate (a literal date range) is evaluated against each file's
+    own TRANSFORM bounds — [month, month+1) for spec-1 files,
+    [day, day+1) for spec-2 — so coarse old files over-select
+    (rows_in_range < n_rows on the range-edge months) while fine new
+    files prune exactly. This is the evolution contract: changing the
+    spec never rewrites old files, the planner just prunes each file
+    under its own spec. Emits the full manifest with bounds, row
+    counts, in-range counts, and the pruning verdict.
+
+    Scale shape: the pruning decision is manifest-plane — a row-local
+    predicate against per-file transform bounds, no join, no window;
+    the single exchange is the (spec, partition-value)-keyed manifest
+    aggregate (metadata-sized: one row per file), partial-combined
+    map-side. At 100 TB this is the planning step every evolved table
+    pays on every query, which is why it must never touch data-plane
+    rows; rows_in_range here exists only to make the over-selection
+    measurable in-test."""
+    k = F.col("o_orderkey")
+    od = F.to_date("o_orderdate")
+    spec = F.when(k % 10 < 7, F.lit(1)).otherwise(F.lit(2))
+    part = F.when(
+        k % 10 < 7, F.to_date(F.date_trunc("month", "o_orderdate"))
+    ).otherwise(od)
+    files = (
+        load(spark, sf_dir, "orders")
+        .select(
+            spec.alias("spec_id"), part.alias("part_value"), od.alias("od")
+        )
+        .groupBy("spec_id", "part_value")
+        .agg(
+            F.min("od").alias("min_date"),
+            F.max("od").alias("max_date"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("od") >= F.lit(_EVO_FROM).cast("date"))
+                    & (F.col("od") < F.lit(_EVO_TO).cast("date")),
+                    1,
+                ).otherwise(0)
+            ).alias("rows_in_range"),
+        )
+    )
+    upper = F.when(
+        F.col("spec_id") == 1, F.add_months(F.col("part_value"), 1)
+    ).otherwise(F.date_add(F.col("part_value"), 1))
+    return files.withColumn(
+        "selected",
+        (F.col("part_value") < F.lit(_EVO_TO).cast("date"))
+        & (upper > F.lit(_EVO_FROM).cast("date")),
+    )

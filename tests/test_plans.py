@@ -804,6 +804,23 @@ def test_mor_deletes_broadcast_anti_joins(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_partition_evolution_scan_manifest_plane_only(spark):
+    """partition_evolution_scan's scale contract (r12): the pruning
+    verdict is a row-local predicate over per-file transform bounds —
+    the ONLY exchange is the (spec, partition-value)-keyed manifest
+    aggregate; no join, sort, or window anywhere."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        partition_evolution_scan,
+    )
+
+    plan = plan_str(partition_evolution_scan(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("hashpartitioning(spec_id") == 1
+    assert "Join" not in plan and "Sort " not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an

@@ -282,6 +282,50 @@ def test_mor_read_matches_python_replay_and_seq_scoping(spark):
     assert survivors_by_scope[1] == 0 and survivors_by_scope[2] > 0
 
 
+def test_partition_evolution_prunes_each_spec_on_its_own_bounds(spark):
+    """The evolution contract, made measurable: day-grained spec-2
+    files prune EXACTLY (selected files' rows are all in-range, and
+    the selected set is precisely the days inside the predicate),
+    while month-grained spec-1 files over-select on the range edge
+    (the cut-off month is selected with rows_in_range < n_rows) —
+    and no selected file is outside its transform-bound overlap."""
+    import datetime as dt
+
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        _EVO_FROM,
+        _EVO_TO,
+        partition_evolution_scan,
+    )
+
+    lo = dt.date.fromisoformat(_EVO_FROM)
+    hi = dt.date.fromisoformat(_EVO_TO)
+    rows = partition_evolution_scan(spark, SF).collect()
+    assert rows
+    sel2 = {r["part_value"] for r in rows if r["spec_id"] == 2 and r["selected"]}
+    all2_in = {
+        r["part_value"]
+        for r in rows
+        if r["spec_id"] == 2 and lo <= r["part_value"] < hi
+    }
+    assert sel2 == all2_in and sel2
+    for r in rows:
+        if r["spec_id"] == 2 and r["selected"]:
+            assert r["rows_in_range"] == r["n_rows"], r
+        if not r["selected"]:
+            assert r["rows_in_range"] == 0, r
+    edge = [
+        r for r in rows
+        if r["spec_id"] == 1 and r["selected"]
+        and r["part_value"] == hi.replace(day=1)
+    ]
+    assert edge and all(r["rows_in_range"] < r["n_rows"] for r in edge)
+    # exact-count conservation: selected files jointly contain every
+    # in-range row (pruning never loses data)
+    assert sum(r["rows_in_range"] for r in rows if r["selected"]) == sum(
+        r["rows_in_range"] for r in rows
+    )
+
+
 def test_cascade_tier_invariants(spark):
     """ann_cascade_topk: per query the ranks are contiguous from 1,
     cosine is non-increasing along the rank order (ties broken by
