@@ -1830,3 +1830,214 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("part_value") < F.lit(_EVO_TO).cast("date"))
         & (upper > F.lit(_EVO_FROM).cast("date")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish gate over a staged commit (round 12)
+# ---------------------------------------------------------------------------
+
+# Audit bounds (exact-integer milli units where ratios are involved).
+# The staged gen-2 batch deliberately trips two of them on the driver
+# corpus (tombstone ratio ~285 milli, net row delta ~58 milli), so the
+# gate demonstrably REFUSES publication — an audit that always passes
+# audits nothing.
+_WAP_TOMBSTONE_BOUND_MILLI = 250
+_WAP_ROW_DELTA_BOUND_MILLI = 50
+
+WAP_AUDIT_SQL = f"""
+WITH log AS ({_SNAPSHOT_LOG_SQL}),
+staged AS (SELECT * FROM log WHERE gen = 2),
+state1 AS (
+  SELECT c_custkey FROM (
+    SELECT c_custkey, op,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey
+                              ORDER BY gen DESC) AS rn
+    FROM log WHERE gen <= 1
+  ) WHERE rn = 1 AND op <> 'D'
+),
+b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+         CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins
+  FROM staged
+),
+o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+  FROM staged s
+  WHERE s.op IN ('U', 'D')
+    AND NOT EXISTS (SELECT 1 FROM state1 t
+                    WHERE t.c_custkey = s.c_custkey)
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_state FROM state1),
+m AS (
+  SELECT b.n_batch - b.n_keys AS dup_keys,
+         CAST(FLOOR(1000.0 * b.n_del / b.n_batch) AS BIGINT)
+           AS tombstone_milli,
+         o.n_orphans,
+         CAST(FLOOR(1000.0 * ABS(b.n_ins - b.n_del) / st.n_state)
+              AS BIGINT) AS row_delta_milli
+  FROM b, o, st
+)
+SELECT * FROM (
+  SELECT 'batch_keys_unique' AS check_name,
+         dup_keys AS observed, CAST(0 AS BIGINT) AS bound,
+         dup_keys <= 0 AS passed
+  FROM m
+  UNION ALL
+  SELECT 'tombstone_ratio_milli', tombstone_milli,
+         CAST({_WAP_TOMBSTONE_BOUND_MILLI} AS BIGINT),
+         tombstone_milli <= {_WAP_TOMBSTONE_BOUND_MILLI}
+  FROM m
+  UNION ALL
+  SELECT 'mutation_targets_live', n_orphans, CAST(0 AS BIGINT),
+         n_orphans <= 0
+  FROM m
+  UNION ALL
+  SELECT 'row_delta_milli', row_delta_milli,
+         CAST({_WAP_ROW_DELTA_BOUND_MILLI} AS BIGINT),
+         row_delta_milli <= {_WAP_ROW_DELTA_BOUND_MILLI}
+  FROM m
+  UNION ALL
+  SELECT 'publish',
+         CAST((CASE WHEN dup_keys > 0 THEN 1 ELSE 0 END
+             + CASE WHEN tombstone_milli > {_WAP_TOMBSTONE_BOUND_MILLI}
+                    THEN 1 ELSE 0 END
+             + CASE WHEN n_orphans > 0 THEN 1 ELSE 0 END
+             + CASE WHEN row_delta_milli > {_WAP_ROW_DELTA_BOUND_MILLI}
+                    THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(0 AS BIGINT),
+         (dup_keys <= 0
+          AND tombstone_milli <= {_WAP_TOMBSTONE_BOUND_MILLI}
+          AND n_orphans <= 0
+          AND row_delta_milli <= {_WAP_ROW_DELTA_BOUND_MILLI})
+  FROM m
+)
+"""
+
+
+@register(
+    "wap_audit_publish",
+    oracle=WAP_AUDIT_SQL,
+    survey=[
+        "write-audit-publish", "data-quality-gate", "staged-commit",
+        "cdc-log", "incremental",
+    ],
+)
+def wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: the staged gen-2 commit batch is AUDITED
+    against the live table (snapshot-1 state) before it may publish —
+    Iceberg's WAP / branch-audit pattern. Four gates: batch key
+    uniqueness, tombstone ratio (share of deletes in the batch),
+    mutation-target liveness (every staged update/delete must hit a
+    live key — inserts are exempt), and net row delta vs the current
+    table size; a fifth row is the publish verdict (count of failed
+    gates, publishable only at zero). On the driver corpus the batch
+    deliberately trips the tombstone and row-delta bounds, so the
+    result exhibits BOTH outcomes — refusal included.
+
+    All ratio gates are exact-integer milli units (FLOOR(1000*x/y))
+    so the verdict is engine-portable; completes the maintenance
+    loop: stage (merge family) -> audit (this) -> publish/rollback
+    (snapshot family).
+
+    Scale shape: the audit is two bounded aggregates over ONE pass
+    each — the staged batch is delta-sized, and the state side elects
+    liveness in a single key-keyed aggregate with NO image join-back
+    (live iff max(gen) == max(gen | op != 'D'), since a key whose
+    latest entry is a tombstone has the filtered max strictly lower),
+    then folds BOTH the live count and the orphan count into one
+    scalar aggregate via a broadcast marker join of the delta-sized
+    mutation-key set (every batch mutation key exists in the log by
+    construction, so the marker join is exact); the five verdict rows
+    are a constant-width projection of the joined scalar metrics."""
+    log = _snapshot_log(spark, sf_dir)
+    staged = log.filter(F.col("gen") == 2)
+    pre = log.filter(F.col("gen") <= 1)
+    elected = pre.groupBy("c_custkey").agg(
+        (
+            F.max("gen")
+            == F.max(F.when(F.col("op") != "D", F.col("gen")))
+        ).alias("live")
+    )
+    mut = (
+        staged.filter(F.col("op").isin("U", "D"))
+        .select("c_custkey", F.lit(True).alias("is_mut"))
+    )
+    b = staged.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_ins"),
+    )
+    ost = (
+        elected.join(F.broadcast(mut), "c_custkey", "left")
+        .agg(
+            F.sum(F.when(F.col("live"), 1).otherwise(0)).alias("n_state"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("is_mut"), F.lit(False))
+                    & ~F.col("live"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_orphans"),
+        )
+    )
+    m = b.crossJoin(ost).select(
+        (F.col("n_batch") - F.col("n_keys")).alias("dup_keys"),
+        F.floor(1000.0 * F.col("n_del") / F.col("n_batch"))
+        .cast("bigint")
+        .alias("tombstone_milli"),
+        "n_orphans",
+        F.floor(
+            1000.0
+            * F.abs(F.col("n_ins") - F.col("n_del"))
+            / F.col("n_state")
+        )
+        .cast("bigint")
+        .alias("row_delta_milli"),
+    )
+    tb = F.lit(_WAP_TOMBSTONE_BOUND_MILLI).cast("bigint")
+    rb = F.lit(_WAP_ROW_DELTA_BOUND_MILLI).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    checks = F.array(
+        F.struct(
+            F.lit("batch_keys_unique").alias("check_name"),
+            F.col("dup_keys").alias("observed"),
+            zero.alias("bound"),
+            (F.col("dup_keys") <= 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("tombstone_ratio_milli").alias("check_name"),
+            F.col("tombstone_milli").alias("observed"),
+            tb.alias("bound"),
+            (F.col("tombstone_milli") <= tb).alias("passed"),
+        ),
+        F.struct(
+            F.lit("mutation_targets_live").alias("check_name"),
+            F.col("n_orphans").alias("observed"),
+            zero.alias("bound"),
+            (F.col("n_orphans") <= 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("row_delta_milli").alias("check_name"),
+            F.col("row_delta_milli").alias("observed"),
+            rb.alias("bound"),
+            (F.col("row_delta_milli") <= rb).alias("passed"),
+        ),
+    )
+    n_failed = (
+        F.when(F.col("dup_keys") > 0, 1).otherwise(0)
+        + F.when(F.col("tombstone_milli") > tb, 1).otherwise(0)
+        + F.when(F.col("n_orphans") > 0, 1).otherwise(0)
+        + F.when(F.col("row_delta_milli") > rb, 1).otherwise(0)
+    ).cast("bigint")
+    publish = F.struct(
+        F.lit("publish").alias("check_name"),
+        n_failed.alias("observed"),
+        zero.alias("bound"),
+        (n_failed == 0).alias("passed"),
+    )
+    return m.select(
+        F.inline(F.concat(checks, F.array(publish)))
+    )

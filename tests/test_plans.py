@@ -821,6 +821,24 @@ def test_partition_evolution_scan_manifest_plane_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_wap_audit_single_state_election(spark):
+    """wap_audit_publish's scale contract (r12): the state side is
+    elected ONCE — exactly two c_custkey-keyed exchanges exist (the
+    liveness election over the pre-log and the delta-sized batch
+    distinct), the orphan check rides a broadcast marker join instead
+    of a second state pass, scalar metrics meet on 1-row
+    nested-loop cross joins, and nothing sorts."""
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        wap_audit_publish,
+    )
+
+    plan = plan_str(wap_audit_publish(spark, SF_DIR), mode="simple")
+    assert plan.count("hashpartitioning(c_custkey") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan and "Sort " not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rag_retrieve_broadcasts_topk_side(spark):
     """The k-row ANN cut must be the broadcast side of the document join
     (a shuffle join here would drag the whole corpus through an

@@ -326,6 +326,43 @@ def test_partition_evolution_prunes_each_spec_on_its_own_bounds(spark):
     )
 
 
+def test_wap_gate_refuses_publication_with_exact_metrics(spark):
+    """The audit must demonstrably refuse: on this corpus the staged
+    gen-2 batch trips the tombstone and row-delta bounds (observed
+    values replayed exactly in pure Python from the commit rules)
+    while uniqueness and target-liveness pass, so publish reports
+    exactly 2 failed gates."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        wap_audit_publish,
+    )
+
+    keys = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey"]
+    ).column(0).to_pylist()
+    upd = [k for k in keys if k % 5 == 0 and k % 11 and k % 13]
+    dele = [k for k in keys if k % 11 == 0 and k % 13]
+    ins = [k for k in keys if k % 13 == 0 and k % 3 == 0]
+    n_batch = len(upd) + len(dele) + len(ins)
+    live1 = {k for k in keys if k % 13} | {
+        k + 10_000_000 for k in keys if k % 97 == 0
+    }
+    tomb = math.floor(1000.0 * len(dele) / n_batch)
+    delta = math.floor(1000.0 * abs(len(ins) - len(dele)) / len(live1))
+    got = {
+        r["check_name"]: (r["observed"], r["passed"])
+        for r in wap_audit_publish(spark, SF).collect()
+    }
+    assert got["batch_keys_unique"] == (0, True)
+    assert got["mutation_targets_live"] == (0, True)
+    assert got["tombstone_ratio_milli"] == (tomb, False) and tomb > 250
+    assert got["row_delta_milli"] == (delta, False) and delta > 50
+    assert got["publish"] == (2, False)
+
+
 def test_cascade_tier_invariants(spark):
     """ann_cascade_topk: per query the ranks are contiguous from 1,
     cosine is non-increasing along the rank order (ties broken by
