@@ -1327,13 +1327,27 @@ def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     as snapshot_expire, applied to the read side of downstream
     incremental sync (the consumer of merge_apply_changelog's
     write side)."""
-    log = _snapshot_log(spark, sf_dir)
+    return _changes_between(_snapshot_log(spark, sf_dir), _CHANGES_FROM,
+                            _CHANGES_TO)
+
+
+def _changes_between(log: DataFrame, gen_from: int, gen_to: int) -> DataFrame:
+    """The changefeed algebra over ANY CDC log with columns
+    (c_custkey, c_acctbal, c_mktsegment, gen, op) — the library form
+    snapshot_changes applies to the shared fixture log. Net per-key
+    change over the half-open snapshot window (gen_from, gen_to]:
+    elect both endpoint generations in one aggregate, fetch both
+    endpoint images by (key, gen) join-back, classify. Keys whose
+    latest entry precedes the window, keys with no entry at or below
+    gen_to, and dead-to-dead keys emit nothing. Property-tested
+    against a pure-Python reference on randomized logs
+    (tests/test_r12_ops.py)."""
     latest = log.groupBy("c_custkey").agg(
         F.max(
-            F.when(F.col("gen") <= _CHANGES_FROM, F.col("gen"))
+            F.when(F.col("gen") <= gen_from, F.col("gen"))
         ).alias("gen_from"),
         F.max(
-            F.when(F.col("gen") <= _CHANGES_TO, F.col("gen"))
+            F.when(F.col("gen") <= gen_to, F.col("gen"))
         ).alias("gen_to"),
     )
     f_img = log.select(
@@ -1342,7 +1356,7 @@ def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("old_acctbal"),
         F.col("c_mktsegment").alias("old_mktsegment"),
         F.col("op").alias("op_from"),
-    ).filter(F.col("gen_from") <= _CHANGES_FROM)
+    ).filter(F.col("gen_from") <= gen_from)
     t_img = log.select(
         "c_custkey",
         F.col("gen").alias("gen_to"),

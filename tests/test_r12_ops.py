@@ -363,6 +363,108 @@ def test_wap_gate_refuses_publication_with_exact_metrics(spark):
     assert got["publish"] == (2, False)
 
 
+def _reference_changes(entries, f, t):
+    """Pure-Python reference for the changefeed algebra: entries is
+    {(key, gen): (bal, seg, op)}; returns {key: (change_op, old, new,
+    gen_from, gen_to)} with old/new = (bal, seg) or None."""
+    out = {}
+    keys = {k for k, _ in entries}
+    for key in keys:
+        gens = sorted(g for k, g in entries if k == key)
+        gf = max((g for g in gens if g <= f), default=None)
+        gt = max((g for g in gens if g <= t), default=None)
+        if gt is None or gt == gf:
+            continue
+        old = entries[(key, gf)] if gf is not None else None
+        new = entries[(key, gt)]
+        live_from = old is not None and old[2] != "D"
+        live_to = new[2] != "D"
+        if not (live_from or live_to):
+            continue
+        op = (
+            "insert" if not live_from
+            else "delete" if not live_to
+            else "update"
+        )
+        out[key] = (
+            op,
+            (old[0], old[1]) if live_from else None,
+            (new[0], new[1]) if live_to else None,
+            gf,
+            gt,
+        )
+    return out
+
+
+def test_changes_between_property_random_logs(spark):
+    """Property test: on randomized CDC logs (arbitrary key/gen
+    sparsity, first-entry updates, delete-only keys, windows of every
+    width including empty), _changes_between must match the pure-
+    Python reference exactly — the algebra is not fixture-shaped."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flights_etl_pipeline_spark.plans.queries_incremental import (
+        _changes_between,
+    )
+
+    entry = st.tuples(
+        st.integers(0, 11),            # key
+        st.integers(0, 3),             # gen
+        st.floats(-100, 100, allow_nan=False, width=32),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["I", "U", "D"]),
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        raw=st.lists(entry, min_size=0, max_size=30),
+        window=st.tuples(st.integers(-1, 3), st.integers(0, 4)),
+    )
+    def check(raw, window):
+        f, t = window
+        if f >= t:
+            f, t = t - 1, t
+        entries = {}
+        for key, gen, bal, seg, op in raw:
+            bal = float(round(bal, 2))
+            entries[(key, gen)] = (
+                (None, None, "D") if op == "D" else (bal, seg, op)
+            )
+        rows = [
+            (k, bal, seg, g, op)
+            for (k, g), (bal, seg, op) in entries.items()
+        ]
+        log = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_acctbal double, c_mktsegment string, "
+            "gen int, op string",
+        )
+        got = {
+            r["c_custkey"]: (
+                r["change_op"],
+                (r["old_acctbal"], r["old_mktsegment"])
+                if r["old_acctbal"] is not None
+                or r["old_mktsegment"] is not None
+                else None,
+                (r["new_acctbal"], r["new_mktsegment"])
+                if r["new_acctbal"] is not None
+                or r["new_mktsegment"] is not None
+                else None,
+                r["gen_from"],
+                r["gen_to"],
+            )
+            for r in _changes_between(log, f, t).collect()
+        }
+        assert got == _reference_changes(entries, f, t)
+
+    check()
+
+
 def test_cascade_tier_invariants(spark):
     """ann_cascade_topk: per query the ranks are contiguous from 1,
     cosine is non-increasing along the rank order (ties broken by
