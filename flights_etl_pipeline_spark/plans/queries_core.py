@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flights_etl_pipeline_spark.functions.scalar import davg, dround, dsum
+from flights_etl_pipeline_spark.functions.vectors import flit
 from flights_etl_pipeline_spark.plans.registry import (
     load,
     model_channel,
@@ -1494,9 +1495,9 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     # ONE md5 per row; the three positions are slices of the same digest.
-    # The bitmap rides as a true array Literal (F.lit of the list), so
-    # codegen indexes a shared constant instead of re-building a
-    # 1024-element array per row.
+    # The bitmap rides as a constant-folded array literal, so codegen
+    # indexes a shared constant instead of re-building a 1024-element
+    # array per row.
     probed = (
         orders.withColumn(
             "h", F.md5(F.concat(F.lit("bf|"), F.col("o_custkey").cast("string")))
@@ -1511,7 +1512,10 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for s in range(1, _BF_K + 1)
             ],
         )
-        .withColumn("bm", F.lit(words))
+        # flit: one JVM parse instead of 1024 per-element py4j lits;
+        # the cast pins array<bigint> regardless of which word values
+        # happen to fit int32 (64-bit shiftright semantics below)
+        .withColumn("bm", flit(words).cast("array<bigint>"))
     )
     hit = " AND ".join(
         f"((shiftright(bm[CAST(p{s} DIV 64 AS INT)], "

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
+from flights_etl_pipeline_spark.functions.vectors import flit
 from flights_etl_pipeline_spark.functions.text import (
     STOPWORDS,
     fingerprint,
@@ -1459,9 +1460,9 @@ def _km_assign_rowlocal(cents: list[tuple]) -> F.Column:
     and NOTHING shuffles on vec_id. The winner's dm is always the
     exact decimal micro value — it feeds the inertia sum unchanged.
     """
-    cids = F.lit([int(c[0]) for c in cents])
-    cvecs = F.lit([list(c[1]) for c in cents])
-    idx = F.lit(list(range(1, len(cents) + 1)))
+    cids = flit([int(c[0]) for c in cents])
+    cvecs = flit([[float(v) for v in c[1]] for c in cents])
+    idx = flit(list(range(1, len(cents) + 1)))
     emb = F.col("embedding")
 
     def _dsq(cv):
@@ -1557,6 +1558,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(_KM_ROUNDS):
         cid = _km_assign_rowlocal(cent_list())["cid"]
+        # The (cid, posexplode) -> groupBy(cid, pos) shape is KEPT: the
+        # r12 attempt to fold the 64 dims as 64 decimal-sum COLUMNS of
+        # one cid-keyed aggregate measured ~2x SLOWER at sf0.1 (64
+        # wide decimal agg buffers defeat the hash-agg codegen),
+        # while the explode's 64x row inflation feeds a cheap
+        # two-column map-side combine. Values are identical either
+        # way; this is the faster physical shape.
         new_rows = (
             # cid projects BEFORE the generator select: ExtractGenerator
             # mangles struct-field names inside HOF lambdas when a
@@ -2161,25 +2169,52 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "source"), "doc_id"
     ).withColumn("qt", F.split(F.lower(F.col("ts")), r"\s+"))
 
-    w_arr = F.array(*[F.lit(w) for w in qlr_weights_milli()])
+    w_arr = flit(qlr_weights_milli())
     logit = F.aggregate(
         F.col("qt"),
         F.lit(_QLR_INTERCEPT_MILLI).cast("long"),
         lambda acc, t: acc
         + F.element_at(w_arr, ((_fh(t) % _QLR_DIM) + 1).cast("int")),
     )
-    surv = meta.withColumn("logit_milli", logit).filter(
-        F.col("logit_milli") >= 0
+    # The expensive subtree (scrub join + integer gate) used to feed
+    # FOUR corpus-sized consumers (raw/tgt token histograms, the token
+    # re-score, the doc accounting); Catalyst does not share common
+    # subtrees across join legs, so the chain executed four times
+    # (r12). Restructured: ALL token work now derives from ONE bounded
+    # aggregate (bcounts below, persisted — sources x langs x buckets
+    # rows), so the chain runs exactly twice: once under bcounts, once
+    # under docagg. Caching the survivor rows themselves (qt arrays
+    # included) was measured SLOWER than the one recompute at sf0.1 —
+    # the memory-store write of tokenized text dominates.
+    surv = (
+        meta.withColumn("logit_milli", logit)
+        .filter(F.col("logit_milli") >= 0)
+        .select("source", "lang", "n_kept", "n_chunks", "qt")
     )
 
-    stoks = surv.select(
-        "source", "lang", F.explode("qt").alias("tok")
-    ).select("source", "lang", (_fh(F.col("tok")) % _DSIR_DIM).alias("bucket"))
-    raw = stoks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    # Token work collapses to ONE corpus-sized aggregate: counts per
+    # (source, lang, bucket) — a bounded table (sources x langs x
+    # {_DSIR_DIM} buckets) from which the raw/target histograms AND the
+    # per-(source, lang) re-score all derive by exact integer sums, so
+    # the token stream is exploded and shuffled once, not three times.
+    # sum(count) == count and sum(count * lr_micro) == sum(lr_micro)
+    # per token — bit-identical to aggregating the raw token stream.
+    bcounts = (
+        surv.select(
+            "source", "lang", F.explode("qt").alias("tok")
+        )
+        .select(
+            "source", "lang", (_fh(F.col("tok")) % _DSIR_DIM).alias("bucket")
+        )
+        .groupBy("source", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    raw = bcounts.groupBy("bucket").agg(F.sum("c").alias("cr"))
     tgt = (
-        stoks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        bcounts.filter(F.col("lang") == _DSIR_TARGET_LANG)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("c").alias("ct"))
     )
     tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
         tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
@@ -2207,11 +2242,11 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tokagg = (
-        stoks.join(F.broadcast(lr), "bucket")
+        bcounts.join(F.broadcast(lr), "bucket")
         .groupBy("source", "lang")
         .agg(
-            F.count(F.lit(1)).alias("total_tokens"),
-            F.sum("lr_micro").alias("weight_micro"),
+            F.sum("c").alias("total_tokens"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("weight_micro"),
         )
     )
     docagg = surv.groupBy("source", "lang").agg(
@@ -2219,7 +2254,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_kept").alias("sk"),
         F.sum("n_chunks").alias("sc"),
     )
-    return (
+    out = (
         docagg.join(tokagg, ["source", "lang"])
         .select(
             "source",
@@ -2231,7 +2266,10 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_chunk_ratio_milli"),
         )
+        .transform(result_checkpoint)
     )
+    bcounts.unpersist()
+    return out
 
 
 _registry.REGISTRY["curation_pipeline_v2"] = _registry.QuerySpec(
@@ -2414,6 +2452,13 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a doc is a dup iff it keeps AND a smaller keeper shares its
     # fingerprint. One window, no branch.
     w = Window.partitionBy("fp")
+    # NOT persisted (r12 measured): the gate+window chain feeds two
+    # legs (the contamination branch via k2 and the final flags agg),
+    # but caching it — text payload included — cost MORE than the
+    # second execution at sf0.1 (2.0 s -> 3.1 s): the memory-store
+    # write of the corpus with text dominates, while the recompute is
+    # one scan + one window. Left as the double-execution plan
+    # deliberately.
     d = g.withColumn("fp", fingerprint("text")).withColumn(
         "is_dup",
         F.col("keep")
@@ -2458,7 +2503,7 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     released = F.col("keep") & ~F.col("is_dup") & ~F.col("is_contam")
     one = F.lit(1)
     zero = F.lit(0)
-    return flags.groupBy("source").agg(
+    out = flags.groupBy("source").agg(
         F.count(one).alias("n_raw"),
         F.sum(F.when(~F.col("keep"), one).otherwise(zero))
         .cast("long")
@@ -2481,6 +2526,7 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"DIV {PACK_CAPACITY}"
         ).alias("n_packs"),
     )
+    return out
 
 
 corpus_release_pipeline.__doc__ = corpus_release_pipeline.__doc__.format(

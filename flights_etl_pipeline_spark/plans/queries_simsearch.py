@@ -25,6 +25,7 @@ from flights_etl_pipeline_spark.functions.vectors import (
     decimal_dot,
     double_cos,
     double_dot,
+    flit,
     hyperplane_lit,
     py_decimal_dot,
     signed_hyperplane,
@@ -32,6 +33,7 @@ from flights_etl_pipeline_spark.functions.vectors import (
 from flights_etl_pipeline_spark.plans.registry import (
     load,
     model_channel,
+    rebalance,
     register,
 )
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_cosine, sql_decimal_dot
@@ -168,10 +170,10 @@ def _nearest_centroid(cents: list[tuple], emb_col: str = "embedding",
     (Spark expressions have no let; the lambda variable materializes
     the array once per row instead of once per reference).
     """
-    cids = F.lit([c[0] for c in cents])
-    cvecs = F.lit([c[1] for c in cents])
-    cnorms = F.lit([c[2] for c in cents])
-    idx = F.lit(list(range(1, len(cents) + 1)))
+    cids = flit([c[0] for c in cents])
+    cvecs = flit([list(c[1]) for c in cents])
+    cnorms = flit([c[2] for c in cents])
+    idx = flit(list(range(1, len(cents) + 1)))
     dscored = F.transform(
         idx,
         lambda i: F.struct(
@@ -228,10 +230,10 @@ def _nearest_cid(cents: list[tuple], emb_col: str = "embedding") -> F.Column:
     let-bound through a transform over a 1-element array so they
     evaluate once per row even after Catalyst collapses projections.
     """
-    cids = F.lit([c[0] for c in cents])
-    cvecs = F.lit([c[1] for c in cents])
-    cnorms = F.lit([c[2] for c in cents])
-    idx = F.lit(list(range(1, len(cents) + 1)))
+    cids = flit([c[0] for c in cents])
+    cvecs = flit([list(c[1]) for c in cents])
+    cnorms = flit([c[2] for c in cents])
+    idx = flit(list(range(1, len(cents) + 1)))
     emb = F.col(emb_col)
 
     def _pick(ds):
@@ -1323,10 +1325,10 @@ def _pq_best_rowlocal(cents_m: list[tuple], m: int) -> F.Column:
     ``dist`` always the exact value (it feeds quant_err). The subvector
     slice and its double norm are each let-bound through a transform
     over a 1-element array so they evaluate once per row."""
-    cids = F.lit([c[0] for c in cents_m])
-    cvecs = F.lit([c[1] for c in cents_m])
-    cnorms = F.lit([c[2] for c in cents_m])
-    idx = F.lit(list(range(1, len(cents_m) + 1)))
+    cids = flit([c[0] for c in cents_m])
+    cvecs = flit([list(c[1]) for c in cents_m])
+    cnorms = flit([c[2] for c in cents_m])
+    idx = flit(list(range(1, len(cents_m) + 1)))
 
     def _dscored(sv, dn):
         return F.transform(
@@ -1400,12 +1402,26 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvector's argmin folds ROW-LOCALLY — phase 1 scores all {PQ_K}
     codewords with cheap double L2 folds, phase 2 re-scores only the
     near-minimum survivors with the exact decimal folds (same lossless
-    margin as `_nearest_cid`) — so the whole encode is ONE projection
-    fused into the scan: no codebook join, no (vec_id, m) or vec_id
-    exchange, zero shuffle. PQ codes shrink the corpus
+    margin as `_nearest_cid`) — so the whole encode is ONE projection:
+    no codebook join, no (vec_id, m) or vec_id hash exchange anywhere;
+    the only exchange is the round-robin rebalance that detaches the
+    compute-bound encode's parallelism from the scan's split count
+    (r12, pca_projection's rationale). PQ codes shrink the corpus
     ~{DIM * 4 // PQ_M}x, which is what lets a 100 TB index fit scan-
     speed storage."""
-    emb = load(spark, sf_dir, "embeddings")
+    # the encode is COMPUTE-bound (4 x 16 double L2 folds + decimal
+    # rescore per row): rebalance the skinny rows first so its
+    # parallelism doesn't depend on the scan's split count (r12; the
+    # pca_projection rationale — sf0.1's single-split parquet otherwise
+    # serialized the whole encode on one task; interleaved A/B measured
+    # ~2.9 s -> ~1.9 s). One round-robin exchange of raw rows, moved
+    # exactly once; at real scale the scan is already split and the
+    # exchange is noise next to the per-row work it parallelizes. NOTE
+    # this pays off only for decimal-fold-heavy projections — the same
+    # rebalance measured NEGATIVE on the string/tokenize pipelines
+    # (minhash, scrub, tfidf, NB), where the exchange serializes the
+    # same bytes the single task would just process (OPTIMIZATION_r12).
+    emb = rebalance(load(spark, sf_dir, "embeddings"))
     cbook = _pq_codebook(spark, sf_dir)
     bests = [_pq_best_rowlocal(cbook[m], m) for m in range(PQ_M)]
     err = bests[0]["dist"].cast("decimal(18,14)")
@@ -1863,27 +1879,29 @@ def pca_projection(
         )
         return [r["mu"] for r in sorted(rows, key=lambda r: r["i"])]
 
-    # covariance moments come from cov_src (the sample when sampling);
-    # n/mu/s must describe the SAME population or c = s - n*mu_i*mu_j
-    # is biased
-    mu = _mean_by_dim(cov_src)
-    n = cov_src.count()
-    if n == 0:
-        raise ValueError(
-            "cov_sample_fraction="
-            f"{cov_sample_fraction} selected zero rows; raise the "
-            "fraction (the hash-bucket sample is deterministic, so a "
-            "rerun cannot help)"
-        )
     # ONE explode (N x dim rows), the j dimension as 64 aggregate
     # columns instead of a second posexplode: the double-Generate shape
     # materialized N x dim^2 rows before the exchange (the r6 sweep's
     # 13 s wall at sf0.1); this computes the same exact decimal sums —
     # associative, so grouping shape cannot change a bit — over the
-    # N x dim stream with map-side combine into dim groups x dim cols
+    # N x dim stream with map-side combine into dim groups x dim cols.
+    # The first moment (mu) and the population count ride the SAME
+    # aggregation as two extra columns (r12, guide §1.2: the mean pass
+    # and the count() were separate corpus jobs — three scans + three
+    # rebalance exchanges for moments one pass computes; the fused agg
+    # folds the identical decimal sum / count expressions, so mu and n
+    # are bit-for-bit the old values). n/mu/s all describe cov_src (the
+    # sample when sampling) or c = s - n*mu_i*mu_j is biased.
     s_rows = (
         ei.groupBy("i")
         .agg(
+            (
+                F.sum(
+                    F.col("xi").cast("double").cast("decimal(28,14)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            F.count(F.lit(1)).alias("cnt"),
             *[
                 F.sum(
                     (
@@ -1901,6 +1919,17 @@ def pca_projection(
         s_rows, 64, "covariance moment rows: one per embedding "
         "dimension (64 x 64 scalars total), corpus-size-independent"
     )
+    if not s_rows:
+        raise ValueError(
+            "cov_sample_fraction="
+            f"{cov_sample_fraction} selected zero rows; raise the "
+            "fraction (the hash-bucket sample is deterministic, so a "
+            "rerun cannot help)"
+        )
+    mu = [
+        r["mu"] for r in sorted(s_rows, key=lambda r: r["i"])
+    ]
+    n = s_rows[0]["cnt"]
     s = {
         (r["i"], j): r[f"s{j}"] for r in s_rows for j in range(64)
     }
@@ -1929,8 +1958,8 @@ def pca_projection(
     # exact runs project against the same origin
     if cov_sample_fraction is not None:
         mu = _mean_by_dim(emb)
-    mu_lit = F.array(*[F.lit(x) for x in mu])
-    v_lit = F.array(*[F.lit(x) for x in v])
+    mu_lit = flit(list(mu))
+    v_lit = flit(list(v))
     centered = F.zip_with("embedding", mu_lit, lambda a, b: a - b)
     return emb.select(
         "vec_id",
@@ -3234,13 +3263,13 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid1 = F.col("qid").cast("int") + 1
     probed = cand0.withColumn("ivf_cid", _nearest_cid(cents_lit)).filter(
         F.array_contains(
-            F.element_at(F.lit(probes), qid1), F.col("ivf_cid")
+            F.element_at(flit(probes), qid1), F.col("ivf_cid")
         )
     )
     bests = [_pq_best_rowlocal(cbook[mi], mi) for mi in range(PQ_M)]
     adc_sum = None
     for mi in range(PQ_M):
-        table_m = F.lit([adc[qid][mi] for qid in range(_CSC_Q)])
+        table_m = flit([adc[qid][mi] for qid in range(_CSC_Q)])
         term = F.element_at(
             F.element_at(table_m, qid1), bests[mi]["cid"].cast("int") + 1
         ).cast("decimal(28,14)")

@@ -91,6 +91,27 @@ def result_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def rebalance(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism,
+    for ARITHMETIC-BOUND row-local stages (K x dim decimal/double
+    argmin folds, moment outer products) whose input scan may carry
+    fewer splits than the cluster has cores — locally, every test
+    table is a single-row-group parquet file, so without this the
+    whole per-row fold serializes on ONE task (pca_projection's r6
+    rationale, helper added r12). The exchange moves each skinny row
+    exactly once, trivial next to the per-row work it parallelizes,
+    and scale-adaptively: the width follows defaultParallelism, never
+    a constant.
+
+    Deliberately NOT applied to the string/tokenize pipelines
+    (minhash, simhash, chunk scrub, tfidf, NB, Gopher gates): r12
+    interleaved A/B measured the exchange NEGATIVE there — it
+    serializes the same string bytes the single scan task would just
+    process, so the move costs more than the parallelism recovers
+    (OPTIMIZATION_r12.md, "rebalance sweep")."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def model_channel(df: DataFrame, max_rows: int, why: str) -> list:
     """Collect a driver-side MODEL channel (frozen centroids, score
     histograms, gamma-pattern counts, top-M serve candidates...) with

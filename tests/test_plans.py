@@ -535,14 +535,18 @@ def test_ivf_assignment_is_shuffle_free(spark):
 
 
 def test_pq_encode_is_one_projection(spark):
-    """VERDICT r6 item 2: ann_pq_codes encodes the corpus in ONE
-    projection fused into the scan — per-subvector row-local two-phase
-    argmin over the codebook literal. No codebook join, no
-    (vec_id[, m])-keyed exchange, no exchange of any kind."""
+    """VERDICT r6 item 2 + r12: ann_pq_codes encodes the corpus in ONE
+    projection — per-subvector row-local two-phase argmin over the
+    codebook literal. No codebook join, no (vec_id[, m])-keyed hash
+    exchange; the only exchange is the round-robin rebalance that
+    detaches the compute-bound encode's parallelism from the scan's
+    split count (pca_projection's rationale, added r12)."""
     from flights_etl_pipeline_spark.plans.queries_simsearch import ann_pq_codes
 
     plan = plan_str(ann_pq_codes(spark, SF_DIR), mode="simple")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
     assert "Join" not in plan
     assert "Generate" not in plan  # no posexplode: the M loop unrolls
     assert "array_min(transform(" in plan
