@@ -59,9 +59,10 @@ _SF1_SPOT = (
     "association_rules",
     # the two r6-verdict rewrites (r7): kmeans's join-free update — the
     # per-round exchange carries K x dim partials regardless of corpus
-    # size — and the one-projection PQ encode, whose base wall is the
-    # single-split serialization artifact (slope < 1 expected: the 10x
-    # fixture is written 32-way)
+    # size — and the one-projection PQ encode. (Through r11 the PQ base
+    # wall was a single-split serialization artifact and slope < 1 was
+    # expected; r12 rebalances the encode, so base and 10x now
+    # parallelize alike and the honest expectation is ~linear.)
     "kmeans_embeddings",
     "ann_pq_codes",
     # the LSH link-prediction escalation (r6): scheme v2 shifts

@@ -207,6 +207,38 @@ def _flit_render(v) -> str:
     raise TypeError(f"flit: unsupported element type {type(v).__name__}")
 
 
+# --- Spark-SQL TEXT twins of the column folds above (r12) -------------------
+#
+# PySpark Column construction costs ~3 ms of gateway latency PER
+# OPERATOR on this driver (measured r12: 1000 trivial col ops = 3.2 s),
+# so the K x dim argmin helpers — a few hundred operators each — paid
+# 0.2-0.9 s of pure DRIVER time per query construction, re-paid on
+# every bench run and every k-means round. These render the IDENTICAL
+# expressions as SQL text for a single F.expr parse (same functions,
+# same casts, same operand order — the analyzer produces the same
+# resolved tree, so results are bit-for-bit; pinned by the oracle
+# parity gate over the whole ANN/k-means family). They are Spark-SQL
+# dialect — the DuckDB oracle twins live in plans/sqlfrag.py.
+
+def sp_double_dot(a: str, b: str) -> str:
+    """Spark-SQL text of :func:`double_dot` (plain double fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def sp_decimal_dot(a: str, b: str) -> str:
+    """Spark-SQL text of :func:`decimal_dot` (exact decimal fold)."""
+    dec = _DEC.upper()
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {dec})), "
+        f"CAST(0 AS {dec}), (acc, x) -> CAST(acc + x AS {dec})) AS DOUBLE)"
+    )
+
+
 def signed_hyperplane(seed: int, dim: int) -> list[int]:
     """Deterministic +-1 pseudo-random hyperplane from md5(seed|dim-index).
 

@@ -665,18 +665,25 @@ def _deletion_variants() -> F.Column:
     shares the constant 'Customer#' prefix (common-prefix lemma: equal
     prefixes never participate in an optimal edit script).
     """
-    d = F.substring("c_name", _NAME_PREFIX_LEN + 1, _NAME_DIGITS)
+    # Rendered as ONE Spark-SQL text parse (r12): the 46-variant tree is
+    # ~150 substring/concat operators, ~0.4 s of driver gateway latency
+    # per query build at ~3 ms/operator (vectors.sp_double_dot note).
+    # Same functions, same arguments — identical resolved tree, so the
+    # canopy is bit-identical (parity-gated). The text is static, built
+    # once at module import.
+    d = f"substring(c_name, {_NAME_PREFIX_LEN + 1}, {_NAME_DIGITS})"
 
-    def drop2(i: int, j: int) -> F.Column:  # i < j, 1-based
-        return F.concat(
-            F.substring(d, 1, i - 1),
-            F.substring(d, i + 1, j - i - 1),
-            F.substring(d, j + 1, _NAME_DIGITS - j),
+    def drop2(i: int, j: int) -> str:  # i < j, 1-based
+        return (
+            f"concat(substring({d}, 1, {i - 1}), "
+            f"substring({d}, {i + 1}, {j - i - 1}), "
+            f"substring({d}, {j + 1}, {_NAME_DIGITS - j}))"
         )
 
-    def drop1(i: int) -> F.Column:
-        return F.concat(
-            F.substring(d, 1, i - 1), F.substring(d, i + 1, _NAME_DIGITS - i)
+    def drop1(i: int) -> str:
+        return (
+            f"concat(substring({d}, 1, {i - 1}), "
+            f"substring({d}, {i + 1}, {_NAME_DIGITS - i}))"
         )
 
     variants = [d]
@@ -693,7 +700,7 @@ def _deletion_variants() -> F.Column:
     # different lengths and can never collide. array_distinct collapses
     # duplicates (deleting any of k equal adjacent chars yields one
     # variant), shrinking the explode well below 46 rows/name.
-    return F.array_distinct(F.array(*variants))
+    return F.expr(f"array_distinct(array({', '.join(variants)}))")
 
 
 @register(

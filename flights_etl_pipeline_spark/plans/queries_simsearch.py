@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from flights_etl_pipeline_spark.functions.scalar import dround, dsum
 from flights_etl_pipeline_spark.functions.vectors import (
+    _flit_render,
     cosine_from_parts,
     cosine_similarity,
     decimal_dot,
@@ -29,6 +30,8 @@ from flights_etl_pipeline_spark.functions.vectors import (
     hyperplane_lit,
     py_decimal_dot,
     signed_hyperplane,
+    sp_decimal_dot,
+    sp_double_dot,
 )
 from flights_etl_pipeline_spark.plans.registry import (
     load,
@@ -72,18 +75,17 @@ def _bucket_col(emb: str) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
-# (sf_dir identity, k) -> collected (cid, cvec, cnorm) tuples. The
-# quantizer is a frozen model: re-collecting it on every query
-# invocation would bill a ~0.5 s Spark job per call for bytes that
-# cannot change under a fixed fixture, so the cache keys on the
-# parquet's (mtime, size) and invalidates itself when the driver
-# regenerates the corpus.
-_CENTROID_CACHE: dict[tuple, list[tuple]] = {}
-
-
 def _centroids(spark: SparkSession, sf_dir: str, k: int = None) -> list[tuple]:
-    """Collect the K seeded centroids driver-side (memoized per fixture
-    identity) as (cid, cvec, cnorm) tuples sorted by cid.
+    """Collect the K seeded centroids driver-side as (cid, cvec, cnorm)
+    tuples sorted by cid — RE-COLLECTED on every invocation.
+
+    Through r11 this was memoized on the parquet's (mtime, size); r12
+    removed the memo: the optimization-round contract is that every
+    timed run computes from the parquet inputs, and a module-level memo
+    of a collected intermediate is exactly the cross-run reuse that
+    contract forbids, even for a frozen model. The re-collect is one
+    k-row filter job (~0.1-0.2 s warm), and the r12 plan-construction
+    work more than covers it.
 
     K x DIM floats is a constant-size model channel (the same sanctioned
     shape as ``label_centroids`` / ``pca_projection``: K=8, DIM=64 here;
@@ -92,37 +94,24 @@ def _centroids(spark: SparkSession, sf_dir: str, k: int = None) -> list[tuple]:
     double widening of the collected values is exact, so every dot
     against the literal is bit-identical to a dot against the column.
     """
-    import os
-
     k = K_CENTROIDS if k is None else k
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.abspath(path), k, st.st_mtime_ns, st.st_size)
-    except OSError:  # non-local path: fall back to an uncached collect
-        key = None
-    if key is None or key not in _CENTROID_CACHE:
-        emb = load(spark, sf_dir, "embeddings")
-        rows = (
-            emb.filter(F.col("vec_id") < k)
-            .select(
-                F.col("vec_id").alias("cid"),
-                F.col("embedding").alias("cvec"),
-            )
-            .select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    emb = load(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
         )
-        rows = model_channel(
-            rows, k, "frozen centroid set: vec_id < k filter yields at "
-            "most k rows by construction"
-        )
-        data = sorted(
-            (int(r["cid"]), [float(v) for v in r["cvec"]], float(r["cnorm"]))
-            for r in rows
-        )
-        if key is None:
-            return data
-        _CENTROID_CACHE[key] = data
-    return _CENTROID_CACHE[key]
+        .select("cid", "cvec", decimal_dot("cvec", "cvec").alias("cnorm"))
+    )
+    rows = model_channel(
+        rows, k, "frozen centroid set: vec_id < k filter yields at "
+        "most k rows by construction"
+    )
+    return sorted(
+        (int(r["cid"]), [float(v) for v in r["cvec"]], float(r["cnorm"]))
+        for r in rows
+    )
 
 
 # Two-phase prune margin for the row-local argmax: the double fold's
@@ -170,43 +159,36 @@ def _nearest_centroid(cents: list[tuple], emb_col: str = "embedding",
     (Spark expressions have no let; the lambda variable materializes
     the array once per row instead of once per reference).
     """
-    cids = flit([c[0] for c in cents])
-    cvecs = flit([list(c[1]) for c in cents])
-    cnorms = flit([c[2] for c in cents])
-    idx = flit(list(range(1, len(cents) + 1)))
-    dscored = F.transform(
-        idx,
-        lambda i: F.struct(
-            double_cos(
-                F.col(emb_col),
-                F.element_at(cvecs, i),
-                F.col(enorm_col),
-                F.element_at(cnorms, i),
-            ).alias("ds"),
-            i.alias("i"),
-        ),
+    # Rendered as ONE Spark-SQL text parse (r12): the Column-API build
+    # cost ~0.2 s of driver gateway latency per call (~3 ms/operator;
+    # see vectors.sp_double_dot). Same functions, casts, and operand
+    # order — the analyzer resolves the identical tree, so results are
+    # bit-for-bit (parity-gated). Structural delta only: the winning
+    # struct is let-bound through a 1-element transform so
+    # array_max(rescored) evaluates once, not once per output field.
+    cids = _flit_render([c[0] for c in cents])
+    cvecs = _flit_render([list(c[1]) for c in cents])
+    cnorms = _flit_render([c[2] for c in cents])
+    idx = _flit_render(list(range(1, len(cents) + 1)))
+    dscored = (
+        f"transform({idx}, i -> named_struct('ds', "
+        f"{sp_double_dot(emb_col, f'element_at({cvecs}, i)')} "
+        f"/ SQRT({enorm_col} * element_at({cnorms}, i)), 'i', i))"
     )
-
-    def _pick(ds):
-        dmax = F.array_max(ds)["ds"]
-        cand = F.filter(ds, lambda s: s["ds"] >= dmax - F.lit(_NC_MARGIN))
-        rescored = F.transform(
-            cand,
-            lambda s: F.struct(
-                cosine_from_parts(
-                    decimal_dot(F.col(emb_col), F.element_at(cvecs, s["i"])),
-                    F.col(enorm_col),
-                    F.element_at(cnorms, s["i"]),
-                ).alias("cs"),
-                (-F.element_at(cids, s["i"])).alias("nc"),
-            ),
-        )
-        best = F.array_max(rescored)
-        return F.struct(
-            (-best["nc"]).cast("long").alias("cid"), best["cs"].alias("cs")
-        )
-
-    return F.element_at(F.transform(F.array(dscored), _pick), 1)
+    rescored = (
+        f"transform(filter(ds, s -> s.ds >= array_max(ds).ds "
+        f"- {_NC_MARGIN!r}D), s -> named_struct('cs', "
+        f"{sp_decimal_dot(emb_col, f'element_at({cvecs}, s.i)')} "
+        f"/ SQRT({enorm_col} * element_at({cnorms}, s.i)), "
+        f"'nc', -element_at({cids}, s.i)))"
+    )
+    pick = (
+        f"element_at(transform(array(array_max({rescored})), best -> "
+        f"named_struct('cid', CAST(-best.nc AS BIGINT), 'cs', best.cs)), 1)"
+    )
+    return F.expr(
+        f"element_at(transform(array({dscored}), ds -> {pick}), 1)"
+    )
 
 
 def _nearest_cid(cents: list[tuple], emb_col: str = "embedding") -> F.Column:
@@ -230,51 +212,40 @@ def _nearest_cid(cents: list[tuple], emb_col: str = "embedding") -> F.Column:
     let-bound through a transform over a 1-element array so they
     evaluate once per row even after Catalyst collapses projections.
     """
-    cids = flit([c[0] for c in cents])
-    cvecs = flit([list(c[1]) for c in cents])
-    cnorms = flit([c[2] for c in cents])
-    idx = flit(list(range(1, len(cents) + 1)))
-    emb = F.col(emb_col)
-
-    def _pick(ds):
-        dmax = F.array_max(ds)["ds"]
-        cand = F.filter(ds, lambda s: s["ds"] >= dmax - F.lit(_NC_MARGIN))
-        enorm = decimal_dot(emb, emb)  # lazy: ambiguous branch only
-        rescored = F.transform(
-            cand,
-            lambda s: F.struct(
-                cosine_from_parts(
-                    decimal_dot(emb, F.element_at(cvecs, s["i"])),
-                    enorm,
-                    F.element_at(cnorms, s["i"]),
-                ).alias("cs"),
-                (-F.element_at(cids, s["i"])).alias("nc"),
-            ),
-        )
-        return F.when(
-            F.size(cand) == 1,
-            F.element_at(cids, F.element_at(cand, 1)["i"]),
-        ).otherwise(-F.array_max(rescored)["nc"])
-
-    def _score(dn):
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                (
-                    double_dot(emb, F.element_at(cvecs, i))
-                    / F.sqrt(dn * F.element_at(cnorms, i))
-                ).alias("ds"),
-                i.alias("i"),
-            ),
-        )
-
-    return F.element_at(
-        F.transform(
-            F.array(double_dot(emb, emb)),
-            lambda dn: F.element_at(F.transform(F.array(_score(dn)), _pick), 1),
-        ),
-        1,
-    ).cast("long")
+    # Rendered as ONE Spark-SQL text parse (r12; see _nearest_centroid's
+    # note — same bit-identical-tree argument, parity-gated). CASE WHEN
+    # keeps its lazy contract: the exact decimal folds still never
+    # evaluate on unambiguous rows.
+    cids = _flit_render([c[0] for c in cents])
+    cvecs = _flit_render([list(c[1]) for c in cents])
+    cnorms = _flit_render([c[2] for c in cents])
+    idx = _flit_render(list(range(1, len(cents) + 1)))
+    score = (
+        f"transform({idx}, i -> named_struct('ds', "
+        f"{sp_double_dot(emb_col, f'element_at({cvecs}, i)')} "
+        f"/ SQRT(dn * element_at({cnorms}, i)), 'i', i))"
+    )
+    rescored = (
+        f"transform(filter(ds, s -> s.ds >= array_max(ds).ds "
+        f"- {_NC_MARGIN!r}D), s -> named_struct('cs', "
+        f"{sp_decimal_dot(emb_col, f'element_at({cvecs}, s.i)')} "
+        f"/ SQRT({sp_decimal_dot(emb_col, emb_col)} "
+        f"* element_at({cnorms}, s.i)), "
+        f"'nc', -element_at({cids}, s.i)))"
+    )
+    pick = (
+        f"CASE WHEN size(filter(ds, s -> s.ds >= array_max(ds).ds "
+        f"- {_NC_MARGIN!r}D)) = 1 THEN element_at({cids}, "
+        f"element_at(filter(ds, s -> s.ds >= array_max(ds).ds "
+        f"- {_NC_MARGIN!r}D), 1).i) "
+        f"ELSE -array_max({rescored}).nc END"
+    )
+    return F.expr(
+        f"CAST(element_at(transform(array("
+        f"{sp_double_dot(emb_col, emb_col)}), dn -> "
+        f"element_at(transform(array({score}), ds -> {pick}), 1)), 1) "
+        f"AS BIGINT)"
+    )
 
 
 def _probe_select(
@@ -1257,10 +1228,6 @@ GROUP BY vec_id
 """
 
 
-# (sf_dir identity) -> per-subspace codebook [m][ (cid, cv, cnorm) ].
-# Same frozen-model channel + invalidation story as _CENTROID_CACHE.
-_PQ_CB_CACHE: dict[tuple, list[list[tuple]]] = {}
-
 # Argmin prune margin in raw L2 units: the three double folds err by
 # < dim * 1e-13 combined; any codeword whose exact dist exceeds the
 # minimum by more than the margin cannot win the (dist, cid) ordering.
@@ -1268,51 +1235,40 @@ _PQ_MARGIN = 1e-6
 
 
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[tuple]]:
-    """Collect the seeded PQ codebook driver-side (memoized per fixture
-    identity): for each subspace m, the {PQ_K} codeword subvectors with
-    norms computed by Spark's own decimal fold before collection —
-    M x K x {PQ_SUB} doubles, a constant-size frozen model exactly like
-    `_centroids`."""
-    import os
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
-    if key is None or key not in _PQ_CB_CACHE:
-        emb = load(spark, sf_dir, "embeddings")
-        rows = (
-            emb.filter(F.col("vec_id") < PQ_K)
-            .select(
-                F.col("vec_id").alias("cid"),
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-                            for m in range(PQ_M)
-                        ]
-                    )
-                ).alias("m", "cv"),
-            )
-            .withColumn("cnorm", decimal_dot("cv", "cv"))
+    """Collect the seeded PQ codebook driver-side, RE-COLLECTED on
+    every invocation (r12 dropped the fixture-keyed memo — see
+    `_centroids` for the contract rationale): for each subspace m, the
+    {PQ_K} codeword subvectors with norms computed by Spark's own
+    decimal fold before collection — M x K x {PQ_SUB} doubles, a
+    constant-size frozen model exactly like `_centroids`."""
+    emb = load(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("m", "cv"),
         )
-        rows = model_channel(
-            rows, PQ_K * PQ_M, "PQ codebook: PQ_K centroid vectors x "
-            "PQ_M subspaces"
+        .withColumn("cnorm", decimal_dot("cv", "cv"))
+    )
+    rows = model_channel(
+        rows, PQ_K * PQ_M, "PQ codebook: PQ_K centroid vectors x "
+        "PQ_M subspaces"
+    )
+    data: list[list[tuple]] = [[] for _ in range(PQ_M)]
+    for r in rows:
+        data[r["m"]].append(
+            (int(r["cid"]), [float(v) for v in r["cv"]], float(r["cnorm"]))
         )
-        data: list[list[tuple]] = [[] for _ in range(PQ_M)]
-        for r in rows:
-            data[r["m"]].append(
-                (int(r["cid"]), [float(v) for v in r["cv"]], float(r["cnorm"]))
-            )
-        for m in range(PQ_M):
-            data[m].sort()
-        if key is None:
-            return data
-        _PQ_CB_CACHE[key] = data
-    return _PQ_CB_CACHE[key]
+    for m in range(PQ_M):
+        data[m].sort()
+    return data
 
 
 def _pq_best_rowlocal(cents_m: list[tuple], m: int) -> F.Column:
@@ -1325,56 +1281,37 @@ def _pq_best_rowlocal(cents_m: list[tuple], m: int) -> F.Column:
     ``dist`` always the exact value (it feeds quant_err). The subvector
     slice and its double norm are each let-bound through a transform
     over a 1-element array so they evaluate once per row."""
-    cids = flit([c[0] for c in cents_m])
-    cvecs = flit([list(c[1]) for c in cents_m])
-    cnorms = flit([c[2] for c in cents_m])
-    idx = flit(list(range(1, len(cents_m) + 1)))
-
-    def _dscored(sv, dn):
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                (
-                    dn
-                    - 2 * double_dot(sv, F.element_at(cvecs, i))
-                    + F.element_at(cnorms, i)
-                ).alias("ds"),
-                i.alias("i"),
-            ),
-        )
-
-    def _pick(sv, ds):
-        dmin = F.array_min(ds)["ds"]
-        cand = F.filter(ds, lambda s: s["ds"] <= dmin + F.lit(_PQ_MARGIN))
-        rescored = F.transform(
-            cand,
-            lambda s: F.struct(
-                (
-                    decimal_dot(sv, sv)
-                    - 2 * decimal_dot(sv, F.element_at(cvecs, s["i"]))
-                    + F.element_at(cnorms, s["i"])
-                ).alias("dist"),
-                F.element_at(cids, s["i"]).alias("cid"),
-            ),
-        )
-        best = F.array_min(rescored)
-        return F.struct(best["cid"].alias("cid"), best["dist"].alias("dist"))
-
-    return F.element_at(
-        F.transform(
-            F.array(F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)),
-            lambda sv: F.element_at(
-                F.transform(
-                    F.array(double_dot(sv, sv)),
-                    lambda dn: F.element_at(
-                        F.transform(F.array(_dscored(sv, dn)), lambda ds: _pick(sv, ds)),
-                        1,
-                    ),
-                ),
-                1,
-            ),
-        ),
-        1,
+    # Rendered as ONE Spark-SQL text parse (r12; see _nearest_centroid's
+    # note — same bit-identical-tree argument, parity-gated; built 4x
+    # per PQ query, the Column-API build cost ~0.9 s total). Structural
+    # delta only: the winning struct is let-bound through a 1-element
+    # transform so array_min(rescored) evaluates once.
+    cids = _flit_render([c[0] for c in cents_m])
+    cvecs = _flit_render([list(c[1]) for c in cents_m])
+    cnorms = _flit_render([c[2] for c in cents_m])
+    idx = _flit_render(list(range(1, len(cents_m) + 1)))
+    dscored = (
+        f"transform({idx}, i -> named_struct('ds', "
+        f"dn - 2 * {sp_double_dot('sv', f'element_at({cvecs}, i)')} "
+        f"+ element_at({cnorms}, i), 'i', i))"
+    )
+    rescored = (
+        f"transform(filter(ds, s -> s.ds <= array_min(ds).ds "
+        f"+ {_PQ_MARGIN!r}D), s -> named_struct('dist', "
+        f"{sp_decimal_dot('sv', 'sv')} "
+        f"- 2 * {sp_decimal_dot('sv', f'element_at({cvecs}, s.i)')} "
+        f"+ element_at({cnorms}, s.i), "
+        f"'cid', element_at({cids}, s.i)))"
+    )
+    pick = (
+        f"element_at(transform(array(array_min({rescored})), best -> "
+        f"named_struct('cid', best.cid, 'dist', best.dist)), 1)"
+    )
+    return F.expr(
+        f"element_at(transform("
+        f"array(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB})), sv -> "
+        f"element_at(transform(array({sp_double_dot('sv', 'sv')}), dn -> "
+        f"element_at(transform(array({dscored}), ds -> {pick}), 1)), 1)), 1)"
     )
 
 
@@ -2425,9 +2362,9 @@ def _batch_serve_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     # exact self-dots via the bit-exact oracle twin: the final cosine's
     # qnorm must equal what sql_cosine computes in DuckDB
     qnorms = [py_decimal_dot(v, v) for v in qvecs]
-    qv_lit = F.lit(qvecs)  # ONE nested literal (never per-element trees)
-    qn_lit = F.lit(qnorms)
-    qid_lit = F.lit(qids)
+    qv_lit = flit(qvecs)  # ONE JVM-parsed literal (never per-element trees)
+    qn_lit = flit(qnorms)
+    qid_lit = flit(qids)
 
     dbl = emb.withColumn("enorm_d", double_dot("embedding", "embedding"))
     scores_d = F.transform(
@@ -2466,7 +2403,7 @@ def _batch_serve_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         # one full bucket of slack: covers both the double-fold error and
         # boundary wobble in the bucket assignment itself
         thresholds.append((floor_b - 1) / _BATCH_BUCKETS)
-    thr_lit = F.lit(thresholds)
+    thr_lit = flit(thresholds)
 
     surv = (
         dbl.select(
