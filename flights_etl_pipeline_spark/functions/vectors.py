@@ -197,6 +197,10 @@ def _flit_render(v) -> str:
     if isinstance(v, bool):
         raise TypeError("flit: bool literals unsupported")
     if isinstance(v, int):
+        # fail at render time with a clear message, not later with an
+        # opaque ParseException on the 'L' suffix (ADVICE r12)
+        if not -(2**63) <= v < 2**63:
+            raise ValueError(f"flit: int out of int64 range {v!r}")
         if -(2**31) <= v < 2**31:
             return str(v)
         return f"{v}L"

@@ -166,6 +166,12 @@ def _nearest_centroid(cents: list[tuple], emb_col: str = "embedding",
     # bit-for-bit (parity-gated). Structural delta only: the winning
     # struct is let-bound through a 1-element transform so
     # array_max(rescored) evaluates once, not once per output field.
+    # The SQL-text path interpolates column names raw — only plain
+    # identifiers are accepted (ADVICE r12: a name needing backticks
+    # would silently mis-parse where the old F.col() tolerated it).
+    assert emb_col.isidentifier() and enorm_col.isidentifier(), (
+        emb_col, enorm_col,
+    )
     cids = _flit_render([c[0] for c in cents])
     cvecs = _flit_render([list(c[1]) for c in cents])
     cnorms = _flit_render([c[2] for c in cents])
@@ -216,6 +222,7 @@ def _nearest_cid(cents: list[tuple], emb_col: str = "embedding") -> F.Column:
     # note — same bit-identical-tree argument, parity-gated). CASE WHEN
     # keeps its lazy contract: the exact decimal folds still never
     # evaluate on unambiguous rows.
+    assert emb_col.isidentifier(), emb_col  # raw SQL-text interpolation
     cids = _flit_render([c[0] for c in cents])
     cvecs = _flit_render([list(c[1]) for c in cents])
     cnorms = _flit_render([c[2] for c in cents])
@@ -1866,6 +1873,12 @@ def pca_projection(
     mu = [
         r["mu"] for r in sorted(s_rows, key=lambda r: r["i"])
     ]
+    # every per-dim explode count must agree (fixed 64-dim arrays —
+    # make the invariant explicit instead of trusting s_rows[0] to be
+    # representative; ADVICE r12: a null/short embedding would silently
+    # desync n from the old cov_src.count() semantics)
+    cnts = {r["cnt"] for r in s_rows}
+    assert len(cnts) == 1, f"ragged embedding dims: per-dim counts {cnts}"
     n = s_rows[0]["cnt"]
     s = {
         (r["i"], j): r[f"s{j}"] for r in s_rows for j in range(64)

@@ -342,3 +342,62 @@ def test_vocab_fixture_preserves_df_distribution(spark):
 
     bh, gh = df_hist(base), df_hist(big)
     assert gh == {k: r * v for k, v in bh.items()}
+
+
+def test_compact_lines_carry_per_query_map_and_fit_tail():
+    """The driver parses the LAST JSON line of a ~2 KB stdout tail; it
+    must carry the contract fields AND the per-query map (VERDICT r12
+    items 1-2: per_query was empty every round because the map lived
+    only in the head-truncated full record)."""
+    import json
+
+    import bench as b
+
+    timings = {f"query_name_{i:02d}": 0.5 + i / 100 for i in range(57)}
+    worst3 = b._worst3(timings)
+    full = {"value": round(sum(timings.values()), 3), "sf": 0.1}
+    spot = {
+        "queries": {
+            f"spot_{i}": {"scaleup_band": [1.0, 1.5, 2.0]} for i in range(29)
+        }
+    }
+    quiet = {"total": 63.355, "source": "BENCH_LOCAL_r12", "worst3": {}}
+    episode = {"q:wall": {"run": 3.0, "isolated": 1.0}}
+    slopes_line, final_line = b._compact_lines(
+        timings, full, worst3, quiet, spot, episode
+    )
+    assert len(final_line) <= b._TAIL_BUDGET
+    parsed = json.loads(final_line)
+    for key in ("metric", "value", "unit", "sf", "queries"):
+        assert key in parsed, key
+    assert parsed["metric"] == "bench_total"
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"].keys() == timings.keys()
+    assert parsed["value"] == full["value"]
+    assert parsed["episode_n"] == 1
+    assert parsed["quiet_ref"] == {"total": 63.355, "source": "BENCH_LOCAL_r12"}
+    slopes = json.loads(slopes_line)
+    assert slopes["metric"] == "bench_slopes"
+    assert slopes["sf1_scaleup"]["spot_0"] == [1.0, 1.5, 2.0]
+
+
+def test_compact_final_line_degrades_before_dropping_queries():
+    """Self-sizing: with an oversized query set the final line sheds
+    precision and derivable fields (worst3, quiet_ref) but NEVER the
+    contract fields or the per-query map."""
+    import json
+
+    import bench as b
+
+    timings = {f"very_long_query_name_padding_{i:03d}": 1.234 for i in range(80)}
+    worst3 = b._worst3(timings)
+    full = {"value": 98.72, "sf": 0.1}
+    quiet = {"total": 63.355, "source": "BENCH_LOCAL_r12", "worst3": {}}
+    _, final_line = b._compact_lines(
+        timings, full, worst3, quiet, {"queries": {}}, {}
+    )
+    parsed = json.loads(final_line)
+    assert parsed["queries"].keys() == timings.keys()
+    # degraded: centisecond values, derivable fields shed
+    assert parsed["queries"]["very_long_query_name_padding_000"] == 1.23
+    assert "worst3" not in parsed

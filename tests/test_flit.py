@@ -62,3 +62,18 @@ def test_flit_rejects_nonfinite_and_nonnumeric():
         flit(["a"])
     with pytest.raises(TypeError):
         flit([True])
+
+
+def test_flit_rejects_out_of_int64_range(spark):
+    """An int beyond int64 must fail at RENDER time with a clear error,
+    not later at Spark parse time with an opaque ParseException on the
+    'L' suffix (ADVICE r12)."""
+    with pytest.raises(ValueError):
+        flit([2**63])
+    with pytest.raises(ValueError):
+        flit([-(2**63) - 1])
+    # boundaries stay renderable and round-trip exactly
+    assert _one(spark, flit([2**63 - 1, -(2**63)])) == [
+        2**63 - 1,
+        -(2**63),
+    ]

@@ -1,7 +1,8 @@
-"""Dump explain("formatted") for named queries into plans/r12/.
+"""Dump explain("formatted") for named queries into plans/r<N>/
+(N from $SPARK_GRAFT_ROUND, default 13).
 
 Optimization-round evidence: for each named query, writes
-``plans/r12/<query>_<tag>.txt`` (tag = before/after) with the formatted
+``plans/r<N>/<query>_<tag>.txt`` (tag = before/after) with the formatted
 physical plan at sf0.001, under plan-audit mode so checkpoint-returning
 queries expose their real operator tree (same convention as
 tools/gen_explains.py). Driver-side iterative queries (kmeans, PCA,
@@ -31,7 +32,9 @@ def main() -> None:
 
     tag = sys.argv[1]
     names = sys.argv[2:]
-    outdir = os.path.join(REPO, "plans", "r12")
+    outdir = os.path.join(
+        REPO, "plans", f"r{os.environ.get('SPARK_GRAFT_ROUND', '13')}"
+    )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("opt-explain")
     qs = q.queries()

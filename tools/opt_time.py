@@ -1,10 +1,12 @@
 """Per-query timing harness for the optimization rounds.
 
 Times named registered queries (default: the bench set) end-to-end with
-the noop sink — same methodology as bench.py (_N_RUNS runs, median,
-cache cleared between runs, warmup excluded) — without paying for the
-whole 53-query sweep. Used for before/after A/B evidence while
-iterating; the committed record stays bench.py's.
+the noop sink — same methodology as bench.py (_N_RUNS runs, median via
+the same upper-median-for-even-n convention `runs[len//2]`, cache
+cleared between runs, SESSION warmup excluded; each query's first run
+still pays its own plan-compilation like bench.py's does) — without
+paying for the whole 53-query sweep. Used for before/after A/B evidence
+while iterating; the committed record stays bench.py's.
 
 Usage: python tools/opt_time.py [--sf DIR] [--runs N] query [query ...]
 """
