@@ -109,6 +109,21 @@ _SF1_SPOT = (
     # honest-linear behind the loop's fixed scheduling floor).
     "ann_two_stage_rerank",
     "snapshot_isolation_read",
+    # r12 build-wave operators with hand-measured SCALE.md bands only,
+    # promoted so the bench records driver-visible bands (VERDICT r12
+    # item 5 — "the expensive ones"): the snapshot/CDC-log family reads
+    # the replicated customer table (c_custkey shifts by its domain, so
+    # each replica is a disjoint 7-commit log: honest 10x log volume),
+    # the cascade reads the replicated embeddings against the same
+    # frozen model. Hand bands at promotion: snapshot_expire
+    # [2.58, 2.61, 3.0], snapshot_changes [1.88, 2.85, 3.57],
+    # ivm_maintain_changefeed [1.59, 2.44, 2.61], ann_cascade_topk
+    # [0.89, 0.94, 0.95] (FLAT — tier budgets bound every stage past
+    # the mask scan).
+    "snapshot_expire",
+    "snapshot_changes",
+    "ivm_maintain_changefeed",
+    "ann_cascade_topk",
 )
 _SF1_REPLICAS = 10
 # Bump when the replication rule below changes in ANY way: the tag is

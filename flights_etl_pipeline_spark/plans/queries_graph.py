@@ -482,11 +482,28 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist is |customers|-shaped (model-side, not corpus-shaped edge
     data) and the hub-filter join strategy is AQE's call — supplier
     cardinality grows with SF, so no forced broadcast."""
+    # r13: the projection/condition trees below render as SQL text
+    # (selectExpr / F.expr, one gateway call each) instead of ~150
+    # Column-API operators — the r12 flit/SQL-text discipline (guide §4
+    # applied to plan construction; ~3 ms py4j latency per operator,
+    # measured). Same functions, same casts, same operand order: the
+    # analyzer resolves the identical tree, so results are bit-for-bit
+    # (collect-equality checked against the Column build at sf0.1,
+    # then the oracle parity gate). Interleaved A/B median 1.85 ->
+    # 1.74 s at sf0.1. Measured NEGATIVE and rejected this round
+    # (OPTIMIZATION_r13.md): persisting `raw` or a deduped edge list
+    # to kill the second fact join (the persist costs more than the
+    # broadcast-side rejoin; at scale the SMJ fact-join exchanges are
+    # canonically identical in both subtrees, so ReuseExchange already
+    # dedups them); a one-pass aggregate-fold minhash (allocates an
+    # 8-wide array per element — slower than 8 array_min transforms);
+    # a singleton-bucket prune before the band self-join (the window
+    # count's extra shuffle outweighs the join input cut).
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     raw = orders.join(
         lineitem, orders.o_orderkey == lineitem.l_orderkey
-    ).select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+    ).selectExpr("o_custkey AS c", "l_suppkey AS s")
     sd = raw.groupBy("s").agg(F.countDistinct("c").alias("ds"))
     el = raw.join(sd.filter(F.col("ds") <= _HUB_CAP).select("s"), "s")
     P = 1000000007
@@ -501,13 +518,12 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # suppliers), which is the supplier-dimension size, not the
         # corpus size.
         .filter(F.size("ns") <= _CUST_CAP)
-        .select(
+        .selectExpr(
             "c",
             "ns",
             *[
-                F.array_min(
-                    F.expr(f"transform(ns, s -> ({a}L * (s % {P}L) + {b}L) % {P}L)")
-                ).alias(f"h{j}")
+                f"array_min(transform(ns, s -> "
+                f"({a}L * (s % {P}L) + {b}L) % {P}L)) AS h{j}"
                 for j, (a, b) in enumerate(_LP_PARAMS)
             ],
         )
@@ -518,49 +534,33 @@ def copurchase_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the shuffle subtree), while the explode emits all bands in
     # the same task that aggregated the signature — the `_minhash_bands`
     # shape queries_dedup.py uses
-    bands = sig.select(
-        "c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            F.col(f"h{2 * b}").cast("string"),
-                            F.col(f"h{2 * b + 1}").cast("string"),
-                        ).alias("bsig"),
-                    )
-                    for b in range(_LP_N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("c", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    band_structs = ",".join(
+        f"named_struct('band', {b}, 'bsig', concat_ws('_', "
+        f"CAST(h{2 * b} AS STRING), CAST(h{2 * b + 1} AS STRING)))"
+        for b in range(_LP_N_BANDS)
+    )
+    bands = sig.selectExpr(
+        "c", f"explode(array({band_structs})) AS bb"
+    ).selectExpr("c", "bb.band AS band", "bb.bsig AS bsig")
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bsig") == F.col("y.bsig"))
-            & (F.col("x.c") < F.col("y.c")),
-        )
-        .select(F.col("x.c").alias("ca"), F.col("y.c").alias("cb"))
+        x.join(y, F.expr("x.band = y.band AND x.bsig = y.bsig AND x.c < y.c"))
+        .selectExpr("x.c AS ca", "y.c AS cb")
         .distinct()
     )
-    na = sig.select(F.col("c").alias("ca"), F.col("ns").alias("ns_a"))
-    nb = sig.select(F.col("c").alias("cb"), F.col("ns").alias("ns_b"))
-    common = F.size(F.array_intersect("ns_a", "ns_b"))
-    uni = F.size("ns_a") + F.size("ns_b") - common
+    na = sig.selectExpr("c AS ca", "ns AS ns_a")
+    nb = sig.selectExpr("c AS cb", "ns AS ns_b")
+    common = "size(array_intersect(ns_a, ns_b))"
+    uni = f"(size(ns_a) + size(ns_b) - {common})"
     out = (
         cand.join(na, "ca")
         .join(nb, "cb")
-        .select(
-            F.col("ca").alias("cust_a"),
-            F.col("cb").alias("cust_b"),
-            common.cast("bigint").alias("n_common"),
-            (
-                F.floor(common.cast("double") / uni * 1000000 + 0.5) / 1000000
-            ).alias("jaccard"),
+        .selectExpr(
+            "ca AS cust_a",
+            "cb AS cust_b",
+            f"CAST({common} AS BIGINT) AS n_common",
+            f"FLOOR(CAST({common} AS DOUBLE) / {uni} * 1000000 + 0.5D) "
+            f"/ 1000000 AS jaccard",
         )
         .filter(F.col("n_common") > 0)
         .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")

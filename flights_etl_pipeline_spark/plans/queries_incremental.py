@@ -1163,6 +1163,7 @@ LEFT JOIN log l
     survey=[
         "snapshot-expire", "manifest-compaction", "cdc-log", "incremental",
     ],
+    bench=True,  # r13: promoted into headline + _SF1_SPOT (VERDICT item 5)
 )
 def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style `expire_snapshots` + manifest compaction over the
@@ -1300,6 +1301,7 @@ WHERE gen_to > COALESCE(gen_from, -1)
     "snapshot_changes",
     oracle=SNAPSHOT_CHANGES_SQL,
     survey=["changefeed", "cdf", "table-changes", "cdc-log", "incremental"],
+    bench=True,  # r13: promoted into headline + _SF1_SPOT (VERDICT item 5)
 )
 def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg `table_changes` / Delta Change Data Feed between two
@@ -1431,6 +1433,7 @@ GROUP BY 1
         "incremental-view-maintenance", "changefeed", "retraction",
         "G3-family", "incremental",
     ],
+    bench=True,  # r13: promoted into headline + _SF1_SPOT (VERDICT item 5)
 )
 def ivm_maintain_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction-aware incremental view maintenance: a standing

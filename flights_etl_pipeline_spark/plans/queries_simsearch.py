@@ -38,6 +38,7 @@ from flights_etl_pipeline_spark.plans.registry import (
     model_channel,
     rebalance,
     register,
+    result_checkpoint,
 )
 from flights_etl_pipeline_spark.plans.sqlfrag import sql_cosine, sql_decimal_dot
 
@@ -3108,6 +3109,7 @@ FROM rer WHERE rank <= {_CSC_K}
         "ann-cascade", "binary-quantization", "simsearch-ivf",
         "simsearch-pq", "serving-composition",
     ],
+    bench=True,  # r13: promoted into headline + _SF1_SPOT (VERDICT item 5)
 )
 def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascaded three-tier ANN serve — the staged-escalation pattern a
@@ -3145,22 +3147,34 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     completes the serving family begun by ann_batch_serve (r9),
     ann_binary_hamming_topk (r10), and ann_two_stage_rerank (r11)."""
     emb = load(spark, sf_dir, "embeddings")
-    m = emb.select(
+    # r13 (guide §8, decide with small rows / move heavy rows once):
+    # tier 0's two consumers (the histogram pass and the candidate
+    # filter) used to EACH recompute the 2 x 64-element sign-mask folds
+    # over the corpus and drag the embedding column through the
+    # crossJoin. The masks are now computed ONCE into a skinny
+    # persisted decision table (vec_id + two longs, ~24 B/row — the
+    # lightweight proxy; at 100 TB a MEMORY_AND_DISK cache or a
+    # recompute, a config choice, never a shuffle), both tier-0 passes
+    # read that cache, and the heavy embedding column is attached by
+    # broadcasting the BOUNDED tier-0 survivor set (~budget x queries
+    # rows) against one corpus scan — the embedding is scanned, never
+    # shuffled, and its fold work starts only above the Hamming cut.
+    # Interleaved A/B at sf0.1: 2.94 -> 2.79 s median; results
+    # bit-identical (collect-equality + oracle parity).
+    mt = emb.select(
         "vec_id",
-        "embedding",
         _sign_mask(32, 1).alias("w_lo"),
         _sign_mask(64, 33).alias("w_hi"),
-    )
-    q = m.filter(F.col("vec_id") < _CSC_Q).select(
+    ).persist()
+    q = emb.filter(F.col("vec_id") < _CSC_Q).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
-        F.col("w_lo").alias("qlo"),
-        F.col("w_hi").alias("qhi"),
+        _sign_mask(32, 1).alias("qlo"),
+        _sign_mask(64, 33).alias("qhi"),
     )
-    h = m.crossJoin(F.broadcast(q)).select(
+    h = mt.crossJoin(F.broadcast(q.select("qid", "qlo", "qhi"))).select(
         "qid",
         "vec_id",
-        "embedding",
         (
             F.bit_count(F.expr("w_lo ^ qlo"))
             + F.bit_count(F.expr("w_hi ^ qhi"))
@@ -3178,8 +3192,13 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.min("ham").alias("hstar"))
     )
-    cand0 = h.join(F.broadcast(thr), "qid", "left").filter(
-        F.col("hstar").isNull() | (F.col("ham") <= F.col("hstar"))
+    cand0 = (
+        h.join(F.broadcast(thr), "qid", "left")
+        .filter(F.col("hstar").isNull() | (F.col("ham") <= F.col("hstar")))
+        .select("qid", "vec_id", "ham")
+    )
+    cand0 = F.broadcast(cand0).join(
+        emb.select("vec_id", "embedding"), "vec_id"
     )
     # frozen model: coarse centroids, PQ codebook, per-query probe
     # lists and ADC tables (the queries are centroids, so their exact
@@ -3247,7 +3266,7 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
-    return (
+    out = (
         shortlist.join(F.broadcast(qn), "qid")
         .select(
             "qid", "vec_id", "ham", "approx_dot",
@@ -3257,6 +3276,11 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _CSC_K)
         .select("qid", "rank", "vec_id", "ham", "approx_dot", "cosine")
     )
+    # k x Q rows: eager checkpoint releases the mask-table cache
+    # (the pagerank/tfidf discipline)
+    out = result_checkpoint(out)
+    mt.unpersist()
+    return out
 
 
 ann_cascade_topk.__doc__ = ann_cascade_topk.__doc__.format(

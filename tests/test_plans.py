@@ -689,19 +689,24 @@ def test_snapshot_isolation_read_single_shuffle(spark):
 
 
 def test_ann_cascade_bounded_exchanges(spark):
-    """ann_cascade_topk's scale contract (r12): the only shuffle
-    exchanges are the three bounded qid-keyed ones — the (qid, ham)
-    histogram (<= Q x 65 groups), the ADC shortlist rank, and the
-    final rerank window — both ranks WindowGroupLimit-bounded; the
-    model tiers (centroid assignment, probe filter, PQ encode, ADC
-    lookups) are row-local literals, thresholds/queries ride
-    broadcasts, and nothing corpus-sized sorts, shuffle-joins, or
-    leaves the JVM."""
+    """ann_cascade_topk's scale contract (r12, tightened r13): the only
+    shuffle exchanges are the three bounded qid-keyed ones — the
+    (qid, ham) histogram (<= Q x 65 groups), the ADC shortlist rank,
+    and the final rerank window — both ranks WindowGroupLimit-bounded;
+    the model tiers (centroid assignment, probe filter, PQ encode, ADC
+    lookups) are row-local literals, thresholds/queries/survivors ride
+    broadcasts (r13: the embedding column attaches to tier-0 survivors
+    by a broadcast join against one corpus scan — never a shuffle),
+    and nothing corpus-sized sorts, shuffle-joins, or leaves the JVM.
+    r13 also checkpoints the result to release the skinny mask-table
+    cache, so the plan is read under audit mode (minhash precedent)."""
     from flights_etl_pipeline_spark.plans.queries_simsearch import (
         ann_cascade_topk,
     )
+    from flights_etl_pipeline_spark.plans.registry import plan_audit_mode
 
-    plan = plan_str(ann_cascade_topk(spark, SF_DIR), mode="simple")
+    with plan_audit_mode():
+        plan = plan_str(ann_cascade_topk(spark, SF_DIR), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 3
     assert plan.count("hashpartitioning(qid") == 3
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
