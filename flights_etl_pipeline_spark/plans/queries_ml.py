@@ -949,6 +949,14 @@ def _fh(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _fh_sql_spark(expr: str) -> str:
+    """Spark-SQL TEXT twin of :func:`_fh` (r13, the vectors.sp_* pattern:
+    same functions/casts for a single F.expr parse instead of per-call
+    Column construction). NOT the DuckDB oracle twin — that is
+    :func:`_fh_sql` above."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 FEATURE_HASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS token
@@ -2126,70 +2134,58 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCRUB_POS_BASE,
     )
 
+    # r13: the scrub/gate/DSIR projection trees render as SQL text (one
+    # selectExpr/F.expr parse each, the r12 flit/SQL-text discipline —
+    # guide §4 on plan construction; the Column build cost ~0.55 s
+    # driver latency per invocation). Same functions, casts, operand
+    # order — identical resolved trees, results bit-for-bit
+    # (collect-equality at sf0.1 + oracle parity). Interleaved A/B:
+    # 3.45 -> 3.05 s median.
     docs = load(spark, sf_dir, "documents")
-    toks0 = docs.select("doc_id", F.split("text", " ").alias("t"))
-    n_chunks_col = F.ceil(F.size("t") / F.lit(float(_SCRUB_CHUNK))).cast(
-        "int"
-    )
-    chunks = toks0.select(
+    chunks = docs.selectExpr(
+        "doc_id", "split(text, ' ') AS t"
+    ).selectExpr(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), n_chunks_col - 1)).alias("cidx"),
+        f"explode(sequence(0, CAST(CEIL(size(t) / "
+        f"{float(_SCRUB_CHUNK)!r}D) AS INT) - 1)) AS cidx",
         "t",
-    ).select(
+    ).selectExpr(
         "doc_id",
         "cidx",
-        F.array_join(
-            F.slice(
-                "t", F.col("cidx") * _SCRUB_CHUNK + 1, F.lit(_SCRUB_CHUNK)
-            ),
-            " ",
-        ).alias("chunk"),
+        f"array_join(slice(t, cidx * {_SCRUB_CHUNK} + 1, {_SCRUB_CHUNK}), "
+        f"' ') AS chunk",
     )
     keep = chunks.groupBy("chunk").agg(
-        F.min(F.col("doc_id") * _SCRUB_POS_BASE + F.col("cidx")).alias(
-            "keeper"
-        )
+        F.expr(f"min(doc_id * {_SCRUB_POS_BASE} + cidx)").alias("keeper")
     )
     scrub = (
         chunks.join(keep, "chunk")
-        .select(
+        .selectExpr(
             "doc_id",
             "cidx",
             "chunk",
-            (
-                F.col("doc_id") * _SCRUB_POS_BASE + F.col("cidx")
-                == F.col("keeper")
-            ).alias("is_kept"),
+            f"doc_id * {_SCRUB_POS_BASE} + cidx = keeper AS is_kept",
         )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("is_kept"), F.struct("cidx", "chunk")
-                            )
-                        )
-                    ),
-                    lambda s: s.chunk,
-                ),
-                " ",
+            F.expr("sum(CAST(is_kept AS LONG))").alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN is_kept THEN struct(cidx, chunk) END)), "
+                "s -> s.chunk), ' ')"
             ).alias("ts"),
         )
     )
     meta = scrub.join(
         docs.select("doc_id", "lang", "source"), "doc_id"
-    ).withColumn("qt", F.split(F.lower(F.col("ts")), r"\s+"))
+    ).withColumn("qt", F.expr(r"split(lower(ts), '\\s+')"))
 
-    w_arr = flit(qlr_weights_milli())
-    logit = F.aggregate(
-        F.col("qt"),
-        F.lit(_QLR_INTERCEPT_MILLI).cast("long"),
-        lambda acc, t: acc
-        + F.element_at(w_arr, ((_fh(t) % _QLR_DIM) + 1).cast("int")),
+    w_arr = _flit_render(qlr_weights_milli())
+    logit = F.expr(
+        f"aggregate(qt, CAST({_QLR_INTERCEPT_MILLI} AS BIGINT), "
+        f"(acc, t) -> acc + element_at({w_arr}, "
+        f"CAST(({_fh_sql_spark('t')} % {_QLR_DIM}) + 1 AS INT)))"
     )
     # The expensive subtree (scrub join + integer gate) used to feed
     # FOUR corpus-sized consumers (raw/tgt token histograms, the token
@@ -2215,11 +2211,11 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum(count) == count and sum(count * lr_micro) == sum(lr_micro)
     # per token — bit-identical to aggregating the raw token stream.
     bcounts = (
-        surv.select(
-            "source", "lang", F.explode("qt").alias("tok")
-        )
-        .select(
-            "source", "lang", (_fh(F.col("tok")) % _DSIR_DIM).alias("bucket")
+        surv.selectExpr("source", "lang", "explode(qt) AS tok")
+        .selectExpr(
+            "source",
+            "lang",
+            f"{_fh_sql_spark('tok')} % {_DSIR_DIM} AS bucket",
         )
         .groupBy("source", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -2237,23 +2233,12 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = (
         raw.join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(tots))
-        .select(
+        .selectExpr(
             "bucket",
-            F.floor(
-                F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                        * (F.col("nr") + _DSIR_DIM)
-                    ).cast("double")
-                    / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_DIM)).cast(
-                        "double"
-                    )
-                )
-                * 1000000
-                + 0.5
-            )
-            .cast("long")
-            .alias("lr_micro"),
+            f"CAST(FLOOR(LN(CAST((coalesce(ct, 0) + 1) "
+            f"* (nr + {_DSIR_DIM}) AS DOUBLE) "
+            f"/ CAST((cr + 1) * (nt + {_DSIR_DIM}) AS DOUBLE)) "
+            f"* 1000000 + 0.5D) AS LONG) AS lr_micro",
         )
     )
     tokagg = (
@@ -2271,15 +2256,14 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         docagg.join(tokagg, ["source", "lang"])
-        .select(
+        .selectExpr(
             "source",
             "lang",
             "n_docs",
             "total_tokens",
             "weight_micro",
-            F.floor(1000.0 * F.col("sk") / F.col("sc"))
-            .cast("long")
-            .alias("kept_chunk_ratio_milli"),
+            "CAST(FLOOR(1000.0D * sk / sc) AS LONG) "
+            "AS kept_chunk_ratio_milli",
         )
         .transform(result_checkpoint)
     )
