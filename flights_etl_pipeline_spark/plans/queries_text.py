@@ -1788,44 +1788,47 @@ FROM m
 def gopher_metrics(docs: DataFrame, *carry: str) -> DataFrame:
     """Project ``carry`` plus the five integer Gopher metrics — the
     Spark half of the shared gate fragment (`_GOPHER_METRICS_SQL`).
-    Pure row-local map, no shuffle; needs ``text`` and ``lang``."""
-    toks = F.split(F.col("text"), r"\s+")
-    ltoks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
-    n_words = F.size(toks).cast("long")
-    total_chars = F.aggregate(
-        F.transform(toks, F.length),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    Pure row-local map, no shuffle; needs ``text`` and ``lang``.
+
+    r13: rendered as ONE selectExpr parse (the r12 flit/SQL-text
+    discipline — the Column build, including a per-word F.lit stopword
+    array per language and the nested CASE chain, cost ~0.1 s of
+    driver gateway latency per caller). Same functions, casts, operand
+    order and CASE nesting direction as the old Column build —
+    identical resolved trees; collect-equality on the fully-exposed
+    gopher_quality_flags verified at sf0.1, parity on every consumer.
+    Interleaved A/B: gopher_quality_flags 0.59 -> 0.49 s,
+    corpus_release_pipeline 1.82 -> 1.63 s medians."""
+    toks = r"split(text, '\\s+')"
+    ltoks = r"array_distinct(split(lower(text), '\\s+'))"
+    total_chars = (
+        f"aggregate(transform({toks}, x -> length(x)), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
-    n_alpha = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
-    )
+    n_alpha = f"CAST(size(filter({toks}, t -> t rlike '[a-zA-Z]')) AS BIGINT)"
     n_symbols = (
-        F.length("text")
-        - F.length(F.expr("replace(text, '#', '')"))
-        + (
-            (
-                F.length("text")
-                - F.length(F.expr("replace(text, '...', '')"))
-            )
-            / 3
-        ).cast("long")
-    ).cast("long")
-    stop_expr = F.lit(0).cast("long")
+        "CAST(length(text) - length(replace(text, '#', '')) + "
+        "CAST((length(text) - length(replace(text, '...', ''))) / 3 "
+        "AS BIGINT) AS BIGINT)"
+    )
+    stop_expr = "CAST(0 AS BIGINT)"
     for lang, words in STOPWORDS.items():
-        stop_expr = F.when(
-            F.col("lang") == lang,
-            F.size(
-                F.array_intersect(ltoks, F.array(*[F.lit(w) for w in words]))
-            ).cast("long"),
-        ).otherwise(stop_expr)
-    return docs.select(
+        # raw SQL string literals: only quote-free words are renderable
+        # (the ADVICE-r12 identifier-guard discipline)
+        assert "'" not in lang and all("'" not in w for w in words)
+        arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+        stop_expr = (
+            f"CASE WHEN lang = '{lang}' THEN "
+            f"CAST(size(array_intersect({ltoks}, {arr})) AS BIGINT) "
+            f"ELSE {stop_expr} END"
+        )
+    return docs.selectExpr(
         *carry,
-        n_words.alias("n_words"),
-        total_chars.alias("total_chars"),
-        n_alpha.alias("n_alpha_words"),
-        n_symbols.alias("n_symbols"),
-        stop_expr.alias("n_stop_distinct"),
+        f"CAST(size({toks}) AS BIGINT) AS n_words",
+        f"{total_chars} AS total_chars",
+        f"{n_alpha} AS n_alpha_words",
+        f"{n_symbols} AS n_symbols",
+        f"{stop_expr} AS n_stop_distinct",
     )
 
 
